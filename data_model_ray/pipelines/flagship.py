@@ -1,0 +1,128 @@
+"""Flagship pipeline: pages -> extract -> text stats -> geoindex -> dedup ->
+cell aggregate -> tile pyramid.
+
+The engine's `convert`-equivalent end-to-end lifecycle (SURVEY.md section
+3.4), all streaming Ray Data until the bounded cell table:
+
+1. read pages parquet (column-pruned) or synthesize deterministically;
+2. ``HtmlExtract`` actor pool — zero-copy Arrow, drops ``html`` early;
+3. ``TextStats`` — vectorized quality/token kernels;
+4. ``GeoIndex`` actor pool — broadcast granule/admin indexes (``ray.put``
+   once, fetched once per actor);
+5. exact URL dedup (latest ``warc_ts`` wins) — hash-bucket shuffle;
+6. base per-cell aggregate — partial-per-batch combiner + bucket combine;
+7. driver-loop pyramid rollups + manifest (bounded data from here on).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from .. import fixtures
+from ..grid import H3_RES
+from ..stages.dedup import dedup_exact
+from ..stages.extract import extract_batch
+from ..stages.geoindex import GeoIndex
+from ..stages.text import text_stats
+from .pyramid import build_pyramid, cell_aggregate
+
+
+@dataclass
+class FlagshipConfig:
+    geoindex_concurrency: int | tuple[int, int] = (1, 8)
+    batch_size: int = 8192
+    dedup_buckets: int = 64
+    cell_buckets: int = 32
+    min_cells: int = 16
+    h3_res: int = H3_RES
+    verify_text: bool = True
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def pages_to_cells(ds, cfg: FlagshipConfig | None = None):
+    """pages Dataset -> deduped, geoindexed pages Dataset + lazy cell stats."""
+    import ray
+
+    cfg = cfg or FlagshipConfig()
+    granules_ref = ray.put(fixtures.mgrs_granules())
+    admin_ref = ray.put(fixtures.admin_polygons())
+
+    # extract + text stats are stateless vectorized kernels -> task stages
+    # (they fuse into one pipelined operator and never reserve idle CPUs);
+    # GeoIndex holds real per-actor state (spatial indexes) -> actor pool
+    # with an autoscaling (1, N) size so pools can't deadlock the CPU budget
+    verify = cfg.verify_text
+    enriched = (
+        ds.map_batches(
+            lambda b: extract_batch(b, verify_text=verify),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
+        .map_batches(text_stats, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .map_batches(
+            GeoIndex,
+            fn_constructor_kwargs={
+                "granules_ref": granules_ref,
+                "admin_ref": admin_ref,
+                "h3_res": cfg.h3_res,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=cfg.geoindex_concurrency,
+        )
+    )
+    deduped = dedup_exact(
+        enriched, key="url", order_col="warc_ts", num_buckets=cfg.dedup_buckets
+    )
+    cells = cell_aggregate(deduped, cell_col="h3_7", num_buckets=cfg.cell_buckets)
+    return deduped, cells
+
+
+def run_flagship(
+    *,
+    pages_path: str | None = None,
+    n_rows: int | None = None,
+    out_dir: str | None = None,
+    cfg: FlagshipConfig | None = None,
+) -> dict[str, Any]:
+    """End-to-end run. Returns summary dict incl. the base cell table."""
+    import ray.data as rd
+
+    cfg = cfg or FlagshipConfig()
+    t0 = time.perf_counter()
+    if pages_path is not None:
+        ds = rd.read_parquet(pages_path)
+        n_input = ds.count()
+    else:
+        assert n_rows is not None
+        ds = fixtures.pages_dataset(n_rows)
+        n_input = n_rows
+
+    _, cells = pages_to_cells(ds, cfg)
+    # the cell table is bounded (<= 512*1024 rows at res 7) — safe to gather
+    import ray
+
+    base_table = pa.concat_tables(
+        [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    manifest = None
+    if out_dir is not None:
+        manifest = build_pyramid(
+            base_table, out_dir, base_res=cfg.h3_res, min_cells=cfg.min_cells
+        )
+    dt = time.perf_counter() - t0
+    return {
+        "input_rows": n_input,
+        "cells": base_table.num_rows,
+        "base_table": base_table,
+        "manifest": manifest,
+        "seconds": dt,
+        "rows_per_sec": n_input / dt if dt > 0 else float("inf"),
+    }

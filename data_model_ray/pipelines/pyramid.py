@@ -1,0 +1,320 @@
+"""Per-cell aggregation + multi-resolution tile-pyramid rollups.
+
+Re-derives the reference's GeoZarr multiscale semantics as Ray Data
+shuffles:
+
+- **base cell aggregate** = the finest pyramid level: per-batch pandas
+  partials (combiner) then a hash-bucket combine — the partial+final
+  aggregation pattern, so the groupby shuffle moves per-cell partials (one
+  row per cell per batch), never raw pages;
+- **rollup chain**: level r -> r-1 is ``groupby(parent_cell).aggregate``
+  over the PREVIOUS level's output, exactly the reference's
+  previous-level chaining (/root/reference/src/eopf_geozarr/conversion/
+  geozarr.py:701-783; pairwise chain s2_multiscale.py:362-407);
+- **type-aware aggregation registry** keyed per column, mirroring
+  ``resampling_methods`` (/root/reference/src/eopf_geozarr/s2_optimization/
+  s2_resampling.py:206-212):
+
+  ========  ==========================================================
+  sum       child sum (counts/bytes)
+  mean      UNWEIGHTED mean of child values — the reference's
+            mean-of-previous-level block average (conversion/utils.py:70-132)
+  max       any-set quality-mask semantics (s2_resampling.py:119-153)
+  min       bbox union partner of max
+  clipped_mean  mean then clip[0,1] — probability semantics
+            (s2_resampling.py:156-169)
+  first     deterministic first child by cell-local (i_lat, i_lon) order —
+            classification center/index-0 semantics
+            (s2_resampling.py:74-116, s2_multiscale.py:924-928), made
+            distribution-safe by packing (child_rank, value_idx) and
+            taking Min (SURVEY.md section 7.4 "deterministic first")
+  ========  ==========================================================
+
+- **level planner**: COG-style ladder down from the base resolution until
+  the cell count drops under ``min_cells``
+  (``calculate_overview_levels``, /root/reference/src/eopf_geozarr/
+  conversion/geozarr.py:797-838);
+- **per-level manifest** with asset / derived_from / scale entries plus a
+  root bbox union, the ``multiscales`` layout + store-root bbox analogue
+  (/root/reference/docs/geozarr-minispec.md:320-398,
+  s2_optimization/s2_converter.py:321-363).
+
+The pyramid is bounded: GeoCell res 7 has <= 512*1024 cells, so every
+level's table is small no matter how many input rows — all heavy lifting
+happens in the single base aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..grid import geocell_ij, geocell_parent, geocell_res
+from ..fixtures import LANGS
+
+#: vocabulary for the packed-first trick ('und' = unknown)
+LANG_VOCAB = np.array(sorted(set(LANGS.tolist() + ["und"])))
+
+#: column -> rollup semantics for the standard cell stats table
+DEFAULT_AGG_REGISTRY: dict[str, str] = {
+    "pages": "sum",
+    "text_bytes": "sum",
+    "token_sum": "sum",
+    "mean_text_len": "mean",
+    "score_mean": "clipped_mean",
+    "flag_max": "max",
+    "lang_first": "first",
+    "lat_min": "min",
+    "lat_max": "max",
+    "lon_min": "min",
+    "lon_max": "max",
+}
+
+NUM_COMBINE_BUCKETS = 32
+
+
+def _partial_cell_stats(batch: pd.DataFrame, cell_col: str) -> pd.DataFrame:
+    """Per-batch per-cell partials (the combiner half of the aggregate)."""
+    g = batch.groupby(cell_col, sort=False)
+    out = g.agg(
+        pages=("url", "size"),
+        text_bytes=("text_len", "sum"),
+        token_sum=("token_count", "sum"),
+        score_sum=("score", "sum"),
+        flag_max=("flag", "max"),
+        lat_min=("lat", "min"),
+        lat_max=("lat", "max"),
+        lon_min=("lon", "min"),
+        lon_max=("lon", "max"),
+        min_url=("url", "min"),
+    ).reset_index()
+    # lang of the min-url row (deterministic "first" seed value)
+    first_rows = batch.sort_values("url", kind="mergesort").drop_duplicates(
+        subset=[cell_col], keep="first"
+    )[[cell_col, "lang"]]
+    out = out.merge(first_rows, on=cell_col, how="left").rename(
+        columns={"lang": "lang_first", cell_col: "cell"}
+    )
+    return out
+
+
+def _combine_partials(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.groupby("cell", sort=False)
+    out = g.agg(
+        pages=("pages", "sum"),
+        text_bytes=("text_bytes", "sum"),
+        token_sum=("token_sum", "sum"),
+        score_sum=("score_sum", "sum"),
+        flag_max=("flag_max", "max"),
+        lat_min=("lat_min", "min"),
+        lat_max=("lat_max", "max"),
+        lon_min=("lon_min", "min"),
+        lon_max=("lon_max", "max"),
+    ).reset_index()
+    # argmin-combine for the deterministic first value
+    first = group.sort_values("min_url", kind="mergesort").drop_duplicates(
+        subset=["cell"], keep="first"
+    )[["cell", "lang_first"]]
+    out = out.merge(first, on="cell", how="left")
+    out["mean_text_len"] = out["text_bytes"] / out["pages"]
+    out["score_mean"] = (out["score_sum"] / out["pages"]).clip(0.0, 1.0)
+    return out.drop(columns=["score_sum"])
+
+
+def cell_aggregate(ds, *, cell_col: str = "h3_7", num_buckets: int = NUM_COMBINE_BUCKETS):
+    """Pages dataset -> base cell-stats Dataset (one row per active cell)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return _partial_cell_stats(batch, cell_col)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(
+            pc.bit_wise_and(
+                batch["cell"], pa.scalar(num_buckets - 1, type=pa.uint64())
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("__bucket", b)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return _combine_partials(group.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup chain
+# ---------------------------------------------------------------------------
+
+
+def _pack_first(cells: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Pack (child-local rank, vocab idx) for distribution-safe Min-first."""
+    i_lat, i_lon = geocell_ij(cells)
+    rank = ((i_lat & 1) << 1 | (i_lon & 1)).astype(np.uint64)
+    idx = np.searchsorted(LANG_VOCAB, values)
+    idx = np.clip(idx, 0, len(LANG_VOCAB) - 1).astype(np.uint64)
+    # guard unknown values -> map to 'und'
+    miss = LANG_VOCAB[idx] != values
+    if miss.any():
+        idx[miss] = np.searchsorted(LANG_VOCAB, "und")
+    return (rank << np.uint64(8)) | idx
+
+
+def rollup_level(level_table: pa.Table, *, registry: dict[str, str] | None = None) -> pa.Table:
+    """One rollup step: cell table at res r -> parent table at res r-1.
+
+    Pure Arrow/pandas on one (bounded-size) level table; used inside the
+    driver loop. Distribution note: at 100 TB the base aggregate has already
+    reduced data to <= 512*1024 rows, so per-level rollups are single-block
+    operations — the same shape the reference uses (whole overview level in
+    one dask graph).
+    """
+    registry = registry or DEFAULT_AGG_REGISTRY
+    df = level_table.to_pandas()
+    cells = df["cell"].to_numpy().astype(np.uint64)
+    res = int(geocell_res(cells[:1])[0])
+    parent = geocell_parent(cells, res - 1)
+    df = df.assign(__parent=parent)
+
+    agg_spec: dict[str, tuple[str, str]] = {}
+    for col, kind in registry.items():
+        if col not in df.columns:
+            continue
+        if kind == "sum":
+            agg_spec[col] = (col, "sum")
+        elif kind == "mean" or kind == "clipped_mean":
+            agg_spec[col] = (col, "mean")
+        elif kind == "max":
+            agg_spec[col] = (col, "max")
+        elif kind == "min":
+            agg_spec[col] = (col, "min")
+        elif kind == "first":
+            df[f"__packed_{col}"] = _pack_first(cells, df[col].to_numpy())
+            agg_spec[f"__packed_{col}"] = (f"__packed_{col}", "min")
+        else:
+            raise ValueError(f"unknown agg kind {kind!r} for column {col!r}")
+
+    out = df.groupby("__parent", sort=False).agg(**agg_spec).reset_index()
+    out = out.rename(columns={"__parent": "cell"})
+    for col, kind in registry.items():
+        if kind == "clipped_mean" and col in out.columns:
+            out[col] = out[col].clip(0.0, 1.0)
+        if kind == "first" and f"__packed_{col}" in out.columns:
+            idx = (out[f"__packed_{col}"].to_numpy().astype(np.uint64) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            out[col] = LANG_VOCAB[idx]
+            out = out.drop(columns=[f"__packed_{col}"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def plan_levels(base_res: int, base_cells: int, *, min_cells: int = 16) -> list[int]:
+    """COG-ladder planner: levels to build below the base resolution.
+
+    Mirrors ``calculate_overview_levels`` (reference geozarr.py:797-838):
+    halve each axis (quarter the worst-case cell count) until the estimated
+    count drops under ``min_cells`` or res 0 is reached.
+    """
+    levels = []
+    est = base_cells
+    res = base_res - 1
+    while res >= 0 and est // 4 >= min_cells:
+        est //= 4
+        levels.append(res)
+        res -= 1
+    return levels
+
+
+def build_pyramid(
+    base_table: pa.Table,
+    out_dir: str,
+    *,
+    base_res: int,
+    registry: dict[str, str] | None = None,
+    min_cells: int = 16,
+    write: bool = True,
+) -> dict[str, Any]:
+    """Driver loop: write the base level, then roll up level by level.
+
+    Returns (and writes) the root manifest: per-level layout entries with
+    ``asset`` / ``derived_from`` / relative ``scale`` plus the root bbox
+    union — the ``multiscales`` + store-root-bbox analogue
+    (/root/reference/docs/geozarr-minispec.md:361-398,
+    s2_converter.py:321-363). Levels are written as separate parquet
+    directories (resumable layout: one directory per level).
+    """
+    levels_meta: list[dict[str, Any]] = []
+    current = base_table
+    res = base_res
+
+    def write_level(table: pa.Table, r: int) -> str:
+        asset = f"level={r}"
+        if write:
+            import pyarrow.parquet as pq
+
+            os.makedirs(os.path.join(out_dir, asset), exist_ok=True)
+            pq.write_table(table, os.path.join(out_dir, asset, "part-0.parquet"))
+        return asset
+
+    asset = write_level(current, res)
+    levels_meta.append(
+        {"level": res, "cells": current.num_rows, "asset": asset, "derived_from": None, "scale": 1}
+    )
+    for r in plan_levels(base_res, current.num_rows, min_cells=min_cells):
+        current = rollup_level(current, registry=registry)
+        asset = write_level(current, r)
+        levels_meta.append(
+            {
+                "level": r,
+                "cells": current.num_rows,
+                "asset": asset,
+                "derived_from": f"level={r + 1}",
+                "scale": 2,  # per-axis /2, as the reference's COG ladder
+            }
+        )
+
+    base_df = base_table.to_pandas()
+    manifest = {
+        "kind": "geocell-pyramid",
+        "base_res": base_res,
+        "levels": levels_meta,
+        "spatial:bbox": [
+            _json_safe(base_df["lon_min"].min()),
+            _json_safe(base_df["lat_min"].min()),
+            _json_safe(base_df["lon_max"].max()),
+            _json_safe(base_df["lat_max"].max()),
+        ],
+        "crs": "EPSG:4326",
+    }
+    if write:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def _json_safe(x: Any) -> Any:
+    """NaN/Inf -> JSON-safe strings, the reference's sanitizer semantics
+    (/root/reference/src/eopf_geozarr/conversion/fs_utils.py:22-107)."""
+    if isinstance(x, (float, np.floating)):
+        if math.isnan(x):
+            return "NaN"
+        if math.isinf(x):
+            return "Infinity" if x > 0 else "-Infinity"
+        return float(x)
+    if isinstance(x, (np.integer,)):
+        return int(x)
+    return x

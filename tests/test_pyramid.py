@@ -1,0 +1,170 @@
+"""Pyramid rollup tests with hand-computed goldens per aggregation type.
+
+Mirrors the reference's exact-value resampling tests
+(/root/reference/tests/test_s2_resampling.py, test_conversion.py:27-57:
+block mean of a 4x4 = [[3.5,5.5],[11.5,13.5]]).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from data_model_ray import grid
+from data_model_ray.pipelines.pyramid import (
+    build_pyramid,
+    plan_levels,
+    rollup_level,
+)
+
+
+def make_level_table(cells, **cols):
+    base = {
+        "cell": pa.array(np.asarray(cells, dtype=np.uint64)),
+        "pages": pa.array(cols.get("pages", np.ones(len(cells), dtype=np.int64))),
+        "text_bytes": pa.array(
+            cols.get("text_bytes", np.zeros(len(cells), dtype=np.int64))
+        ),
+        "token_sum": pa.array(
+            cols.get("token_sum", np.zeros(len(cells), dtype=np.int64))
+        ),
+        "mean_text_len": pa.array(
+            cols.get("mean_text_len", np.zeros(len(cells), dtype=np.float64))
+        ),
+        "score_mean": pa.array(
+            cols.get("score_mean", np.zeros(len(cells), dtype=np.float64))
+        ),
+        "flag_max": pa.array(
+            cols.get("flag_max", np.zeros(len(cells), dtype=np.uint8))
+        ),
+        "lang_first": pa.array(cols.get("lang_first", ["en"] * len(cells))),
+        "lat_min": pa.array(cols.get("lat_min", np.zeros(len(cells)))),
+        "lat_max": pa.array(cols.get("lat_max", np.zeros(len(cells)))),
+        "lon_min": pa.array(cols.get("lon_min", np.zeros(len(cells)))),
+        "lon_max": pa.array(cols.get("lon_max", np.zeros(len(cells)))),
+    }
+    return pa.table(base)
+
+
+class TestRollupSemantics:
+    def setup_method(self):
+        # one parent at res 3 with all 4 children present (hand-placed)
+        parent = grid.geocell_encode(np.array([10.0]), np.array([10.0]), 3)[0]
+        self.parent = parent
+        self.children = grid.geocell_children(int(parent))  # ordered (di, dj)
+
+    def test_sum_mean_max_first_clip(self):
+        # children in cell-local order 0..3
+        t = make_level_table(
+            self.children,
+            pages=np.array([1, 2, 3, 4], dtype=np.int64),
+            mean_text_len=np.array([2.0, 4.0, 6.0, 8.0]),
+            score_mean=np.array([0.5, 1.0, 1.0, 1.0]),
+            flag_max=np.array([0, 4, 1, 0], dtype=np.uint8),
+            lang_first=["fr", "en", "de", "zh"],
+        )
+        out = rollup_level(t).to_pandas().set_index("cell")
+        row = out.loc[int(self.parent)]
+        assert row["pages"] == 10  # sum
+        assert row["mean_text_len"] == 5.0  # UNWEIGHTED mean of means
+        assert row["score_mean"] == 0.875  # mean then clip (under 1.0 here)
+        assert row["flag_max"] == 4  # max = any-set mask semantics
+        # first = child with smallest local (i_lat, i_lon) rank == children[0]
+        assert row["lang_first"] == "fr"
+
+    def test_first_is_order_not_arrival(self):
+        # shuffle the row order — "first" must not change
+        t = make_level_table(
+            self.children[::-1],
+            lang_first=["zh", "de", "en", "fr"],  # reversed to match
+        )
+        out = rollup_level(t).to_pandas().set_index("cell")
+        assert out.loc[int(self.parent)]["lang_first"] == "fr"
+
+    def test_partial_children(self):
+        # only children 2 and 3 present -> first is child 2's value
+        t = make_level_table(
+            self.children[2:],
+            pages=np.array([5, 7], dtype=np.int64),
+            mean_text_len=np.array([1.0, 3.0]),
+            lang_first=["ja", "ru"],
+        )
+        out = rollup_level(t).to_pandas().set_index("cell")
+        row = out.loc[int(self.parent)]
+        assert row["pages"] == 12
+        assert row["mean_text_len"] == 2.0
+        assert row["lang_first"] == "ja"
+
+    def test_clip_applied(self):
+        t = make_level_table(
+            self.children,
+            score_mean=np.array([1.0, 1.0, 1.0, 1.5]),  # bad upstream value
+        )
+        out = rollup_level(t).to_pandas().set_index("cell")
+        assert out.loc[int(self.parent)]["score_mean"] == 1.0
+
+    def test_bbox_union(self):
+        t = make_level_table(
+            self.children,
+            lat_min=np.array([1.0, 2.0, 0.5, 3.0]),
+            lat_max=np.array([4.0, 9.0, 5.0, 6.0]),
+            lon_min=np.array([-3.0, -1.0, 0.0, 2.0]),
+            lon_max=np.array([1.0, 2.0, 3.0, 8.0]),
+        )
+        out = rollup_level(t).to_pandas().set_index("cell")
+        row = out.loc[int(self.parent)]
+        assert (row["lat_min"], row["lat_max"]) == (0.5, 9.0)
+        assert (row["lon_min"], row["lon_max"]) == (-3.0, 8.0)
+
+    def test_two_parents_stay_separate(self):
+        p2 = grid.geocell_encode(np.array([-40.0]), np.array([100.0]), 3)[0]
+        cells = np.concatenate([self.children[:2], grid.geocell_children(int(p2))[:1]])
+        t = make_level_table(cells, pages=np.array([1, 1, 9], dtype=np.int64))
+        out = rollup_level(t).to_pandas().set_index("cell")
+        assert out.loc[int(self.parent)]["pages"] == 2
+        assert out.loc[int(p2)]["pages"] == 9
+
+
+class TestPlanAndManifest:
+    def test_plan_levels_ladder(self):
+        # COG ladder: stop when estimated cells < min_cells
+        # 4096 -> 1024 -> 256 -> 64 -> 16 (= min_cells, still built) -> stop
+        assert plan_levels(7, 4096, min_cells=16) == [6, 5, 4, 3]
+        assert plan_levels(7, 15, min_cells=16) == []
+        assert plan_levels(2, 10_000_000, min_cells=16) == [1, 0]
+
+    def test_build_pyramid_manifest(self, tmp_path):
+        rng = np.random.default_rng(1)
+        lat = rng.uniform(30, 45, 400)
+        lon = rng.uniform(-10, 20, 400)
+        cells = np.unique(grid.geocell_encode(lat, lon, 7))
+        t = make_level_table(
+            cells,
+            pages=np.ones(len(cells), dtype=np.int64),
+            lat_min=grid.geocell_center(cells)[0],
+            lat_max=grid.geocell_center(cells)[0],
+            lon_min=grid.geocell_center(cells)[1],
+            lon_max=grid.geocell_center(cells)[1],
+        )
+        out_dir = str(tmp_path / "pyr")
+        manifest = build_pyramid(t, out_dir, base_res=7, min_cells=4)
+        levels = manifest["levels"]
+        assert levels[0]["level"] == 7 and levels[0]["derived_from"] is None
+        for a, b in zip(levels, levels[1:]):
+            assert b["level"] == a["level"] - 1
+            assert b["derived_from"] == f"level={a['level']}"
+            assert b["scale"] == 2
+            # pyramid ratio: each level has fewer cells, at most /1 .. /4
+            assert b["cells"] <= a["cells"]
+        # total page count preserved at every level (sum semantics)
+        import pyarrow.parquet as pq
+
+        for lv in levels:
+            tab = pq.read_table(f"{out_dir}/{lv['asset']}")
+            assert tab["pages"].to_pandas().sum() == len(cells)
+        # manifest on disk
+        import json
+
+        with open(f"{out_dir}/manifest.json") as f:
+            on_disk = json.load(f)
+        assert on_disk["levels"] == levels
+        lo = manifest["spatial:bbox"]
+        assert lo[0] < lo[2] and lo[1] < lo[3]
