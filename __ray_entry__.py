@@ -1,44 +1,259 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial-join + tile-pyramid pipeline on a
+deterministic synthetic pages table at sf0.001 scale (10k rows — the pages
+table per BASELINE.json ``input_hint`` does not exist in /root/testdata, so
+it is synthesized exactly to spec by ``data_model_ray.fixtures``; see
+FIXTURES.md). ``queries()`` exposes one entry per implemented operator
+family from SURVEY.md section 2; SQL-expressible ones have DuckDB oracles
+in ``oracle_sql()`` (same column names both sides); spatial/pages-based ones
+are rows-only here and exact-value-checked in ``tests/``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_PAGES_CACHE: dict[int, str] = {}
+
+
+def _pages_path(sf_dir: str) -> str:
+    """Synthesize (once per scale) the pages table matching `sf_dir`'s scale."""
+    from data_model_ray import fixtures
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.01
+    n = fixtures.rows_for_sf(sf)
+    if n not in _PAGES_CACHE:
+        path = f"/tmp/graft_pages/n{n}"
+        marker = os.path.join(path, "_DONE")
+        if not os.path.exists(marker):
+            fixtures.write_pages_parquet(path, n)
+            with open(marker, "w") as f:
+                f.write(str(n))
+        _PAGES_CACHE[n] = path
+    return _PAGES_CACHE[n]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the base cell-stats table."""
+    from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+
+    res = run_flagship(
+        n_rows=10_000,
+        out_dir="/tmp/graft_entry_pyramid",
+        cfg=FlagshipConfig(geoindex_concurrency=(1, 4)),
+    )
+    return res["base_table"].to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+
+def _pages_assignments(sf_dir: str):
+    """Deduped per-url cell/granule/admin assignment table (north-star join)."""
+    import ray.data as rd
+
+    from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
+
+    ds = rd.read_parquet(_pages_path(sf_dir))
+    deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
+    return deduped.select_columns(
+        ["url", "h3_7", "s2_12", "mgrs", "admin_l0", "admin_l1"]
+    )
+
+
+def _pages_cell_stats(sf_dir: str):
+    """Base pyramid level (per-cell aggregates) over the pages table."""
+    import ray.data as rd
+
+    from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
+
+    ds = rd.read_parquet(_pages_path(sf_dir))
+    _, cells = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
+    return cells
+
+
+def _pages_knn(sf_dir: str):
+    """Per-cell spatial kNN over a deterministic 2k-row slice of pages."""
+    import ray.data as rd
+
+    from data_model_ray.stages.extract import extract_batch
+    from data_model_ray.stages.knn import knn_per_cell
+
+    ds = rd.read_parquet(_pages_path(sf_dir)).limit(2000)
+    pts = ds.map_batches(
+        lambda b: extract_batch(b, verify_text=False), batch_format="pyarrow"
+    ).select_columns(["url", "lat", "lon"])
+    return knn_per_cell(pts, k=5)
+
+
+def _minhash_near_dups(sf_dir: str):
+    from data_model_ray.stages.neardup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(f"{sf_dir}/documents.parquet")
+
+
+def _simhash_docs(sf_dir: str):
+    from data_model_ray.stages.neardup import simhash_table
+
+    return simhash_table(f"{sf_dir}/documents.parquet")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from data_model_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled operator families (SURVEY.md section 2)
+        "filter_project": rel.filter_project,            # M-group map/filter
+        "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
+        "two_key_mean": rel.two_key_mean,                # A6 dedup-mean
+        "global_minmax": rel.global_minmax,              # A7/A8 bbox union
+        "topk_orders": rel.topk_orders,                  # sort/limit
+        "dedup_docs_exact": rel.dedup_docs_exact,        # D exact dedup
+        "dedup_latest_events": rel.dedup_latest_events,  # D latest-wins
+        "token_count_docs": rel.token_count_docs,        # text analysis
+        "lang_hist": rel.lang_hist,                      # per-key counters
+        "broadcast_join_counts": rel.broadcast_join_counts,  # J broadcast
+        "hash_join_revenue": rel.hash_join_revenue,      # J partitioned hash
+        "window_hourly": rel.window_hourly,              # streaming window
+        "prev_event_ts": rel.prev_event_ts,              # as-of/lag
+        "cell_rollup_events": rel.cell_rollup_events,    # pyramid mean-of-means
+        "knn_embeddings": rel.knn_embeddings_query,      # similarity search
+        # pages-based spatial pipelines (rows-only for the driver; exact
+        # goldens in tests/) — the north-star operators themselves
+        "pages_assignments": _pages_assignments,
+        "pages_cell_stats": _pages_cell_stats,
+        "pages_knn": _pages_knn,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_docs": _simhash_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_price,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "two_key_mean": """
+            SELECT user_id, event_type,
+                   ROUND(SUM(value) / COUNT(*), 6) AS mean_value
+            FROM events
+            GROUP BY user_id, event_type
+        """,
+        "global_minmax": """
+            SELECT ROUND(MIN(l_extendedprice), 6) AS min_price,
+                   ROUND(MAX(l_extendedprice), 6) AS max_price,
+                   ROUND(MIN(l_quantity), 6) AS min_qty,
+                   ROUND(MAX(l_quantity), 6) AS max_qty
+            FROM lineitem
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "dedup_docs_exact": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_latest_events": """
+            SELECT user_id, ts, event_type FROM (
+                SELECT user_id, ts, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "token_count_docs": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+            FROM documents
+        """,
+        "lang_hist": """
+            SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "broadcast_join_counts": """
+            SELECT r.r_name, COUNT(*) AS customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "hash_join_revenue": """
+            SELECT o.o_orderstatus,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "window_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "prev_event_ts": """
+            SELECT event_id,
+                   LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        """,
+        "cell_rollup_events": """
+            SELECT parent, ROUND(AVG(mean_value), 6) AS parent_mean,
+                   COUNT(*) AS n_cells
+            FROM (
+                SELECT (user_id & 255) // 4 AS parent,
+                       user_id & 255 AS cell,
+                       SUM(value) / COUNT(*) AS mean_value
+                FROM events
+                GROUP BY user_id & 255
+            )
+            GROUP BY parent
+        """,
+        "knn_embeddings": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ) WHERE rank <= 3
+        """,
+    }

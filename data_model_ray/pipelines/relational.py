@@ -1,0 +1,460 @@
+"""Oracle-checked relational operators over the driver's TPC-H-ish tables.
+
+Each function implements one operator family from SURVEY.md section 2 as an
+idiomatic Ray Data pipeline; ``__ray_entry__.queries()`` exposes them and
+``oracle_sql()`` carries the DuckDB-equivalent SQL. Column names match the
+SQL aliases exactly (driver hash-compares after sorting columns by name).
+
+Float aggregates are rounded to 6 decimals on BOTH sides so sum-order
+nondeterminism between engines cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(df: pd.DataFrame, cols: list[str], nd: int = 6) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+# --- M-group: filter + projection + computed column (SURVEY 2.2) -----------
+
+
+def filter_project(sf_dir: str):
+    """lineitem filtered and projected with a computed revenue column."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))))
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- A-group: grouped aggregates (SURVEY 2.5) ------------------------------
+
+
+def groupby_agg(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with partial pre-aggregation.
+
+    The partial+final combiner pattern (pre-aggregate inside map_batches,
+    then a small groupby) — the scale shape for all mean/sum rollups (A1/A2).
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = g.agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_price=("sum_price", "sum"),
+            n=("n", "sum"),
+        ).reset_index()
+        out["avg_qty"] = out["sum_qty"] / out["n"]
+        return _round_col(out, ["sum_qty", "sum_price", "avg_qty"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def two_key_mean(sf_dir: str):
+    """groupby (user_id, event_type) mean — the reference's one true
+    groupby-aggregate (GCP dedup-mean, conversion/utils.py:261-298)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False)["value"]
+        return g.agg(s="sum", c="size").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["user_id", "event_type"], sort=False)
+        out = g.agg(s=("s", "sum"), c=("c", "sum")).reset_index()
+        out["mean_value"] = (out["s"] / out["c"]).round(6)
+        return out[["user_id", "event_type", "mean_value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def global_minmax(sf_dir: str):
+    """Global min/max aggregate — the bbox-union shape (A7/A8)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "min_price": pa.array([pc.min(t["l_extendedprice"]).as_py()]),
+                "max_price": pa.array([pc.max(t["l_extendedprice"]).as_py()]),
+                "min_qty": pa.array([pc.min(t["l_quantity"]).as_py()]),
+                "max_qty": pa.array([pc.max(t["l_quantity"]).as_py()]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame(
+        {
+            "min_price": [round(partials["min_price"].min(), 6)],
+            "max_price": [round(partials["max_price"].max(), 6)],
+            "min_qty": [round(partials["min_qty"].min(), 6)],
+            "max_qty": [round(partials["max_qty"].max(), 6)],
+        }
+    )
+    return out
+
+
+# --- Sort / top-k (SURVEY 2.6) ---------------------------------------------
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """Global top-k with deterministic tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return out
+
+
+# --- D-group: dedup (SURVEY 2.7) -------------------------------------------
+
+
+def dedup_docs_exact(sf_dir: str):
+    """Exact text dedup keeping the smallest doc_id (hash-bucket shuffle)."""
+    from ..stages.dedup import dedup_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("__neg_id", pc.negate_checked(t["doc_id"]))
+
+    deduped = dedup_exact(
+        ds.map_batches(neg, batch_format="pyarrow"),
+        key="text",
+        order_col="__neg_id",  # max(-id) == min(id)
+        num_buckets=16,
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    return deduped.map_batches(clean, batch_format="pyarrow")
+
+
+def dedup_latest_events(sf_dir: str):
+    """Latest-wins dedup per user_id — the url/warc_ts semantics on an
+    oracle-checkable table (ties broken by event_id desc)."""
+    from ..stages.dedup import dedup_exact
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    deduped = dedup_exact(
+        ds,
+        key="user_id",
+        order_col=["ts", "event_id"],
+        num_buckets=16,
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "ts", "event_type"])
+
+    return deduped.map_batches(clean, batch_format="pyarrow")
+
+
+# --- Text ops (task brief "Text analysis") ---------------------------------
+
+
+def token_count_docs(sf_dir: str):
+    from ..stages.text import TOKEN_PATTERN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token_count": pc.cast(
+                    pc.count_substring_regex(t["text"], TOKEN_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_hist(sf_dir: str):
+    """Per-language counters — the per-cell counter shape (SURVEY 2.5 ours)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False)["n_chars"]
+        return g.agg(docs="size", chars="sum").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("lang", sort=False)
+        return g.agg(docs=("docs", "sum"), chars=("chars", "sum")).reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- J-group: joins (SURVEY 2.4) -------------------------------------------
+
+
+def broadcast_join_counts(sf_dir: str):
+    """customer -> nation -> region via broadcast dict lookup (no shuffle)."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(n2r["n_nationkey"], n2r["r_name"])))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        lookup = _ray.get(lookup_ref)
+        df["r_name"] = df["c_nationkey"].map(lookup)
+        return (
+            df.groupby("r_name", sort=False)
+            .agg(customers=("c_custkey", "size"))
+            .reset_index()
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby("r_name", sort=False)
+            .agg(customers=("customers", "sum"))
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
+    """orders JOIN lineitem on orderkey -> revenue per orderstatus.
+
+    Explicit partitioned hash join (bucket both sides on the key hash, join
+    matching buckets inside map_groups) — the portable both-sides-large
+    pattern; B and skew notes per SURVEY 7.3.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_orderkey"], pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "status": t["o_orderstatus"],
+                "rev": pa.nulls(len(t), pa.float64()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["l_orderkey"], pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "status": pa.nulls(len(t), pa.string()),
+                "rev": rev,
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["key", "status"]]
+        right = group[group["side"] == 1][["key", "rev"]]
+        m = right.merge(left, on="key", how="inner")
+        return (
+            m.groupby("status", sort=False)
+            .agg(revenue=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index()
+            .rename(columns={"status": "o_orderstatus"})
+        )
+
+    joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby("o_orderstatus", sort=False)
+            .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+            .reset_index()
+        )
+        return _round_col(out, ["revenue"])
+
+    return joined.groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+
+
+# --- Streaming-shaped: windows / as-of (SURVEY 2.9) ------------------------
+
+
+def window_hourly(sf_dir: str):
+    """Tumbling 1h window count+sum per user — groupby(key, bucket) shape."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"user_id": t["user_id"], "hour": hour, "value": t["value"]}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "hour"], sort=False)["value"]
+        return g.agg(n="size", s="sum").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["user_id", "hour"], sort=False)
+        out = g.agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        out["sum_value"] = out["s"].round(6)
+        return out[["user_id", "hour", "n", "sum_value"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def prev_event_ts(sf_dir: str):
+    """Per-user as-of/lag: previous event ts for every event (ordered by
+    ts, event_id within user) — merge_asof/window-lag shape over a
+    partitioned, sorted log (ordering assumption: per-user total order by
+    (ts, event_id))."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["prev_ts"] = g["ts"].shift(1)
+        return g[["event_id", "prev_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- Pyramid semantics on an oracle-checkable table ------------------------
+
+
+def cell_rollup_events(sf_dir: str):
+    """Two-level mean-of-means rollup: cell = user_id % 256, parent = cell/4.
+
+    Exactly the pyramid's UNWEIGHTED mean semantics (A1/A2: level ℓ+1 is the
+    plain mean of level ℓ values, not a weighted mean) so DuckDB can oracle
+    the rollup math the tile pyramid uses.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        cell = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(255, pa.int64())), pa.int64()
+        )
+        return pa.table({"cell": cell, "value": t["value"]})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", sort=False)["value"]
+        return g.agg(s="sum", c="size").reset_index()
+
+    def level1(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("cell", sort=False)
+        out = g.agg(s=("s", "sum"), c=("c", "sum")).reset_index()
+        out["mean_value"] = out["s"] / out["c"]
+        out["parent"] = out["cell"] // 4
+        return out[["parent", "cell", "mean_value"]]
+
+    l1 = (
+        ds.map_batches(cellify, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(level1, batch_format="pandas")
+    )
+
+    def level2(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("parent", sort=False)["mean_value"]
+        out = g.agg(parent_mean="mean", n_cells="size").reset_index()
+        out["parent_mean"] = out["parent_mean"].round(6)
+        return out
+
+    return l1.groupby("parent").map_groups(level2, batch_format="pandas")
+
+
+# --- Similarity search -----------------------------------------------------
+
+
+def knn_embeddings_query(sf_dir: str, *, k: int = 3, n_queries: int = 5):
+    """Brute-force cosine top-k for the first `n_queries` vectors."""
+    from ..stages.knn import knn_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = (
+        ds.filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qm = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].to_numpy()
+    return knn_embeddings(ds, qm, qids, k=k)

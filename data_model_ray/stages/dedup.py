@@ -30,8 +30,10 @@ import pyarrow as pa
 DEFAULT_BUCKETS = 64
 
 
-def _local_latest(df: pd.DataFrame, key: str, order_col: str) -> pd.DataFrame:
-    df = df.sort_values([key, order_col], kind="mergesort")
+def _local_latest(
+    df: pd.DataFrame, key: str, order_cols: list[str]
+) -> pd.DataFrame:
+    df = df.sort_values([key, *order_cols], kind="mergesort")
     return df[~df.duplicated(subset=[key], keep="last")]
 
 
@@ -39,13 +41,19 @@ def dedup_exact(
     ds,
     *,
     key: str = "url",
-    order_col: str = "warc_ts",
+    order_col: str | list[str] = "warc_ts",
     num_buckets: int = DEFAULT_BUCKETS,
 ):
-    """Latest-wins exact dedup of a Ray Dataset on `key` ordered by `order_col`."""
+    """Latest-wins exact dedup of a Ray Dataset on `key`.
+
+    The kept row is the max of `order_col` (a column name or list of names,
+    compared lexicographically) — multi-column ordering avoids packing
+    compound keys into one integer (overflow-prone).
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return _local_latest(batch, key, order_col)
+        return _local_latest(batch, key, order_cols)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -60,7 +68,7 @@ def dedup_exact(
         return batch.append_column("__bucket", h)
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return _local_latest(group, key, order_col).drop(columns="__bucket")
+        return _local_latest(group, key, order_cols).drop(columns="__bucket")
 
     return (
         ds.map_batches(local, batch_format="pandas")

@@ -1,0 +1,249 @@
+"""kNN operators: per-cell spatial kNN and embedding similarity search.
+
+- ``knn_per_cell``: the north-star per-cell kNN (SURVEY.md 7.3): candidates
+  are duplicated into their ring-1 neighbor cells with ``flat_map``-style
+  batch expansion, then one ``groupby(cell).map_groups`` computes each
+  cell's queries against cell+ring candidates. **Partitioning assumption**
+  (documented per task brief): results are exact bounded-radius kNN — a
+  neighbor farther than one cell width away is not considered; tests verify
+  exactness for dense cells where true kNN lies within the ring.
+- ``knn_embeddings``: brute-force cosine top-k of every row against a small
+  broadcast query matrix (numpy matmul per batch — the ANN baseline); and
+  ``knn_embeddings_lsh``: a random-hyperplane LSH-bucketed variant (the
+  scale path: candidates only within matching buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..grid import geocell_encode, geocell_neighbors
+
+EARTH_DEG = 111.19492664455873  # km per degree latitude (spherical mean)
+
+
+def _equirect_dist2(
+    lat0: np.ndarray, lon0: np.ndarray, lat1: np.ndarray, lon1: np.ndarray
+) -> np.ndarray:
+    """Squared equirectangular-approx distance (km^2): deterministic, fast,
+    monotone with true distance at cell scale (documented metric choice)."""
+    mean_lat = np.radians((lat0 + lat1) / 2.0)
+    dy = (lat1 - lat0) * EARTH_DEG
+    dx = (lon1 - lon0) * EARTH_DEG * np.cos(mean_lat)
+    return dx * dx + dy * dy
+
+
+def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
+    """For every row: its k nearest rows (by lat/lon) within cell + ring-1.
+
+    Input needs columns (id_col, lat, lon). Output: one row per (query, rank)
+    -> columns (id_col, neighbor, rank, dist_km). Deterministic ties: sort by
+    (dist, neighbor id).
+    """
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([id_col, "lat", "lon"]).to_pandas()
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        own = geocell_encode(lat, lon, cell_res)
+        # candidate copies: one per ring-1 cell (incl. own); query flag only
+        # on the own-cell copy. Ring fan-out is 9x on candidate rows — the
+        # standard grid-join duplication (bounded, no shuffle skew beyond
+        # the cell skew itself).
+        # ring expansion vectorized via the repeat/cumsum trick over the
+        # UNIQUE cells of the batch (rings computed once per cell, not row)
+        uniq, inv = np.unique(own, return_inverse=True)
+        rings = [geocell_neighbors(int(c), 1) for c in uniq]
+        ring_sizes = np.array([len(r) for r in rings], dtype=np.int64)
+        flat_ring = (
+            np.concatenate(rings) if rings else np.array([], dtype=np.uint64)
+        )
+        ring_starts = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(ring_sizes, out=ring_starts[1:])
+        reps = ring_sizes[inv]
+        total = int(reps.sum())
+        row_starts = np.zeros(len(df) + 1, dtype=np.int64)
+        np.cumsum(reps, out=row_starts[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(row_starts[:-1], reps)
+        owner = flat_ring[np.repeat(ring_starts[inv], reps) + pos]
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].reset_index(drop=True)
+        out["__cell"] = owner
+        out["__is_query"] = owner == np.repeat(own, reps)
+        return out
+
+    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+        q = group[group["__is_query"]]
+        if q.empty:
+            return pd.DataFrame(
+                {id_col: [], "neighbor": [], "rank": [], "dist_km": []}
+            )
+        c_lat = group["lat"].to_numpy()
+        c_lon = group["lon"].to_numpy()
+        c_ids = group[id_col].to_numpy()
+        rows = []
+        q_lat = q["lat"].to_numpy()
+        q_lon = q["lon"].to_numpy()
+        q_ids = q[id_col].to_numpy()
+        for i in range(len(q)):
+            d2 = _equirect_dist2(q_lat[i], q_lon[i], c_lat, c_lon)
+            mask = c_ids != q_ids[i]
+            cand_ids = c_ids[mask]
+            cand_d = d2[mask]
+            # deterministic: order by (dist, neighbor id)
+            order = np.lexsort((cand_ids, cand_d))[:k]
+            for r, j in enumerate(order):
+                rows.append((q_ids[i], cand_ids[j], r + 1, float(np.sqrt(cand_d[j]))))
+        return pd.DataFrame(rows, columns=[id_col, "neighbor", "rank", "dist_km"])
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__cell")
+        .map_groups(per_cell, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray):
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(arr)
+        return flat.reshape(n, -1)
+    raise TypeError(f"expected list column, got {arr.type}")
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_embeddings(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+):
+    """Brute-force cosine top-k of a broadcast query matrix vs every row.
+
+    The queries (small side) are broadcast via ``ray.put`` and multiplied
+    against each Arrow batch with one numpy matmul (vectorized baseline per
+    task brief). Per-batch partial top-k rows are emitted and reduced to
+    global top-k in a final (tiny) driver-side step expressed as
+    sort + per-query head — candidates per batch are <= n_queries * k.
+
+    Output columns: (query_id, neighbor_id, rank), rank 1..k; deterministic
+    ties by (cos desc, neighbor_id asc).
+    """
+    import ray
+
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qids = np.asarray(query_ids)
+
+    def partial_topk(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = q @ m.T  # (nq, nb)
+        rows = []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = ids != qids[qi] if exclude_self else np.ones(len(ids), bool)
+            cand_ids = ids[mask]
+            cand_s = s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            for j in order:
+                rows.append((qids[qi], cand_ids[j], float(cand_s[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_embeddings_lsh(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+):
+    """Random-hyperplane LSH-bucketed ANN (the scale path).
+
+    Standard multi-table construction: ``n_tables`` independent sets of
+    ``n_planes`` hyperplanes; a row is a candidate for a query if their sign
+    buckets match in ANY table (OR-amplification of recall). Approximate by
+    design — recall tested against the brute-force baseline. At scale this
+    turns the all-rows scan into a ``groupby(table, bucket)`` with
+    per-bucket matmuls.
+    """
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    d = dim or qm.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, d, n_planes))
+    pow2 = 1 << np.arange(n_planes)
+    q_buckets = np.stack(
+        [((qm @ planes[t]) > 0) @ pow2 for t in range(n_tables)], axis=1
+    )  # (nq, n_tables)
+    q_ref = ray.put((qm, planes, q_buckets))
+    qids = np.asarray(query_ids)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qm_, planes_, q_b = ray.get(q_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nt = planes_.shape[0]
+        buckets = np.stack(
+            [((m @ planes_[t]) > 0) @ pow2 for t in range(nt)], axis=1
+        )  # (nb, n_tables)
+        rows = []
+        for qi in range(len(qids)):
+            mask = (buckets == q_b[qi]).any(axis=1) & (ids != qids[qi])
+            if not mask.any():
+                continue
+            cand = m[mask]
+            cand_ids = ids[mask]
+            s = cand @ qm_[qi]
+            order = np.lexsort((cand_ids, -s))[:k]
+            for j in order:
+                rows.append((qids[qi], cand_ids[j], float(s[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,85 @@
+"""Every queries() entry with an oracle must match DuckDB exactly —
+this test replicates the driver's correctness gate (row count + sorted
+columns + values) at sf0.001 for speed; the driver runs sf0.01."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(obj):
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("uint64",):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith("int") and not str(df[c].dtype) == "int64":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+def oracle_names():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", oracle_names())
+def test_query_matches_oracle(name, contract, duck):
+    ray_result = _to_pandas(contract.queries()[name](SF_DIR))
+    sql_result = duck.sql(contract.oracle_sql()[name]).df()
+    got = _normalize(ray_result)
+    want = _normalize(sql_result)
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_entry_smoke(contract):
+    df = contract.entry()
+    assert len(df) > 0
+    assert "cell" in df.columns and "pages" in df.columns
