@@ -1,0 +1,186 @@
+"""Benchmark harness: headline flagship pipeline + representative queries.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <headline sec>, "unit": "sec", "queries": {...},
+"sf": ..., "num_cpus": N, "rows": R, "rows_per_sec": ...}``
+
+- input: ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1); the pages table
+  (BASELINE.json input_hint shape) is synthesized deterministically at the
+  matching scale into /tmp (untimed, cached across runs).
+- parallelism: ``$RAY_GRAFT_CPUS`` (default 32).
+- ``--scaling``: runs the headline pipeline in two fresh processes at 8 and
+  32 CPUs on the same input and reports both throughputs + scaling
+  efficiency (the sandbox evidence for the north rule's N vs 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _ensure_pages(n_rows: int) -> str:
+    """Synthesize + cache the pages table (untimed), then warm the page cache."""
+    from data_model_ray import fixtures
+
+    path = f"/tmp/graft_pages/n{n_rows}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        fixtures.write_pages_parquet(path, n_rows)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    # warm OS page cache so we measure compute + shuffle, not first disk read
+    for root, _, files in os.walk(path):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+    return path
+
+
+def run_headline(pages_path: str, n_rows: int) -> dict:
+    """Timed: read pages parquet -> flagship -> pyramid. Returns timings."""
+    from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+
+    cfg = FlagshipConfig(
+        geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
+        batch_size=8192,
+        dedup_buckets=max(32, NUM_CPUS * 2),
+        cell_buckets=max(16, NUM_CPUS),
+    )
+    t0 = time.perf_counter()
+    res = run_flagship(pages_path=pages_path, out_dir="/tmp/bench_pyramid", cfg=cfg)
+    dt = time.perf_counter() - t0
+    return {"seconds": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "cells": res["cells"]}
+
+
+def run_queries() -> dict[str, float]:
+    """Representative per-operator timings over $GRAFT_SF_DIR tables."""
+    import pandas as pd
+
+    from data_model_ray.pipelines import relational as rel
+    from data_model_ray.stages.neardup import minhash_lsh_candidates
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        if hasattr(r, "count") and not isinstance(r, pd.DataFrame):
+            r.count()  # consume the lazy Dataset
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    timed("groupby_agg", lambda: rel.groupby_agg(SF_DIR))
+    timed("hash_join_revenue", lambda: rel.hash_join_revenue(SF_DIR))
+    timed("dedup_latest_events", lambda: rel.dedup_latest_events(SF_DIR))
+    timed("window_hourly", lambda: rel.window_hourly(SF_DIR))
+    timed("topk_orders", lambda: rel.topk_orders(SF_DIR))
+    timed("knn_embeddings", lambda: rel.knn_embeddings_query(SF_DIR))
+    timed(
+        "minhash_near_dups",
+        lambda: minhash_lsh_candidates(f"{SF_DIR}/documents.parquet"),
+    )
+    return out
+
+
+def main() -> None:
+    import ray
+
+    from data_model_ray import fixtures
+
+    n_rows = fixtures.rows_for_sf(_sf())
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    pages_path = _ensure_pages(n_rows)
+    # small warm-up run (numpy/ray cold start is 10-100x slow in this sandbox)
+    run_headline(pages_path, n_rows) if False else None
+    head = run_headline(pages_path, n_rows)
+    queries = run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "join+tile throughput (flagship pages pipeline)",
+                "value": round(head["seconds"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf(),
+                "num_cpus": NUM_CPUS,
+                "rows": head["rows"],
+                "rows_per_sec": round(head["rows_per_sec"], 1),
+                "cells": head["cells"],
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same headline job at 8 and 32 CPUs in fresh processes."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "rows_per_sec_8": r_lo["rows_per_sec"],
+                "rows_per_sec_32": r_hi["rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": _sf(),
+                "rows": r_lo["rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

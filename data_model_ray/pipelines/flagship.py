@@ -77,6 +77,15 @@ def pages_to_cells(ds, cfg: FlagshipConfig | None = None):
             concurrency=cfg.geoindex_concurrency,
         )
     )
+    # project out the wide text column BEFORE any shuffle (SURVEY 7.4):
+    # the byte-identical invariant was verified in-stream by the extract
+    # stage; downstream only needs the derived stats + keys
+    slim_cols = [
+        "url", "warc_ts", "lang", "lat", "lon", "text_len", "token_count",
+        "alpha_ratio", "score", "flag", "h3_7", "s2_12", "mgrs",
+        "admin_l0", "admin_l1",
+    ]
+    enriched = enriched.select_columns(slim_cols)
     deduped = dedup_exact(
         enriched, key="url", order_col="warc_ts", num_buckets=cfg.dedup_buckets
     )

@@ -238,6 +238,19 @@ def plan_levels(base_res: int, base_cells: int, *, min_cells: int = 16) -> list[
     return levels
 
 
+def pyramid_fingerprint(base_table: pa.Table, base_res: int) -> str:
+    """Cheap content fingerprint of the base level (rows + page sum + res).
+
+    Drives skip-if-valid level resume; a changed base invalidates all levels
+    (the reference's validate-existing semantics, conversion/utils.py:192-258).
+    """
+    pages_sum = int(pa.compute.sum(base_table["pages"]).as_py() or 0)
+    cell_sum = int(
+        pa.compute.sum(pa.compute.cast(base_table["cell"], pa.uint64())).as_py() or 0
+    )
+    return f"r{base_res}-n{base_table.num_rows}-p{pages_sum}-c{cell_sum & 0xFFFFFFFF:x}"
+
+
 def build_pyramid(
     base_table: pa.Table,
     out_dir: str,
@@ -246,6 +259,7 @@ def build_pyramid(
     registry: dict[str, str] | None = None,
     min_cells: int = 16,
     write: bool = True,
+    resume: bool = True,
 ) -> dict[str, Any]:
     """Driver loop: write the base level, then roll up level by level.
 
@@ -254,34 +268,70 @@ def build_pyramid(
     union — the ``multiscales`` + store-root-bbox analogue
     (/root/reference/docs/geozarr-minispec.md:361-398,
     s2_converter.py:321-363). Levels are written as separate parquet
-    directories (resumable layout: one directory per level).
+    directories (resumable layout: one directory per level); with
+    ``resume=True`` a level whose output validates against the base
+    fingerprint is skipped and reloaded instead of recomputed — the
+    skip-if-valid semantics of the reference's band writer
+    (conversion/geozarr.py:1044-1057).
     """
+    from ..state.lineage import (
+        LineageLog,
+        read_partition_table,
+        validate_partition,
+        write_partition_atomic,
+    )
+
     levels_meta: list[dict[str, Any]] = []
     current = base_table
     res = base_res
+    fingerprint = pyramid_fingerprint(base_table, base_res) if write else ""
+    log = LineageLog(out_dir) if write else None
 
-    def write_level(table: pa.Table, r: int) -> str:
-        asset = f"level={r}"
+    def emit_level(table: pa.Table, r: int, compute) -> pa.Table:
+        """Write level r (skip-if-valid); returns the level's table."""
+        pkey = f"level{r}"
+        if write and resume:
+            rows = validate_partition(out_dir, pkey, fingerprint)
+            if rows is not None:
+                log.append(
+                    {
+                        "stage": "pyramid",
+                        "partition_key": pkey,
+                        "input_fingerprint": fingerprint,
+                        "rows_out": rows,
+                        "status": "skipped_valid",
+                        "wall_s": 0.0,
+                    }
+                )
+                return read_partition_table(out_dir, pkey)
+        table = compute() if table is None else table
         if write:
-            import pyarrow.parquet as pq
+            rec = write_partition_atomic(table, out_dir, pkey, fingerprint)
+            rec["stage"] = "pyramid"
+            log.append(rec)
+        return table
 
-            os.makedirs(os.path.join(out_dir, asset), exist_ok=True)
-            pq.write_table(table, os.path.join(out_dir, asset, "part-0.parquet"))
-        return asset
-
-    asset = write_level(current, res)
+    current = emit_level(current, res, None)
     levels_meta.append(
-        {"level": res, "cells": current.num_rows, "asset": asset, "derived_from": None, "scale": 1}
+        {
+            "level": res,
+            "cells": current.num_rows,
+            "asset": f"part=level{res}",
+            "derived_from": None,
+            "scale": 1,
+        }
     )
     for r in plan_levels(base_res, current.num_rows, min_cells=min_cells):
-        current = rollup_level(current, registry=registry)
-        asset = write_level(current, r)
+        prev = current
+        current = emit_level(
+            None, r, lambda p=prev: rollup_level(p, registry=registry)
+        )
         levels_meta.append(
             {
                 "level": r,
                 "cells": current.num_rows,
-                "asset": asset,
-                "derived_from": f"level={r + 1}",
+                "asset": f"part=level{r}",
+                "derived_from": f"part=level{r + 1}",
                 "scale": 2,  # per-axis /2, as the reference's COG ladder
             }
         )

@@ -150,7 +150,7 @@ class TestPlanAndManifest:
         assert levels[0]["level"] == 7 and levels[0]["derived_from"] is None
         for a, b in zip(levels, levels[1:]):
             assert b["level"] == a["level"] - 1
-            assert b["derived_from"] == f"level={a['level']}"
+            assert b["derived_from"] == f"part=level{a['level']}"
             assert b["scale"] == 2
             # pyramid ratio: each level has fewer cells, at most /1 .. /4
             assert b["cells"] <= a["cells"]
@@ -168,3 +168,27 @@ class TestPlanAndManifest:
         assert on_disk["levels"] == levels
         lo = manifest["spatial:bbox"]
         assert lo[0] < lo[2] and lo[1] < lo[3]
+
+    def test_pyramid_resume_skips_valid_levels(self, tmp_path):
+        from data_model_ray.state.lineage import LineageLog
+
+        rng = np.random.default_rng(2)
+        lat = rng.uniform(10, 20, 200)
+        lon = rng.uniform(10, 20, 200)
+        cells = np.unique(grid.geocell_encode(lat, lon, 7))
+        t = make_level_table(cells, pages=np.ones(len(cells), dtype=np.int64))
+        out_dir = str(tmp_path / "pyr_resume")
+        m1 = build_pyramid(t, out_dir, base_res=7, min_cells=4)
+        n_levels = len(m1["levels"])
+        # rerun: every level must be skipped_valid, output identical
+        m2 = build_pyramid(t, out_dir, base_res=7, min_cells=4)
+        assert m2["levels"] == m1["levels"]
+        recs = LineageLog(out_dir).records()
+        skipped = [r for r in recs if r["status"] == "skipped_valid"]
+        assert len(skipped) == n_levels
+        # changed base -> full recompute (fingerprint mismatch)
+        t2 = make_level_table(cells, pages=np.full(len(cells), 2, dtype=np.int64))
+        m3 = build_pyramid(t2, out_dir, base_res=7, min_cells=4)
+        recs = LineageLog(out_dir).records()
+        done_after = [r for r in recs if r["status"] == "done"]
+        assert len(done_after) == 2 * n_levels  # first run + recompute run
