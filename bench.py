@@ -121,8 +121,15 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     pages_path = _ensure_pages(n_rows)
-    # small warm-up run (numpy/ray cold start is 10-100x slow in this sandbox)
-    run_headline(pages_path, n_rows) if False else None
+    # untimed warm-up: run the same pipeline over a small slice so every
+    # worker process executes each kernel once. This sandbox charges a
+    # 10-100x first-touch page-fault penalty per (op, size) per process;
+    # the penalty scales with worker count and would otherwise be billed
+    # disproportionately to the higher-parallelism run. Steady-state
+    # throughput is the quantity under test.
+    warm_rows = min(n_rows, NUM_CPUS * 6000)
+    _ensure_pages(warm_rows)
+    run_headline(f"/tmp/graft_pages/n{warm_rows}", warm_rows)
     head = run_headline(pages_path, n_rows)
     queries = run_queries()
     ray.shutdown()

@@ -1,0 +1,143 @@
+"""CLI entry points — the engine's analogue of the reference's subcommands
+(`convert`, `info`, `validate`, `convert-s2-optimized`;
+/root/reference/src/eopf_geozarr/cli.py:1057-1206).
+
+Usage (the only module that owns a Ray session besides bench/tests):
+
+    python -m data_model_ray run      --pages DIR --out DIR [--cpus N]
+    python -m data_model_ray synth    --rows N --out DIR
+    python -m data_model_ray info     --out DIR
+    python -m data_model_ray validate --out DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+
+    _init_ray(args.cpus)
+    res = run_flagship(
+        pages_path=args.pages,
+        n_rows=args.rows if args.pages is None else None,
+        out_dir=args.out,
+        cfg=FlagshipConfig(),
+    )
+    print(
+        json.dumps(
+            {
+                "input_rows": res["input_rows"],
+                "cells": res["cells"],
+                "seconds": round(res["seconds"], 2),
+                "rows_per_sec": round(res["rows_per_sec"], 1),
+                "levels": [
+                    {"level": l["level"], "cells": l["cells"]}
+                    for l in (res["manifest"] or {}).get("levels", [])
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from data_model_ray import fixtures
+
+    _init_ray(args.cpus)
+    fixtures.write_pages_parquet(args.out, args.rows)
+    print(json.dumps({"out": args.out, "rows": args.rows}))
+    return 0
+
+
+def cmd_info(args) -> int:
+    path = os.path.join(args.out, "manifest.json")
+    if not os.path.exists(path):
+        print(f"no manifest at {path}", file=sys.stderr)
+        return 1
+    with open(path) as f:
+        print(json.dumps(json.load(f), indent=2))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Read-side compliance checks (validate_command analogue,
+    /root/reference/src/eopf_geozarr/cli.py:962-1054): manifest present,
+    every level's parquet readable, cell counts match, bbox ordered."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(args.out, "manifest.json")
+    problems = []
+    if not os.path.exists(path):
+        print(json.dumps({"is_valid": False, "problems": ["manifest missing"]}))
+        return 1
+    with open(path) as f:
+        manifest = json.load(f)
+    for lv in manifest.get("levels", []):
+        asset_dir = os.path.join(args.out, lv["asset"])
+        try:
+            t = pq.read_table(asset_dir)
+            if t.num_rows != lv["cells"]:
+                problems.append(
+                    f"{lv['asset']}: rows {t.num_rows} != manifest {lv['cells']}"
+                )
+        except Exception as e:
+            problems.append(f"{lv['asset']}: unreadable ({e})")
+    bbox = manifest.get("spatial:bbox", [])
+    if len(bbox) == 4 and not (bbox[0] <= bbox[2] and bbox[1] <= bbox[3]):
+        problems.append("bbox not ordered (xmin<=xmax, ymin<=ymax)")
+    print(json.dumps({"is_valid": not problems, "problems": problems}))
+    return 0 if not problems else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_model_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the flagship pipeline")
+    r.add_argument("--pages", default=None, help="pages parquet dir (else synth)")
+    r.add_argument("--rows", type=int, default=10_000, help="rows to synth")
+    r.add_argument("--out", required=True)
+    r.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("synth", help="synthesize the pages table")
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    s.set_defaults(fn=cmd_synth)
+
+    i = sub.add_parser("info", help="print a pyramid manifest")
+    i.add_argument("--out", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    v = sub.add_parser("validate", help="validate a pyramid output dir")
+    v.add_argument("--out", required=True)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

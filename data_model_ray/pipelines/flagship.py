@@ -114,9 +114,13 @@ def run_flagship(
         n_input = n_rows
 
     _, cells = pages_to_cells(ds, cfg)
-    # the cell table is bounded (<= 512*1024 rows at res 7) — safe to gather
+    # the cell table is bounded (<= 512*1024 rows at res 7) — safe to gather.
+    # materialize() first: it runs the DAG under the streaming executor;
+    # calling to_arrow_refs() on the lazy Dataset instead executes a slower
+    # non-streaming path (measured 2x wall at 1M rows).
     import ray
 
+    cells = cells.materialize()
     base_table = pa.concat_tables(
         [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
         promote_options="default",

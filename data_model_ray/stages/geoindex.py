@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..functions.pip import PolygonIndex, RectIndex
 from ..grid import H3_RES, S2_LEVEL, geocell_encode, s2_encode
+from .aimd import AdaptiveBatchMixin
 
 
 def build_granule_index(granules: pa.Table) -> RectIndex:
@@ -36,14 +37,16 @@ def build_granule_index(granules: pa.Table) -> RectIndex:
     )
 
 
-class GeoIndex:
+class GeoIndex(AdaptiveBatchMixin):
     """``ds.map_batches(GeoIndex, fn_constructor_kwargs=dict(granules_ref=...,
     admin_ref=...), batch_format="pyarrow", zero_copy_batch=True,
     concurrency=N)``.
 
     ``granules_ref`` / ``admin_ref`` are ``ray.put`` handles (broadcast once,
     fetched once per actor — NOT re-shipped per batch). Passing the raw
-    objects also works for driver-side unit tests.
+    objects also works for driver-side unit tests. With ``adaptive=True``
+    each actor processes AIMD-sized sub-chunks (stages/aimd.py) so slow
+    workers shrink their unit of work instead of stalling the pool.
     """
 
     def __init__(
@@ -53,8 +56,13 @@ class GeoIndex:
         *,
         h3_res: int = H3_RES,
         s2_level: int = S2_LEVEL,
+        adaptive: bool = False,
+        target_latency_s: float = 0.5,
     ):
         import ray
+
+        super().__init__(target_latency_s=target_latency_s)
+        self.adaptive = adaptive
 
         def fetch(ref):
             return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -73,6 +81,11 @@ class GeoIndex:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.adaptive:
+            return self.adaptive_call(batch)
+        return self.process_chunk(batch)
+
+    def process_chunk(self, batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         out = batch.append_column(
