@@ -110,6 +110,35 @@ def _simhash_docs(sf_dir: str):
     return simhash_table(f"{sf_dir}/documents.parquet")
 
 
+def _langid_docs(sf_dir: str):
+    import ray.data as rd
+
+    from data_model_ray.stages.text import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def _embedding_near_dups(sf_dir: str):
+    from data_model_ray.stages.neardup import embedding_near_dups
+
+    return embedding_near_dups(f"{sf_dir}/embeddings.parquet", threshold=0.8)
+
+
+def _knn_lsh(sf_dir: str):
+    import numpy as np
+    import ray.data as rd
+
+    from data_model_ray.stages.knn import knn_embeddings_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qm = np.stack(head["embedding"].to_numpy())
+    return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import relational as rel
 
@@ -130,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event_ts": rel.prev_event_ts,              # as-of/lag
         "cell_rollup_events": rel.cell_rollup_events,    # pyramid mean-of-means
         "knn_embeddings": rel.knn_embeddings_query,      # similarity search
+        "backfill_join": rel.backfill_join,              # J1 inject-missing
+        "sessionize": rel.sessionize,                    # gap sessions
         # pages-based spatial pipelines (rows-only for the driver; exact
         # goldens in tests/) — the north-star operators themselves
         "pages_assignments": _pages_assignments,
@@ -137,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_knn": _pages_knn,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_docs": _simhash_docs,
+        "langid_docs": _langid_docs,
+        "embedding_near_dups": _embedding_near_dups,
+        "knn_embeddings_lsh": _knn_lsh,
     }
 
 
@@ -241,6 +275,36 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY user_id & 255
             )
             GROUP BY parent
+        """,
+        "backfill_join": """
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   ROUND(COALESCE(l.total_qty, 0), 6) AS total_qty
+            FROM orders o
+            LEFT JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+            ) l ON o.o_orderkey = l.l_orderkey
+        """,
+        "sessionize": """
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_idx
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN ts - LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                           ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                    FROM events
+                )
+            )
+            GROUP BY user_id, session_idx
         """,
         "knn_embeddings": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -1,0 +1,168 @@
+"""Schema contracts — the engine's pydantic-model analogue (SURVEY.md 1.1).
+
+The reference enforces fixed, validated layouts with closed TypedDict
+pydantic models (/root/reference/src/eopf_geozarr/data_api/s2.py:461-698)
+and classifies inputs by union validation
+(/root/reference/src/eopf_geozarr/s2_optimization/s2_converter.py:408-418).
+Here the contract is a ``pyarrow.Schema`` plus invariant validators, and
+classification is first-match over a registry — applied per batch inside
+``map_batches`` so violations fail fast and name the offending columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from ..fixtures import PAGES_SCHEMA
+
+
+class SchemaViolation(ValueError):
+    pass
+
+
+class SchemaContract:
+    """Expected schema + row-level invariants.
+
+    mode="exact": same fields, same order, same types.
+    mode="subset": every contract field present with the right type
+    (extra columns allowed) — the ``extra="allow"`` analogue.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        schema: pa.Schema,
+        *,
+        mode: str = "subset",
+        invariants: list[Callable[[pa.Table], str | None]] | None = None,
+    ):
+        if mode not in ("exact", "subset"):
+            raise ValueError(mode)
+        self.name = name
+        self.schema = schema
+        self.mode = mode
+        self.invariants = invariants or []
+
+    def check(self, table: pa.Table) -> list[str]:
+        problems: list[str] = []
+        if self.mode == "exact":
+            if not table.schema.equals(self.schema, check_metadata=False):
+                problems.append(
+                    f"schema mismatch: got {table.schema.names}, "
+                    f"want {self.schema.names}"
+                )
+        else:
+            for field in self.schema:
+                idx = table.schema.get_field_index(field.name)
+                if idx < 0:
+                    problems.append(f"missing column {field.name!r}")
+                elif not table.schema.field(idx).type.equals(field.type):
+                    problems.append(
+                        f"column {field.name!r}: type "
+                        f"{table.schema.field(idx).type} != {field.type}"
+                    )
+        if not problems:
+            for inv in self.invariants:
+                msg = inv(table)
+                if msg:
+                    problems.append(msg)
+        return problems
+
+    def validate(self, table: pa.Table) -> pa.Table:
+        problems = self.check(table)
+        if problems:
+            raise SchemaViolation(f"[{self.name}] " + "; ".join(problems))
+        return table
+
+    def matches(self, table: pa.Table) -> bool:
+        return not self.check(table)
+
+
+def classify(table: pa.Table, contracts: list[SchemaContract]) -> str | None:
+    """First matching contract name — the input-product classifier
+    (``is_sentinel2_dataset`` analogue)."""
+    for c in contracts:
+        if c.matches(table):
+            return c.name
+    return None
+
+
+def make_validator_stage(contract: SchemaContract):
+    """map_batches kernel that validates every batch and passes it through."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return contract.validate(batch)
+
+    return kernel
+
+
+# --- standard contracts -----------------------------------------------------
+
+
+def _bbox_ordered(table: pa.Table) -> str | None:
+    """spatial:bbox ordering invariant (store.py:49-62 analogue)."""
+    import pyarrow.compute as pc
+
+    for lo, hi in (("lat_min", "lat_max"), ("lon_min", "lon_max")):
+        if lo in table.column_names and hi in table.column_names:
+            bad = pc.sum(
+                pc.cast(pc.greater(table[lo], table[hi]), pa.int64())
+            ).as_py()
+            if bad:
+                return f"{bad} rows with {lo} > {hi}"
+    return None
+
+
+def _lat_lon_in_range(table: pa.Table) -> str | None:
+    import pyarrow.compute as pc
+
+    if "lat" in table.column_names:
+        bad = pc.sum(
+            pc.cast(
+                pc.or_(
+                    pc.less(table["lat"], pa.scalar(-90.0)),
+                    pc.greater(table["lat"], pa.scalar(90.0)),
+                ),
+                pa.int64(),
+            )
+        ).as_py()
+        if bad:
+            return f"{bad} rows with lat outside [-90, 90]"
+    return None
+
+
+PAGES_CONTRACT = SchemaContract("pages", PAGES_SCHEMA, mode="exact")
+
+ENRICHED_CONTRACT = SchemaContract(
+    "enriched_pages",
+    pa.schema(
+        [
+            ("url", pa.string()),
+            ("lat", pa.float64()),
+            ("lon", pa.float64()),
+            ("h3_7", pa.uint64()),
+            ("s2_12", pa.uint64()),
+            ("mgrs", pa.string()),
+        ]
+    ),
+    mode="subset",
+    invariants=[_lat_lon_in_range],
+)
+
+CELL_STATS_CONTRACT = SchemaContract(
+    "cell_stats",
+    pa.schema(
+        [
+            ("cell", pa.uint64()),
+            ("pages", pa.int64()),
+            ("lat_min", pa.float64()),
+            ("lat_max", pa.float64()),
+            ("lon_min", pa.float64()),
+            ("lon_max", pa.float64()),
+        ]
+    ),
+    mode="subset",
+    invariants=[_bbox_ordered],
+)

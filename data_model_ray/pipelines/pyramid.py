@@ -221,6 +221,34 @@ def rollup_level(level_table: pa.Table, *, registry: dict[str, str] | None = Non
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def backfill_from_finer(
+    coarse: pa.Table,
+    fine: pa.Table,
+    columns: list[str],
+    *,
+    agg: str = "mean",
+) -> pa.Table:
+    """Inject columns that exist only at a finer level into a coarser one —
+    the reference's ``inject_missing_bands`` backfill join (J1,
+    /root/reference/src/eopf_geozarr/s2_optimization/s2_multiscale.py:160-231):
+    coarsen the finer-resolution source to the target grid (type-aware agg),
+    then left-merge aligning on the target cells. Cells with no finer data
+    keep null.
+    """
+    if agg not in ("mean", "max", "sum", "min"):
+        raise ValueError(agg)
+    fdf = fine.to_pandas()
+    fcells = fdf["cell"].to_numpy().astype(np.uint64)
+    cdf = coarse.to_pandas()
+    target_res = int(geocell_res(cdf["cell"].to_numpy().astype(np.uint64)[:1])[0])
+    fdf = fdf.assign(__parent=geocell_parent(fcells, target_res))
+    rolled = (
+        fdf.groupby("__parent", sort=False)[columns].agg(agg).reset_index()
+    ).rename(columns={"__parent": "cell"})
+    merged = cdf.merge(rolled, on="cell", how="left", suffixes=("", "_fine"))
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def plan_levels(base_res: int, base_cells: int, *, min_cells: int = 16) -> list[int]:
     """COG-ladder planner: levels to build below the base resolution.
 

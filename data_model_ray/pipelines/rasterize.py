@@ -1,0 +1,155 @@
+"""Rasterize cell aggregates into a tiled, affine-georeferenced pyramid —
+and vectorize back (raster <-> vector per the north rule).
+
+Re-derives the reference's GeoZarr tiling semantics:
+
+- each resolution level is a global raster grid (GeoCell res r = ``4<<r`` x
+  ``8<<r`` pixels) with an affine GeoTransform
+  (/root/reference/src/eopf_geozarr/conversion/geozarr.py:1340-1370);
+- the grid is cut into ``tile_size``^2 tiles; per-level tile-matrix limits
+  (min/max tile row/col) mirror the OGC TileMatrixSet encoding
+  (/root/reference/src/eopf_geozarr/data_api/geozarr/multiscales/tms.py:8-56);
+- ``vectorize_tiles`` is the exact inverse (tile/pixel -> cell id), so
+  raster and vector forms round-trip bit-exactly.
+
+Row convention: raster row 0 = north edge (GDAL/COG orientation), so
+``row = n_lat - 1 - i_lat`` for GeoCell's south-origin ``i_lat``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.affine import Affine, affine_from_bounds, gdal_geotransform
+from ..grid import geocell_ij, geocell_res
+
+DEFAULT_TILE = 256
+
+
+def level_affine(res: int) -> Affine:
+    """Affine of the full global grid at GeoCell resolution `res`."""
+    return affine_from_bounds(-180.0, -90.0, 180.0, 90.0, 8 << res, 4 << res)
+
+
+def rasterize_level(
+    table: pa.Table, *, tile_size: int = DEFAULT_TILE
+) -> pa.Table:
+    """Cell-stats table (one level) -> raster rows
+    ``(level, tile_x, tile_y, px, py, <value columns...>)``.
+
+    Pure vectorized index math; at scale this runs inside ``map_batches``
+    and the per-tile partitioned write groups rows by (tile_x, tile_y).
+    """
+    cells = table["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(cells) == 0:
+        raise ValueError("empty level table")
+    res = int(geocell_res(cells[:1])[0])
+    n_lat = 4 << res
+    i_lat, i_lon = geocell_ij(cells)
+    col = i_lon
+    row = (n_lat - 1) - i_lat  # north-up raster orientation
+    out = pa.table(
+        {
+            "level": pa.array(np.full(len(cells), res, dtype=np.int32)),
+            "tile_x": pa.array((col // tile_size).astype(np.int32)),
+            "tile_y": pa.array((row // tile_size).astype(np.int32)),
+            "px": pa.array((col % tile_size).astype(np.int32)),
+            "py": pa.array((row % tile_size).astype(np.int32)),
+        }
+    )
+    for name in table.column_names:
+        if name != "cell":
+            out = out.append_column(name, table[name])
+    return out
+
+
+def vectorize_tiles(raster: pa.Table, *, tile_size: int = DEFAULT_TILE) -> pa.Table:
+    """Inverse of ``rasterize_level``: raster rows -> cell-keyed table."""
+    res = int(raster["level"][0].as_py())
+    n_lat = 4 << res
+    col = (
+        raster["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64) * tile_size
+        + raster["px"].to_numpy(zero_copy_only=False)
+    )
+    row = (
+        raster["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64) * tile_size
+        + raster["py"].to_numpy(zero_copy_only=False)
+    )
+    i_lat = (n_lat - 1) - row
+    cell = (
+        (np.uint64(res) << np.uint64(56))
+        | (i_lat.astype(np.uint64) << np.uint64(28))
+        | col.astype(np.uint64)
+    )
+    out = pa.table({"cell": pa.array(cell)})
+    for name in raster.column_names:
+        if name not in ("level", "tile_x", "tile_y", "px", "py"):
+            out = out.append_column(name, raster[name])
+    return out
+
+
+def tile_matrix_limits(raster: pa.Table) -> dict:
+    """Per-level TMS-style limits: min/max tile row/col + tile count."""
+    tx = raster["tile_x"].to_numpy(zero_copy_only=False)
+    ty = raster["tile_y"].to_numpy(zero_copy_only=False)
+    return {
+        "min_tile_col": int(tx.min()),
+        "max_tile_col": int(tx.max()),
+        "min_tile_row": int(ty.min()),
+        "max_tile_row": int(ty.max()),
+        "n_tiles": int(len(np.unique(tx.astype(np.int64) << 32 | ty.astype(np.int64)))),
+    }
+
+
+def rasterize_pyramid(
+    out_dir: str,
+    pyramid_dir: str,
+    *,
+    tile_size: int = DEFAULT_TILE,
+    fingerprint: str = "raster",
+) -> dict:
+    """Rasterize every pyramid level into per-tile partitioned parquet with
+    an affine/TMS manifest. Resumable: each (level, tile) partition commits
+    atomically with lineage (state/lineage.py)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.lineage import LineageLog, write_partition_atomic
+
+    with open(os.path.join(pyramid_dir, "manifest.json")) as f:
+        pyr = json.load(f)
+    log = LineageLog(out_dir)
+    levels_meta = []
+    for lv in pyr["levels"]:
+        table = pq.read_table(os.path.join(pyramid_dir, lv["asset"]))
+        raster = rasterize_level(table, tile_size=tile_size)
+        res = int(raster["level"][0].as_py())
+        limits = tile_matrix_limits(raster)
+        # per-tile atomic partitions
+        df = raster.to_pandas()
+        for (tx, ty), g in df.groupby(["tile_x", "tile_y"], sort=True):
+            pkey = f"L{res}_{tx}_{ty}"
+            rec = write_partition_atomic(
+                pa.Table.from_pandas(g, preserve_index=False),
+                out_dir,
+                pkey,
+                fingerprint,
+            )
+            rec["stage"] = "rasterize"
+            log.append(rec)
+        levels_meta.append(
+            {
+                "level": res,
+                "tile_size": tile_size,
+                "geotransform": gdal_geotransform(level_affine(res)),
+                "limits": limits,
+                "cells": table.num_rows,
+            }
+        )
+    manifest = {"kind": "tile-raster", "crs": "EPSG:4326", "levels": levels_meta}
+    with open(os.path.join(out_dir, "tms_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

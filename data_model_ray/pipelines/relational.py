@@ -351,6 +351,84 @@ def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
     return joined.groupby("o_orderstatus").map_groups(final, batch_format="pandas")
 
 
+def backfill_join(sf_dir: str, num_partitions: int = 8):
+    """Left join orders with pre-aggregated lineitem quantities — the
+    reference's inject-missing-bands backfill join shape (J1,
+    /root/reference/src/eopf_geozarr/s2_optimization/s2_multiscale.py:160-231:
+    locate data in the finer-resolution source, coarsen it to the target
+    grid, merge aligning on target keys). Uses Ray Data's native
+    hash-partitioned ``Dataset.join``; missing rows backfill with 0.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("l_orderkey", sort=False)["l_quantity"]
+            .sum()
+            .reset_index(name="qty_partial")
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby("l_orderkey", sort=False)["qty_partial"]
+            .sum()
+            .reset_index(name="total_qty")
+        )
+
+    agg = (
+        items.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .map_groups(final, batch_format="pandas")
+    )
+    joined = orders.join(
+        agg,
+        "left_outer",
+        num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        qty = pc.coalesce(t["total_qty"], pa.scalar(0.0))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "total_qty": pc.round(qty, ndigits=6),
+            }
+        )
+
+    return joined.map_batches(clean, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user (streaming-shaped op): events more
+    than `gap_minutes` apart start a new session. Ordering assumption:
+    per-user total order by (ts, event_id). Output: one row per session
+    with event count and bounds."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session_idx = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_idx=session_idx)
+            .groupby("session_idx", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 # --- Streaming-shaped: windows / as-of (SURVEY 2.9) ------------------------
 
 

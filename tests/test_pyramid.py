@@ -123,6 +123,75 @@ class TestRollupSemantics:
         assert out.loc[int(p2)]["pages"] == 9
 
 
+class TestBackfillJoin:
+    def test_inject_from_finer(self):
+        from data_model_ray.pipelines.pyramid import backfill_from_finer
+
+        parent = grid.geocell_encode(np.array([10.0]), np.array([10.0]), 3)[0]
+        children = grid.geocell_children(int(parent))
+        lonely = grid.geocell_encode(np.array([-40.0]), np.array([100.0]), 3)[0]
+        coarse = pa.table(
+            {
+                "cell": pa.array(np.array([parent, lonely], dtype=np.uint64)),
+                "pages": pa.array([10, 3], type=pa.int64()),
+            }
+        )
+        fine = pa.table(
+            {
+                "cell": pa.array(children[:2]),  # only 2 children have data
+                "extra_metric": pa.array([2.0, 4.0]),
+            }
+        )
+        out = backfill_from_finer(coarse, fine, ["extra_metric"], agg="mean")
+        df = out.to_pandas().set_index("cell")
+        assert df.loc[int(parent)]["extra_metric"] == 3.0  # mean of children
+        assert np.isnan(df.loc[int(lonely)]["extra_metric"])  # no finer data
+        assert df.loc[int(parent)]["pages"] == 10  # target columns untouched
+
+
+class TestMegaCellSkew:
+    def test_combiner_bounds_shuffle_rows(self, ray_session):
+        """A mega cell (80% of rows in one cell) must not dominate the
+        shuffle: partials emit <= 1 row per cell per batch (SURVEY 7.4)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from data_model_ray.pipelines.pyramid import _partial_cell_stats
+
+        n = 20_000
+        rng = np.random.default_rng(8)
+        mega = grid.geocell_encode(np.array([48.85]), np.array([2.35]), 7)[0]
+        other = grid.geocell_encode(
+            rng.uniform(-60, 60, n), rng.uniform(-170, 170, n), 7
+        )
+        cells = np.where(rng.uniform(size=n) < 0.8, mega, other)
+        df = pd.DataFrame(
+            {
+                "h3_7": cells,
+                "url": [f"u{i}" for i in range(n)],
+                "text_len": rng.integers(10, 500, n),
+                "token_count": rng.integers(1, 100, n),
+                "score": rng.uniform(0, 1, n),
+                "flag": rng.integers(0, 4, n).astype(np.uint8),
+                "lat": rng.uniform(-60, 60, n),
+                "lon": rng.uniform(-170, 170, n),
+                "lang": rng.choice(["en", "de"], n),
+            }
+        )
+        partial = _partial_cell_stats(df, "h3_7")
+        # one output row per distinct cell, regardless of skew
+        assert partial["cell"].is_unique
+        assert len(partial) == len(np.unique(cells))
+        # end-to-end aggregate correct under skew
+        from data_model_ray.pipelines.pyramid import cell_aggregate
+
+        cells_ds = cell_aggregate(
+            rd.from_pandas(df).repartition(8), cell_col="h3_7", num_buckets=8
+        ).to_pandas()
+        got_mega = cells_ds.set_index("cell").loc[int(mega)]
+        assert got_mega["pages"] == int((cells == mega).sum())
+
+
 class TestPlanAndManifest:
     def test_plan_levels_ladder(self):
         # COG ladder: stop when estimated cells < min_cells
