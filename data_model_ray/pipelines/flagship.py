@@ -40,6 +40,7 @@ class FlagshipConfig:
     min_cells: int = 16
     h3_res: int = H3_RES
     verify_text: bool = True
+    rasterize: bool = False
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -93,6 +94,38 @@ def pages_to_cells(ds, cfg: FlagshipConfig | None = None):
     return deduped, cells
 
 
+def write_assignments(
+    deduped,
+    out_dir: str,
+    *,
+    fingerprint: str,
+    partition_res: int = 2,
+):
+    """Resumable partitioned write of the per-url assignment table.
+
+    Partition key = GeoCell parent at `partition_res` (<= 4*8*4^2 = 512
+    possible keys — one directory per coarse spatial shard, the resumable
+    layout the task brief requires). A rerun skips valid partitions via
+    lineage + footer fingerprints (state/lineage.py).
+    """
+    import pyarrow.compute as pc_
+
+    from ..grid import geocell_parent
+    from ..state.lineage import resumable_write
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cells_np = batch["h3_7"].to_numpy(zero_copy_only=False)
+        pk = geocell_parent(cells_np, partition_res)
+        return batch.append_column(
+            "part_key", pc_.cast(pa.array(pk), pa.string())
+        )
+
+    keyed = deduped.map_batches(add_pkey, batch_format="pyarrow")
+    return resumable_write(
+        keyed, out_dir, partition_col="part_key", fingerprint=fingerprint
+    )
+
+
 def run_flagship(
     *,
     pages_path: str | None = None,
@@ -126,16 +159,27 @@ def run_flagship(
         promote_options="default",
     )
     manifest = None
+    raster_manifest = None
     if out_dir is not None:
         manifest = build_pyramid(
             base_table, out_dir, base_res=cfg.h3_res, min_cells=cfg.min_cells
         )
+        if cfg.rasterize:
+            from .rasterize import rasterize_pyramid
+
+            raster_manifest = rasterize_pyramid(
+                f"{out_dir}_tiles",
+                out_dir,
+                fingerprint=manifest["levels"][0]["asset"]
+                + f"-{base_table.num_rows}",
+            )
     dt = time.perf_counter() - t0
     return {
         "input_rows": n_input,
         "cells": base_table.num_rows,
         "base_table": base_table,
         "manifest": manifest,
+        "raster_manifest": raster_manifest,
         "seconds": dt,
         "rows_per_sec": n_input / dt if dt > 0 else float("inf"),
     }

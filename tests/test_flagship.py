@@ -91,6 +91,29 @@ class TestFlagshipGoldens:
             got["lat_min"].to_numpy(), want_lat_min.to_numpy()
         )
 
+    def test_resumable_assignments(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from data_model_ray.pipelines.flagship import write_assignments
+        from data_model_ray.state.lineage import LineageLog, read_output
+
+        ds = fixtures.pages_dataset(1500, parallelism=4)
+        cfg = FlagshipConfig(geoindex_concurrency=(1, 2), dedup_buckets=8)
+        deduped, _ = pages_to_cells(ds, cfg)
+        deduped = deduped.materialize()
+        out = str(tmp_path / "assignments")
+        s1 = write_assignments(deduped, out, fingerprint="n1500")
+        assert s1["partitions_skipped"] == 0 and s1["rows_written"] > 0
+        # rerun: everything skipped, zero rows reprocessed
+        s2 = write_assignments(deduped, out, fingerprint="n1500")
+        assert s2["partitions_written"] == 0
+        assert s2["partitions_skipped"] == s1["partitions_written"]
+        assert s2["rows_written"] == 0
+        back = read_output(out)
+        assert back.count() == s1["rows_written"]
+        recs = LineageLog(out).records()
+        assert sum(r["rows_out"] for r in recs) == s1["rows_written"]
+
     def test_lang_first_deterministic(self, flagship_result, golden):
         _, cells = flagship_result
         ids = np.arange(N)
