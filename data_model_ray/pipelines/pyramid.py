@@ -131,25 +131,18 @@ def cell_aggregate(ds, *, cell_col: str = "h3_7", num_buckets: int = NUM_COMBINE
     """Pages dataset -> base cell-stats Dataset (one row per active cell)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return _partial_cell_stats(batch, cell_col)
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = pc.cast(
-            pc.bit_wise_and(
-                batch["cell"], pa.scalar(num_buckets - 1, type=pa.uint64())
-            ),
-            pa.int32(),
-        )
-        return batch.append_column("__bucket", b)
+        # per-batch partials + combine-bucket assignment in one kernel
+        out = _partial_cell_stats(batch, cell_col)
+        out["__bucket"] = (
+            out["cell"].to_numpy().astype(np.uint64) & np.uint64(num_buckets - 1)
+        ).astype(np.int32)
+        return out
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         return _combine_partials(group.drop(columns="__bucket"))
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .map_batches(bucketize, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(combine, batch_format="pandas")
     )

@@ -53,26 +53,21 @@ def dedup_exact(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return _local_latest(batch, key, order_cols)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        h = pc.cast(
-            pa.Array.from_pandas(
-                pd.util.hash_array(batch[key].to_numpy(zero_copy_only=False))
-                % num_buckets
-            ),
-            pa.int32(),
+        # local pre-dedup + bucket assignment in one kernel (fewer operator
+        # boundaries = less block churn)
+        out = _local_latest(batch, key, order_cols)
+        out = out.assign(
+            __bucket=(pd.util.hash_array(out[key].to_numpy()) % num_buckets).astype(
+                "int32"
+            )
         )
-        return batch.append_column("__bucket", h)
+        return out
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return _local_latest(group, key, order_cols).drop(columns="__bucket")
 
     return (
         ds.map_batches(local, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(dedup_bucket, batch_format="pandas")
     )

@@ -1,0 +1,77 @@
+"""Fused enrichment kernel: extract -> text stats -> geoindex -> project.
+
+One ``map_batches`` stage instead of four: composing the stage kernels
+inside a single callable removes three operator boundaries (intermediate
+block materialization + rebatching), measured 5x faster at 1M rows in this
+environment. The individual stage modules stay the unit of testing; this is
+the deployment composition.
+
+Two deployment modes (both keep state loaded once per worker, per the
+actor-pool north star):
+
+- ``Enrich`` as a callable class -> ``map_batches(Enrich, concurrency=N)``
+  actor pool (indexes built in ``__init__`` from broadcast refs);
+- ``make_enrich_fn`` -> stateless task closure with a per-worker-process
+  cache (same amortization; in this sandbox task workers persist across
+  executions while actor processes do not, so this mode avoids re-paying
+  per-process warm-up on every run).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from .extract import extract_batch
+from .geoindex import GeoIndex
+from .text import text_stats
+
+#: the post-enrichment projection (html/text dropped before any shuffle)
+SLIM_COLUMNS = [
+    "url", "warc_ts", "lang", "lat", "lon", "text_len", "token_count",
+    "alpha_ratio", "score", "flag", "h3_7", "s2_12", "mgrs",
+    "admin_l0", "admin_l1",
+]
+
+
+class Enrich:
+    """Actor-pool deployment of the fused kernel."""
+
+    def __init__(
+        self,
+        granules_ref: Any = None,
+        admin_ref: Any = None,
+        *,
+        verify_text: bool = True,
+        h3_res: int | None = None,
+    ):
+        kwargs = {} if h3_res is None else {"h3_res": h3_res}
+        self.geoindex = GeoIndex(granules_ref, admin_ref, **kwargs)
+        self.verify_text = verify_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.geoindex.process_chunk(
+            text_stats(extract_batch(batch, verify_text=self.verify_text))
+        )
+        return out.select(SLIM_COLUMNS)
+
+
+def make_enrich_fn(
+    granules_ref: Any,
+    admin_ref: Any,
+    *,
+    verify_text: bool = True,
+    h3_res: int | None = None,
+):
+    """Task deployment: per-worker-process cached Enrich instance."""
+    cache: dict[str, Enrich] = {}
+
+    def enrich_fn(batch: pa.Table) -> pa.Table:
+        if "e" not in cache:
+            cache["e"] = Enrich(
+                granules_ref, admin_ref, verify_text=verify_text, h3_res=h3_res
+            )
+        return cache["e"](batch)
+
+    return enrich_fn
