@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": rel.knn_embeddings_query,      # similarity search
         "backfill_join": rel.backfill_join,              # J1 inject-missing
         "sessionize": rel.sessionize,                    # gap sessions
+        "distinct_pairs": rel.distinct_pairs,            # set-op distinct
         # pages-based spatial pipelines (rows-only for the driver; exact
         # goldens in tests/) — the north-star operators themselves
         "pages_assignments": _pages_assignments,
@@ -275,6 +276,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY user_id & 255
             )
             GROUP BY parent
+        """,
+        "distinct_pairs": """
+            SELECT DISTINCT lang, source FROM documents
         """,
         "backfill_join": """
             SELECT o.o_orderkey, o.o_orderstatus,

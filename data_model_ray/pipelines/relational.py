@@ -351,6 +351,26 @@ def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
     return joined.groupby("o_orderstatus").map_groups(final, batch_format="pandas")
 
 
+def distinct_pairs(sf_dir: str):
+    """Multi-column DISTINCT (set-op family, SURVEY 2.7): local
+    drop_duplicates partials then a keyed combine — the same
+    partial+final shape as the aggregates, so the shuffle moves only
+    already-distinct pairs."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def backfill_join(sf_dir: str, num_partitions: int = 8):
     """Left join orders with pre-aggregated lineitem quantities — the
     reference's inject-missing-bands backfill join shape (J1,
