@@ -114,6 +114,24 @@ class TestFlagshipGoldens:
         recs = LineageLog(out).records()
         assert sum(r["rows_out"] for r in recs) == s1["rows_written"]
 
+    def test_flagship_rerun_resumes(self, ray_session, tmp_path):
+        """FIXTURES 3.7: a full rerun against an existing output skips every
+        pyramid level (lineage proves zero recompute) and yields an
+        identical manifest."""
+        from data_model_ray.pipelines.flagship import run_flagship
+        from data_model_ray.state.lineage import LineageLog
+
+        out = str(tmp_path / "pyr")
+        cfg = FlagshipConfig(geoindex_concurrency=(1, 2), dedup_buckets=8)
+        r1 = run_flagship(n_rows=2000, out_dir=out, cfg=cfg)
+        r2 = run_flagship(n_rows=2000, out_dir=out, cfg=cfg)
+        assert r2["manifest"] == r1["manifest"]
+        recs = LineageLog(out).records()
+        n_levels = len(r1["manifest"]["levels"])
+        assert [r["status"] for r in recs] == ["done"] * n_levels + [
+            "skipped_valid"
+        ] * n_levels
+
     def test_lang_first_deterministic(self, flagship_result, golden):
         _, cells = flagship_result
         ids = np.arange(N)
