@@ -83,20 +83,48 @@ def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
         c_lat = group["lat"].to_numpy()
         c_lon = group["lon"].to_numpy()
         c_ids = group[id_col].to_numpy()
-        rows = []
+        # stable candidate order by id so argsort tie-breaks are deterministic
+        c_order = np.argsort(c_ids, kind="stable")
+        c_lat, c_lon, c_ids = c_lat[c_order], c_lon[c_order], c_ids[c_order]
         q_lat = q["lat"].to_numpy()
         q_lon = q["lon"].to_numpy()
         q_ids = q[id_col].to_numpy()
-        for i in range(len(q)):
-            d2 = _equirect_dist2(q_lat[i], q_lon[i], c_lat, c_lon)
-            mask = c_ids != q_ids[i]
-            cand_ids = c_ids[mask]
-            cand_d = d2[mask]
-            # deterministic: order by (dist, neighbor id)
-            order = np.lexsort((cand_ids, cand_d))[:k]
-            for r, j in enumerate(order):
-                rows.append((q_ids[i], cand_ids[j], r + 1, float(np.sqrt(cand_d[j]))))
-        return pd.DataFrame(rows, columns=[id_col, "neighbor", "rank", "dist_km"])
+        out_q, out_n, out_r, out_d = [], [], [], []
+        # chunked (Q x C) distance matrices: vectorized, memory-bounded —
+        # the mega-cell guard (SURVEY 7.4): a dense cell never allocates
+        # more than CHUNK x C doubles at once
+        CHUNK = 512
+        for s in range(0, len(q), CHUNK):
+            ql = q_lat[s : s + CHUNK, None]
+            qo = q_lon[s : s + CHUNK, None]
+            d2 = _equirect_dist2(ql, qo, c_lat[None, :], c_lon[None, :])
+            d2[q_ids[s : s + CHUNK, None] == c_ids[None, :]] = np.inf  # self
+            kk = min(k, d2.shape[1] - 1)
+            if kk <= 0:
+                continue
+            # argsort is stable -> ties by candidate id (pre-sorted order)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            rows_idx = np.arange(idx.shape[0])[:, None]
+            dsel = d2[rows_idx, idx]
+            finite = np.isfinite(dsel)
+            out_q.append(np.repeat(q_ids[s : s + CHUNK], kk)[finite.ravel()])
+            out_n.append(c_ids[idx].ravel()[finite.ravel()])
+            out_r.append(
+                np.tile(np.arange(1, kk + 1), idx.shape[0])[finite.ravel()]
+            )
+            out_d.append(np.sqrt(dsel.ravel()[finite.ravel()]))
+        if not out_q:
+            return pd.DataFrame(
+                {id_col: [], "neighbor": [], "rank": [], "dist_km": []}
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_q),
+                "neighbor": np.concatenate(out_n),
+                "rank": np.concatenate(out_r),
+                "dist_km": np.concatenate(out_d),
+            }
+        )
 
     return (
         ds.map_batches(expand, batch_format="pyarrow")

@@ -33,60 +33,82 @@ SHINGLE_W = 3
 
 
 def _token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Flat token-hash array + row offsets for a list of texts.
+    """Flat token-hash array + row offsets, fully vectorized.
 
-    Tokenization = whitespace split (fixture texts are space-joined words);
-    each token hashed with Python's stable-ish per-run... NO — determinism
-    across processes matters, so tokens are hashed with FNV-1a over bytes,
-    vectorized via numpy byte views per unique token.
+    Tokenization = whitespace split (Arrow ``split_pattern``); token hashes
+    = polars xxhash over the flattened token column (seed fixed -> process-
+    independent determinism), mixed through splitmix64. No Python loop over
+    rows or tokens.
     """
-    # hash unique tokens once (vocabulary is tiny vs corpus)
-    all_tokens: list[list[str]] = [t.split() for t in texts]
-    vocab: dict[str, int] = {}
-    flat_ids = []
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, toks in enumerate(all_tokens):
-        for tok in toks:
-            h = vocab.get(tok)
-            if h is None:
-                h = len(vocab)
-                vocab[tok] = h
-            flat_ids.append(h)
-        offsets[i + 1] = len(flat_ids)
-    # stable 64-bit hash per vocab entry: FNV-1a over utf-8 bytes
-    vocab_hash = np.empty(len(vocab), dtype=U64)
-    for tok, idx in vocab.items():
-        h = U64(0xCBF29CE484222325)
-        for b in tok.encode():
-            h = U64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        vocab_hash[idx] = h
-    flat = vocab_hash[np.array(flat_ids, dtype=np.int64)] if flat_ids else np.array([], dtype=U64)
-    return flat, offsets
+    import polars as pl
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.large_string())
+    lists = pc.split_pattern(arr, " ")
+    # offsets of the list array give token counts per row
+    offsets = np.asarray(lists.offsets)
+    flat_tokens = lists.flatten()
+    if len(flat_tokens) == 0:
+        return np.array([], dtype=U64), offsets.astype(np.int64)
+    hashed = (
+        pl.from_arrow(flat_tokens.cast(pa.large_string()))
+        .hash(seed=7)
+        .to_numpy()
+        .astype(U64)
+    )
+    return splitmix64(hashed), offsets.astype(np.int64)
 
 
 def shingle_hashes(texts: list[str], w: int = SHINGLE_W) -> tuple[np.ndarray, np.ndarray]:
-    """Word-w-gram shingle hashes (flat) + row offsets, vectorized rolling mix."""
+    """Unique word-w-gram shingle hashes (flat) + row offsets, vectorized.
+
+    Rolling FNV-style mix over w shifted views of the flat token array;
+    windows crossing row boundaries are masked out; per-row set-dedup is a
+    single lexsort over (row, hash). Rows with < w tokens fall back to
+    per-token shingles (so short docs still fingerprint).
+    """
     flat, offsets = _token_hashes(texts)
     n_rows = len(offsets) - 1
-    sh_list = []
-    sh_offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    for i in range(n_rows):
-        s, e = offsets[i], offsets[i + 1]
-        toks = flat[s:e]
-        if len(toks) < w:
-            sh = splitmix64(toks) if len(toks) else np.array([], dtype=U64)
+    n_tok = len(flat)
+    counts = np.diff(offsets)
+    if n_tok == 0:
+        return np.array([], dtype=U64), np.zeros(n_rows + 1, dtype=np.int64)
+
+    # row id of each flat token position
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # rolling w-gram mix at each window start position
+    n_win = max(0, n_tok - w + 1)
+    with np.errstate(over="ignore"):
+        if n_win > 0:
+            acc = flat[:n_win].copy()
+            for j in range(1, w):
+                acc = acc * U64(0x100000001B3) ^ flat[j : n_win + j]
+            win_hash = splitmix64(acc)
+            # a window is valid if it does not cross a row boundary
+            valid = row_of[:n_win] == row_of[w - 1 :]
         else:
-            with np.errstate(over="ignore"):
-                acc = toks[: len(toks) - w + 1].copy()
-                for j in range(1, w):
-                    acc = acc * U64(0x100000001B3) ^ toks[j : len(toks) - w + 1 + j]
-            sh = splitmix64(acc)
-        sh_list.append(np.unique(sh))
-        sh_offsets[i + 1] = sh_offsets[i] + len(sh_list[-1])
-    return (
-        np.concatenate(sh_list) if sh_list else np.array([], dtype=U64),
-        sh_offsets,
-    )
+            win_hash = np.array([], dtype=U64)
+            valid = np.array([], dtype=bool)
+
+    # short rows (< w tokens): every token is its own shingle
+    short_rows = counts < w
+    extra_mask = short_rows[row_of]
+    sh_rows = np.concatenate([row_of[:n_win][valid], row_of[extra_mask]])
+    sh_hash = np.concatenate([win_hash[valid], splitmix64(flat[extra_mask])])
+
+    # per-row unique via lexsort over (row, hash)
+    order = np.lexsort((sh_hash, sh_rows))
+    sh_rows = sh_rows[order]
+    sh_hash = sh_hash[order]
+    keep = np.ones(len(sh_rows), dtype=bool)
+    if len(sh_rows) > 1:
+        keep[1:] = (sh_rows[1:] != sh_rows[:-1]) | (sh_hash[1:] != sh_hash[:-1])
+    sh_rows = sh_rows[keep]
+    sh_hash = sh_hash[keep]
+
+    sh_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sh_rows, minlength=n_rows), out=sh_offsets[1:])
+    return sh_hash, sh_offsets
 
 
 def minhash_signatures(texts: list[str], n_perm: int = N_PERM) -> np.ndarray:
