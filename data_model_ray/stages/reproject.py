@@ -1,0 +1,58 @@
+"""Reprojection stage: per-row UTM coordinates from the assigned granule zone.
+
+The T1 analogue in the live pipeline (the reference reprojects every
+variable through per-dataset transformer state,
+/root/reference/src/eopf_geozarr/conversion/sentinel1_reprojection.py:20-108):
+an actor-pool ``map_batches`` stage whose ``CachedTransformer`` builds one
+transform per (src, dst) CRS pair on first use and reuses it across
+batches. Rows are grouped by UTM zone (parsed from the ``mgrs`` code) and
+each zone's points are transformed in one vectorized call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.proj import CachedTransformer
+
+
+def parse_zone(mgrs_codes: np.ndarray) -> np.ndarray:
+    """UTM zone from synthetic MGRS codes ``T{zz}...`` (-1 for unassigned)."""
+    out = np.full(len(mgrs_codes), -1, dtype=np.int64)
+    for i, code in enumerate(mgrs_codes):
+        if code and len(code) >= 3 and code[0] == "T":
+            out[i] = int(code[1:3])
+    return out
+
+
+class UtmReproject:
+    """Adds ``utm_zone``, ``utm_e``, ``utm_n`` from (lat, lon, mgrs).
+
+    ``ds.map_batches(UtmReproject, batch_format="pyarrow",
+    zero_copy_batch=True, concurrency=(1, N))``. Rows without a granule
+    assignment get nulls.
+    """
+
+    def __init__(self):
+        self.transformer = CachedTransformer()  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        zones = parse_zone(np.array(batch["mgrs"].to_pylist(), dtype=object))
+        e = np.full(len(batch), np.nan)
+        n = np.full(len(batch), np.nan)
+        for zone in np.unique(zones):
+            if zone < 0:
+                continue
+            m = zones == zone
+            ez, nz = self.transformer.transform(
+                "EPSG:4326", f"EPSG:{32600 + zone}", lat[m], lon[m]
+            )
+            e[m] = ez
+            n[m] = nz
+        out = batch.append_column("utm_zone", pa.array(zones))
+        out = out.append_column("utm_e", pa.array(e))
+        out = out.append_column("utm_n", pa.array(n))
+        return out
