@@ -110,6 +110,21 @@ def _simhash_docs(sf_dir: str):
     return simhash_table(f"{sf_dir}/documents.parquet")
 
 
+def _pages_raster(sf_dir: str):
+    """Rasterized base level (tile_x/tile_y/px/py layout) — raster<->vector."""
+    import pyarrow as pa
+    import ray
+
+    from data_model_ray.pipelines.rasterize import rasterize_level
+
+    cells = _pages_cell_stats(sf_dir).materialize()
+    table = pa.concat_tables(
+        [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    return rasterize_level(table)
+
+
 def _langid_docs(sf_dir: str):
     import ray.data as rd
 
@@ -169,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_knn": _pages_knn,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_docs": _simhash_docs,
+        "pages_raster": _pages_raster,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
