@@ -139,7 +139,9 @@ def _langid_docs(sf_dir: str):
 def _embedding_near_dups(sf_dir: str):
     from data_model_ray.stages.neardup import embedding_near_dups
 
-    return embedding_near_dups(f"{sf_dir}/embeddings.parquet", threshold=0.8)
+    # synthetic embeddings are near-orthogonal (cos p99 ~ 0.29); 0.4 yields
+    # a meaningful near-dup pair set on this corpus
+    return embedding_near_dups(f"{sf_dir}/embeddings.parquet", threshold=0.4)
 
 
 def _knn_lsh(sf_dir: str):
