@@ -1,17 +1,19 @@
-"""Flagship pipeline: pages -> extract -> text stats -> geoindex -> dedup ->
-cell aggregate -> tile pyramid.
+"""Flagship pipeline: pages -> fused enrich -> dedup -> cell aggregate ->
+tile pyramid (-> optional tile raster).
 
 The engine's `convert`-equivalent end-to-end lifecycle (SURVEY.md section
 3.4), all streaming Ray Data until the bounded cell table:
 
-1. read pages parquet (column-pruned) or synthesize deterministically;
-2. ``HtmlExtract`` actor pool — zero-copy Arrow, drops ``html`` early;
-3. ``TextStats`` — vectorized quality/token kernels;
-4. ``GeoIndex`` actor pool — broadcast granule/admin indexes (``ray.put``
-   once, fetched once per actor);
-5. exact URL dedup (latest ``warc_ts`` wins) — hash-bucket shuffle;
-6. base per-cell aggregate — partial-per-batch combiner + bucket combine;
-7. driver-loop pyramid rollups + manifest (bounded data from here on).
+1. read pages parquet or synthesize deterministically;
+2. fused enrich stage (``stages/enrich.py``): html extract with in-stream
+   byte-identical-text verification -> text stats -> GeoCell/S2 encode +
+   broadcast MGRS/admin PIP joins -> slim projection (html/text dropped
+   before any shuffle); state loads once per worker (actor pool or
+   worker-cached tasks);
+3. exact URL dedup (latest ``warc_ts`` wins) — hash-bucket shuffle;
+4. base per-cell aggregate — partial-per-batch combiner + bucket combine;
+5. driver-loop pyramid rollups + manifest, optional per-tile raster
+   (bounded data from here on; every write resumable with lineage).
 """
 
 from __future__ import annotations
