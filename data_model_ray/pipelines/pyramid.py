@@ -197,6 +197,10 @@ def rollup_level(level_table: pa.Table, *, registry: dict[str, str] | None = Non
         elif kind == "first":
             df[f"__packed_{col}"] = _pack_first(cells, df[col].to_numpy())
             agg_spec[f"__packed_{col}"] = (f"__packed_{col}", "min")
+        elif callable(kind):
+            # user-extension surface (SURVEY 2.10, resampling_methods
+            # analogue): a callable Series -> scalar reducer
+            agg_spec[col] = (col, kind)
         else:
             raise ValueError(f"unknown agg kind {kind!r} for column {col!r}")
 

@@ -123,6 +123,23 @@ class TestRollupSemantics:
         assert out.loc[int(p2)]["pages"] == 9
 
 
+class TestCustomAggRegistry:
+    def test_callable_reducer(self):
+        """User-extension surface: register a custom reducer per column
+        (resampling_methods analogue, s2_resampling.py:206-212)."""
+        parent = grid.geocell_encode(np.array([10.0]), np.array([10.0]), 3)[0]
+        children = grid.geocell_children(int(parent))
+        t = make_level_table(
+            children, mean_text_len=np.array([1.0, 100.0, 2.0, 3.0])
+        )
+        registry = dict(
+            pages="sum",
+            mean_text_len=lambda s: s.median(),  # custom: median downsample
+        )
+        out = rollup_level(t, registry=registry).to_pandas().set_index("cell")
+        assert out.loc[int(parent)]["mean_text_len"] == 2.5
+
+
 class TestBackfillJoin:
     def test_inject_from_finer(self):
         from data_model_ray.pipelines.pyramid import backfill_from_finer
