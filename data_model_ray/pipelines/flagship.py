@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .. import fixtures
 from ..grid import H3_RES
-from ..stages.dedup import dedup_exact
+from ..stages.dedup import dedup_exact, dedup_exact_index
 from ..stages.enrich import Enrich, make_enrich_fn
 from .pyramid import build_pyramid, cell_aggregate
 
@@ -36,6 +36,10 @@ class FlagshipConfig:
     geoindex_concurrency: int | tuple[int, int] = (1, 8)
     geoindex_actors: bool = False
     batch_size: int = 8192
+    #: "index" = shared-index actor dedup (fast single-node path);
+    #: "shuffle" = hash-bucket groupby (cluster-canonical all-to-all)
+    dedup_mode: str = "index"
+    dedup_actors: int = 16
     dedup_buckets: int = 64
     cell_buckets: int = 32
     min_cells: int = 16
@@ -87,9 +91,14 @@ def pages_to_cells(ds, cfg: FlagshipConfig | None = None):
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
-    deduped = dedup_exact(
-        enriched, key="url", order_col="warc_ts", num_buckets=cfg.dedup_buckets
-    )
+    if cfg.dedup_mode == "index":
+        deduped = dedup_exact_index(
+            enriched, key="url", order_col="warc_ts", num_actors=cfg.dedup_actors
+        )
+    else:
+        deduped = dedup_exact(
+            enriched, key="url", order_col="warc_ts", num_buckets=cfg.dedup_buckets
+        )
     cells = cell_aggregate(deduped, cell_col="h3_7", num_buckets=cfg.cell_buckets)
     return deduped, cells
 

@@ -104,7 +104,9 @@ def _partial_cell_stats(batch: pd.DataFrame, cell_col: str) -> pd.DataFrame:
     return out
 
 
-def _combine_partials(group: pd.DataFrame) -> pd.DataFrame:
+def _merge_partials(group: pd.DataFrame) -> pd.DataFrame:
+    """Algebraic (commutative + associative) merge of partial rows — safe
+    at any tree level with any row grouping."""
     g = group.groupby("cell", sort=False)
     out = g.agg(
         pages=("pages", "sum"),
@@ -120,31 +122,43 @@ def _combine_partials(group: pd.DataFrame) -> pd.DataFrame:
     # argmin-combine for the deterministic first value
     first = group.sort_values("min_url", kind="mergesort").drop_duplicates(
         subset=["cell"], keep="first"
-    )[["cell", "lang_first"]]
-    out = out.merge(first, on="cell", how="left")
+    )[["cell", "min_url", "lang_first"]]
+    return out.merge(first, on="cell", how="left")
+
+
+def _finalize_partials(group: pd.DataFrame) -> pd.DataFrame:
+    out = _merge_partials(group)
     out["mean_text_len"] = out["text_bytes"] / out["pages"]
     out["score_mean"] = (out["score_sum"] / out["pages"]).clip(0.0, 1.0)
-    return out.drop(columns=["score_sum"])
+    return out.drop(columns=["score_sum", "min_url"])
+
+
+def _combine_partials(group: pd.DataFrame) -> pd.DataFrame:
+    """Single-shot combine (merge + finalize) — used by tests/goldens."""
+    return _finalize_partials(group)
 
 
 def cell_aggregate(ds, *, cell_col: str = "h3_7", num_buckets: int = NUM_COMBINE_BUCKETS):
-    """Pages dataset -> base cell-stats Dataset (one row per active cell)."""
+    """Pages dataset -> base cell-stats Dataset (one row per active cell).
+
+    Sort-free tree reduction: per-block partials (one row per cell per
+    block) -> coalescing ``repartition`` + algebraic merge -> single-block
+    finalize. No groupby/sort shuffle at all — the cell table is bounded by
+    the grid (<= 512*1024 cells at res 7), so every tree level is bounded:
+    level sizes are (blocks x cells) -> (fanout x cells) -> cells. On a
+    multi-node cluster the coalescing repartition moves partial rows (tiny)
+    between nodes, never raw pages. `num_buckets` is the tree fanout.
+    """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # per-batch partials + combine-bucket assignment in one kernel
-        out = _partial_cell_stats(batch, cell_col)
-        out["__bucket"] = (
-            out["cell"].to_numpy().astype(np.uint64) & np.uint64(num_buckets - 1)
-        ).astype(np.int32)
-        return out
-
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        return _combine_partials(group.drop(columns="__bucket"))
+        return _partial_cell_stats(batch, cell_col)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(combine, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .repartition(num_buckets)
+        .map_batches(_merge_partials, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_finalize_partials, batch_format="pandas", batch_size=None)
     )
 
 
