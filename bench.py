@@ -26,6 +26,11 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: headline input multiplier over rows_for_sf: after the sort-free
+#: optimizations 1M rows finish in ~15 s at 32 CPUs and fixed startup
+#: overheads distort the 8-vs-32 scaling ratio; 4x input keeps the timed
+#: region compute-dominated at both parallelism levels
+BENCH_SCALE = int(os.environ.get("GRAFT_BENCH_SCALE", "4"))
 
 
 def _sf() -> float:
@@ -106,7 +111,7 @@ def main() -> None:
 
     from data_model_ray import fixtures
 
-    n_rows = fixtures.rows_for_sf(_sf())
+    n_rows = fixtures.rows_for_sf(_sf()) * BENCH_SCALE
 
     ray.init(
         address="local",
