@@ -26,11 +26,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-#: headline input multiplier over rows_for_sf: after the sort-free
-#: optimizations 1M rows finish in ~15 s at 32 CPUs and fixed startup
-#: overheads distort the 8-vs-32 scaling ratio; 4x input keeps the timed
-#: region compute-dominated at both parallelism levels
-BENCH_SCALE = int(os.environ.get("GRAFT_BENCH_SCALE", "4"))
+#: optional headline input multiplier over rows_for_sf (default 1 = 1M rows
+#: at sf0.1 — the scale at which the single-VM 8-vs-32 proxy is
+#: representative; see BASELINE.md scale-sensitivity note for 4x findings)
+BENCH_SCALE = int(os.environ.get("GRAFT_BENCH_SCALE", "1"))
 
 
 def _sf() -> float:
@@ -67,6 +66,11 @@ def run_headline(pages_path: str, n_rows: int) -> dict:
     cfg = FlagshipConfig(
         geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
         batch_size=8192,
+        # GRAFT_DEDUP_MODE=shuffle selects the cluster-canonical hash-bucket
+        # groupby dedup (the path whose scaling matters for a multi-node
+        # deployment); default is the single-node index-actor fast path
+        dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "index"),
+        dedup_actors=max(8, NUM_CPUS // 2),
         dedup_buckets=max(32, NUM_CPUS * 2),
         cell_buckets=max(16, NUM_CPUS),
     )
@@ -166,7 +170,15 @@ def scaling() -> None:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        # scaling criterion measures the cluster-canonical shuffle path
+        # (the exchange a 256-node deployment actually runs); override with
+        # GRAFT_DEDUP_MODE=index to measure the single-node fast path
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "shuffle"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -191,6 +203,7 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "sf": _sf(),
                 "rows": r_lo["rows"],
+                "dedup_mode": os.environ.get("GRAFT_DEDUP_MODE", "shuffle"),
             }
         )
     )
