@@ -204,7 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_price,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
                    COUNT(*) AS n,
                    ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
             FROM lineitem
@@ -251,7 +251,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_hist": """
-            SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars
+            SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM documents
             GROUP BY lang
         """,
@@ -264,7 +264,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_join_revenue": """
             SELECT o.o_orderstatus,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
                    COUNT(*) AS n_items
             FROM orders o
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey

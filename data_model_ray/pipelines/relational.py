@@ -89,7 +89,10 @@ def groupby_agg(sf_dir: str):
             n=("n", "sum"),
         ).reset_index()
         out["avg_qty"] = out["sum_qty"] / out["n"]
-        return _round_col(out, ["sum_qty", "sum_price", "avg_qty"])
+        # money sums accumulate ~1e-6 summation-order drift between engines,
+        # larger than a 6dp guard — round money to 2dp on both sides
+        out = _round_col(out, ["sum_price"], nd=2)
+        return _round_col(out, ["sum_qty", "avg_qty"])
 
     return (
         ds.map_batches(partial, batch_format="pandas")
@@ -346,7 +349,7 @@ def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
             .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
             .reset_index()
         )
-        return _round_col(out, ["revenue"])
+        return _round_col(out, ["revenue"], nd=2)
 
     return joined.groupby("o_orderstatus").map_groups(final, batch_format="pandas")
 
