@@ -33,13 +33,7 @@ def _pages_path(sf_dir: str) -> str:
     sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.01
     n = fixtures.rows_for_sf(sf)
     if n not in _PAGES_CACHE:
-        path = f"/tmp/graft_pages/n{n}"
-        marker = os.path.join(path, "_DONE")
-        if not os.path.exists(marker):
-            fixtures.write_pages_parquet(path, n)
-            with open(marker, "w") as f:
-                f.write(str(n))
-        _PAGES_CACHE[n] = path
+        _PAGES_CACHE[n] = fixtures.ensure_pages_parquet(n)
     return _PAGES_CACHE[n]
 
 

@@ -44,12 +44,7 @@ def _ensure_pages(n_rows: int) -> str:
     """Synthesize + cache the pages table (untimed), then warm the page cache."""
     from data_model_ray import fixtures
 
-    path = f"/tmp/graft_pages/n{n_rows}"
-    marker = os.path.join(path, "_DONE")
-    if not os.path.exists(marker):
-        fixtures.write_pages_parquet(path, n_rows)
-        with open(marker, "w") as f:
-            f.write(str(n_rows))
+    path = fixtures.ensure_pages_parquet(n_rows)
     # warm OS page cache so we measure compute + shuffle, not first disk read
     for root, _, files in os.walk(path):
         for fn in files:

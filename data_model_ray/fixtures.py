@@ -327,3 +327,29 @@ def write_pages_parquet(path: str, n_rows: int, *, parallelism: int = -1) -> str
     os.makedirs(path, exist_ok=True)
     pages_dataset(n_rows, parallelism=parallelism).write_parquet(path)
     return path
+
+
+def ensure_pages_parquet(n_rows: int, *, root: str = "/tmp/graft_pages") -> str:
+    """Crash-safe cached synthesis: ``{root}/n{n_rows}`` with a ``_DONE`` marker.
+
+    Writes into a temp directory and atomically renames over the target
+    (the lineage commit pattern, state/lineage.py), so an interrupted
+    synthesis can never leave a half-written directory that later reads
+    mix with fresh files.
+    """
+    import os
+    import shutil
+
+    path = os.path.join(root, f"n{n_rows}")
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return path
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_pages_parquet(tmp, n_rows)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(str(n_rows))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path

@@ -7,8 +7,8 @@ Common-Crawl-style exact URL dedup with latest-``warc_ts``-wins.
 Two interchangeable strategies (same deterministic output; chosen by
 ``mode``):
 
-- ``"shuffle"`` — the cluster-canonical path. Local pre-dedup inside
-  ``map_batches`` (combiner; drops intra-batch dups), then
+- ``"shuffle"`` — the cluster-canonical path and the DEFAULT. Local
+  pre-dedup inside ``map_batches`` (combiner; drops intra-batch dups), then
   ``groupby(hash(key) % B).map_groups`` — exactly B vectorized pandas
   calls. B sizes to cluster cores; key-hash bucketing is uniform
   regardless of url skew (skew lives in hosts, not full urls). The
@@ -18,18 +18,26 @@ Two interchangeable strategies (same deterministic output; chosen by
 - ``"index"`` — the shared-mutable-index path (task-brief custom-operator
   ladder (c): raw actors where the Dataset API can't express the
   semantics). After local pre-dedup, each batch pushes a NARROW sidecar
-  (128-bit key hash + order) into a pool of hash-routed index actors; only
-  keys observed more than once become a tiny broadcast winners dict, and a
-  second pass filters losers. No large-row shuffle at all — measured ~10x
-  faster than the single-node Ray sort shuffle at 5M rows. Ingestion is
-  idempotent under Ray task retries (max() is; a double-ingested count
-  only inflates the broadcast dict, never changes a winner). Collision
-  odds with 128-bit hashing are ~1e-26 at 10^12 keys.
+  (128-bit key hash + order + row-content tiebreak hash) into a pool of
+  hash-routed index actors; only keys observed more than once become a
+  small broadcast winners table, and a second pass filters losers. No
+  large-row shuffle at all — measured ~10x faster than the single-node Ray
+  sort shuffle at 5M rows, but the winners table is bounded by the number
+  of DUPLICATED keys, so it is the single-node / low-dup-rate fast path,
+  not the cluster default. Ingestion is fully vectorized (lexsort +
+  reduceat compaction, no per-row Python) and idempotent under Ray task
+  retries (the winner is a max — re-ingestion never changes it; it can
+  only mark a lone key as "duplicated", which is harmless since its one
+  row is its own winner). The index is keyed on the full 128-bit
+  ``(h1, h2)`` pair, so the ~1e-26 collision bound at 10^12 keys holds.
 
-Deterministic winner per key: max ``order_col`` (ties broken by a stable
-secondary content hash in index mode, by full-row mergesort order in
-shuffle mode) — identical output under any partitioning/retry
-(byte-identical-resume requirement, BASELINE.json).
+Deterministic winner per key: max ``(order_col..., row_content_hash)`` —
+the content hash (polars ``hash_rows`` over the full row) breaks ties
+between rows sharing ``(key, order)``, so both modes keep exactly one row
+per key and agree under any partitioning/retry (byte-identical-resume
+requirement, BASELINE.json). Known limit: two bytewise-identical rows tie
+on the content hash too; shuffle mode still keeps exactly one (positional
+drop), index mode keeps both only if they also land in different batches.
 """
 
 from __future__ import annotations
@@ -40,11 +48,31 @@ import pyarrow as pa
 
 DEFAULT_BUCKETS = 64
 
+_PAIR_DT = np.dtype([("h1", "<u8"), ("h2", "<u8")])
+_TB_COL = "__tb"
+
+
+def _row_tiebreak(df: pd.DataFrame) -> np.ndarray:
+    """uint64 content hash of every full row (vectorized, batch-invariant).
+
+    polars ``hash_rows`` hashes row content only, so the same row hashes
+    identically in any batch/partition — the distribution-safe tiebreak.
+    """
+    import polars as pl
+
+    return pl.from_pandas(df).hash_rows(seed=23).to_numpy().astype(np.uint64)
+
 
 def _local_latest(
     df: pd.DataFrame, key: str, order_cols: list[str]
 ) -> pd.DataFrame:
-    df = df.sort_values([key, *order_cols], kind="mergesort")
+    """Keep the max-(order, tiebreak) row per key within one frame.
+
+    Requires the ``__tb`` tiebreak column to be present; mergesort is
+    stable, so after sorting by (key, order..., tb) keep="last" is the
+    deterministic winner under any input order.
+    """
+    df = df.sort_values([key, *order_cols, _TB_COL], kind="mergesort")
     return df[~df.duplicated(subset=[key], keep="last")]
 
 
@@ -55,17 +83,19 @@ def dedup_exact(
     order_col: str | list[str] = "warc_ts",
     num_buckets: int = DEFAULT_BUCKETS,
 ):
-    """Latest-wins exact dedup of a Ray Dataset on `key`.
+    """Latest-wins exact dedup of a Ray Dataset on `key` (shuffle mode).
 
     The kept row is the max of `order_col` (a column name or list of names,
-    compared lexicographically) — multi-column ordering avoids packing
-    compound keys into one integer (overflow-prone).
+    compared lexicographically; ties broken by the row content hash) —
+    multi-column ordering avoids packing compound keys into one integer
+    (overflow-prone).
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         # local pre-dedup + bucket assignment in one kernel (fewer operator
         # boundaries = less block churn)
+        batch = batch.assign(**{_TB_COL: _row_tiebreak(batch)})
         out = _local_latest(batch, key, order_cols)
         out = out.assign(
             __bucket=(pd.util.hash_array(out[key].to_numpy()) % num_buckets).astype(
@@ -75,7 +105,9 @@ def dedup_exact(
         return out
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return _local_latest(group, key, order_cols).drop(columns="__bucket")
+        return _local_latest(group, key, order_cols).drop(
+            columns=["__bucket", _TB_COL]
+        )
 
     return (
         ds.map_batches(local, batch_format="pandas")
@@ -84,41 +116,90 @@ def dedup_exact(
     )
 
 
+def _compact(
+    h1: np.ndarray,
+    h2: np.ndarray,
+    order: np.ndarray,
+    tb: np.ndarray,
+    count: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """Reduce sidecar rows to one row per (h1, h2): max (order, tb) + count.
+
+    Pure vectorized lexsort + reduceat — no per-row Python (the index-actor
+    hot path).
+    """
+    # ascending sort by (h1, h2, order, tb): the LAST row of each (h1, h2)
+    # group is the max-(order, tb) winner
+    idx = np.lexsort((tb, order, h2, h1))
+    h1, h2, order, tb, count = (
+        h1[idx], h2[idx], order[idx], tb[idx], count[idx]
+    )
+    new_grp = np.ones(len(h1), dtype=bool)
+    if len(h1) > 1:
+        new_grp[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.flatnonzero(new_grp)
+    last = np.concatenate([starts[1:], [len(h1)]]) - 1
+    counts = np.add.reduceat(count, starts)
+    return h1[last], h2[last], order[last], tb[last], counts
+
+
 def _make_index_actor():
     import ray
 
-    # num_cpus=0: the index actors are lightweight dict holders and must
+    # num_cpus=0: the index actors are lightweight state holders and must
     # always be schedulable — map tasks block on ingest acks while holding
     # their CPUs, so CPU-reserving actors would deadlock a full cluster
     @ray.remote(num_cpus=0)
     class _DedupIndexActor:
-        """Holds max-(order, tiebreak) per 128-bit key hash for one route."""
+        """Max-(order, tb) + occurrence count per 128-bit key, one route.
+
+        State is columnar numpy (compacted); ingested batches buffer and
+        compact vectorized once the pending pile exceeds a threshold.
+        """
+
+        _COMPACT_AT = 1 << 20  # pending sidecar rows before a compaction
 
         def __init__(self):
-            self.state: dict[int, tuple[int, np.uint64, int]] = {}
+            z8 = np.array([], dtype=np.uint64)
+            zi = np.array([], dtype=np.int64)
+            self.state = (z8, z8, zi, z8, zi)  # h1, h2, order, tb, count
+            self.pending: list[tuple[np.ndarray, ...]] = []
+            self.pending_rows = 0
+
+        def _flush(self) -> None:
+            if not self.pending:
+                return
+            sh1, sh2, sor, stb, scn = self.state
+            h1 = np.concatenate([sh1] + [p[0] for p in self.pending])
+            h2 = np.concatenate([sh2] + [p[1] for p in self.pending])
+            order = np.concatenate([sor] + [p[2] for p in self.pending])
+            tb = np.concatenate([stb] + [p[3] for p in self.pending])
+            count = np.concatenate(
+                [scn] + [np.ones(len(p[0]), dtype=np.int64) for p in self.pending]
+            )
+            self.state = _compact(h1, h2, order, tb, count)
+            self.pending = []
+            self.pending_rows = 0
 
         def ingest(
-            self, h1: np.ndarray, h2: np.ndarray, order: np.ndarray
+            self,
+            h1: np.ndarray,
+            h2: np.ndarray,
+            order: np.ndarray,
+            tb: np.ndarray,
         ) -> int:
-            st = self.state
-            for a, b, o in zip(h1.tolist(), h2.tolist(), order.tolist()):
-                cur = st.get(a)
-                if cur is None:
-                    st[a] = (o, b, 1)
-                else:
-                    co, cb, cn = cur
-                    # max by (order, tiebreak-hash) — commutative, hence
-                    # deterministic and idempotent under re-ingestion
-                    if (o, b) > (co, cb):
-                        st[a] = (o, b, cn + 1)
-                    else:
-                        st[a] = (co, cb, cn + 1)
+            self.pending.append((h1, h2, order, tb))
+            self.pending_rows += len(h1)
+            if self.pending_rows >= self._COMPACT_AT:
+                self._flush()
             return len(h1)
 
-        def dup_winners(self) -> dict:
-            return {
-                a: (o, b) for a, (o, b, n) in self.state.items() if n > 1
-            }
+        def dup_winners(self) -> tuple[np.ndarray, ...]:
+            """(h1, h2, order, tb) arrays for keys seen more than once."""
+            self._flush()
+            h1, h2, order, tb, count = self.state
+            m = count > 1
+            return h1[m], h2[m], order[m], tb[m]
 
     return _DedupIndexActor
 
@@ -154,33 +235,41 @@ def dedup_exact_index(
         return col.to_numpy().astype(np.int64)
 
     def local_and_ingest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(**{_TB_COL: _row_tiebreak(batch)})
         out = _local_latest(batch, key, [order_col])
         h1, h2 = _key_hashes(out[key])
         order = order_as_int(out[order_col])
+        tb = out[_TB_COL].to_numpy().astype(np.uint64)
         route = h1 % num_actors
         futures = []
         for r in np.unique(route):
             m = route == r
-            futures.append(actors[int(r)].ingest.remote(h1[m], h2[m], order[m]))
+            futures.append(
+                actors[int(r)].ingest.remote(h1[m], h2[m], order[m], tb[m])
+            )
         ray.get(futures)
-        return out
+        return out.drop(columns=[_TB_COL])
 
     # pass 0 must COMPLETE before winners are read -> materialize
     local = ds.map_batches(local_and_ingest, batch_format="pandas").materialize()
 
-    winners: dict[int, tuple[int, int]] = {}
-    for w in ray.get([a.dup_winners.remote() for a in actors]):
-        winners.update(w)
-    # broadcast as sorted arrays for vectorized membership via searchsorted
-    if winners:
-        w_keys = np.array(sorted(winners), dtype=np.uint64)
-        w_order = np.array([winners[int(k)][0] for k in w_keys], dtype=np.int64)
-        w_tb = np.array([winners[int(k)][1] for k in w_keys], dtype=np.uint64)
-    else:
-        w_keys = np.array([], dtype=np.uint64)
-        w_order = np.array([], dtype=np.int64)
-        w_tb = np.array([], dtype=np.uint64)
-    winners_ref = ray.put((w_keys, w_order, w_tb))
+    parts = [np.array([], dtype=np.uint64)] * 2 + [
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.uint64),
+    ]
+    got = ray.get([a.dup_winners.remote() for a in actors])
+    w_h1 = np.concatenate([parts[0]] + [g[0] for g in got])
+    w_h2 = np.concatenate([parts[1]] + [g[1] for g in got])
+    w_order = np.concatenate([parts[2]] + [g[2] for g in got])
+    w_tb = np.concatenate([parts[3]] + [g[3] for g in got])
+    # sorted structured (h1, h2) keys for vectorized 128-bit membership
+    w_keys = np.empty(len(w_h1), dtype=_PAIR_DT)
+    w_keys["h1"] = w_h1
+    w_keys["h2"] = w_h2
+    sort_idx = np.argsort(w_keys, kind="stable")
+    winners_ref = ray.put(
+        (w_keys[sort_idx], w_order[sort_idx], w_tb[sort_idx])
+    )
 
     def drop_losers(batch: pd.DataFrame) -> pd.DataFrame:
         keys, worder, wtb = ray.get(winners_ref)
@@ -188,10 +277,14 @@ def dedup_exact_index(
             return batch
         h1, h2 = _key_hashes(batch[key])
         order = order_as_int(batch[order_col])
-        idx = np.searchsorted(keys, h1)
+        tb = _row_tiebreak(batch).astype(np.uint64)
+        probe = np.empty(len(batch), dtype=_PAIR_DT)
+        probe["h1"] = h1
+        probe["h2"] = h2
+        idx = np.searchsorted(keys, probe)
         idx_c = np.minimum(idx, len(keys) - 1)
-        is_dup = keys[idx_c] == h1
-        is_winner = (worder[idx_c] == order) & (wtb[idx_c] == h2)
+        is_dup = keys[idx_c] == probe
+        is_winner = (worder[idx_c] == order) & (wtb[idx_c] == tb)
         return batch[~is_dup | is_winner]
 
     return local.map_batches(drop_losers, batch_format="pandas")

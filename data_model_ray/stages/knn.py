@@ -28,10 +28,16 @@ def _equirect_dist2(
     lat0: np.ndarray, lon0: np.ndarray, lat1: np.ndarray, lon1: np.ndarray
 ) -> np.ndarray:
     """Squared equirectangular-approx distance (km^2): deterministic, fast,
-    monotone with true distance at cell scale (documented metric choice)."""
+    monotone with true distance at cell scale (documented metric choice).
+
+    The longitude delta wraps across the antimeridian so candidates pulled
+    in by the ring expansion's lon wraparound (grid.geocell_neighbors) get
+    consistent distances near +-180.
+    """
     mean_lat = np.radians((lat0 + lat1) / 2.0)
     dy = (lat1 - lat0) * EARTH_DEG
-    dx = (lon1 - lon0) * EARTH_DEG * np.cos(mean_lat)
+    dlon = np.mod(lon1 - lon0 + 180.0, 360.0) - 180.0
+    dx = dlon * EARTH_DEG * np.cos(mean_lat)
     return dx * dx + dy * dy
 
 

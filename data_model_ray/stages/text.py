@@ -64,7 +64,13 @@ def _byte_counts(text: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarr
         if len(arr) == 0:
             continue
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64  # large_* layouts carry 64-bit offsets
+        elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+            off_dtype = np.int32
+        else:
+            raise TypeError(f"expected (large_)string/binary column, got {arr.type}")
+        offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
             arr.offset : arr.offset + len(arr) + 1
         ].astype(np.int64)
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
