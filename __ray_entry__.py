@@ -145,7 +145,7 @@ def _knn_lsh(sf_dir: str):
     from data_model_ray.stages.knn import knn_embeddings_lsh
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     qm = np.stack(head["embedding"].to_numpy())
     return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
 

@@ -36,9 +36,11 @@ class FlagshipConfig:
     geoindex_concurrency: int | tuple[int, int] = (1, 8)
     geoindex_actors: bool = False
     batch_size: int = 8192
-    #: "index" = shared-index actor dedup (fast single-node path);
-    #: "shuffle" = hash-bucket groupby (cluster-canonical all-to-all)
-    dedup_mode: str = "index"
+    #: "shuffle" = hash-bucket groupby (cluster-canonical all-to-all,
+    #: the DEFAULT — winners never concentrate on the driver);
+    #: "index" = shared-index actor dedup (single-node / low-dup-rate
+    #: fast path; winners table is bounded by the duplicated-key count)
+    dedup_mode: str = "shuffle"
     dedup_actors: int = 16
     dedup_buckets: int = 64
     cell_buckets: int = 32

@@ -3,10 +3,11 @@
 Re-derives the reference's GeoZarr multiscale semantics as Ray Data
 shuffles:
 
-- **base cell aggregate** = the finest pyramid level: per-batch pandas
-  partials (combiner) then a hash-bucket combine — the partial+final
-  aggregation pattern, so the groupby shuffle moves per-cell partials (one
-  row per cell per batch), never raw pages;
+- **base cell aggregate** = the finest pyramid level: per-batch Arrow
+  partials (``pa.Table.group_by`` combiner — zero pandas round-trip) then
+  a coalescing combine — the partial+final aggregation pattern, so the
+  exchange moves per-cell partials (one row per cell per batch), never
+  raw pages;
 - **rollup chain**: level r -> r-1 is ``groupby(parent_cell).aggregate``
   over the PREVIOUS level's output, exactly the reference's
   previous-level chaining (/root/reference/src/eopf_geozarr/conversion/
@@ -79,63 +80,111 @@ DEFAULT_AGG_REGISTRY: dict[str, str] = {
 NUM_COMBINE_BUCKETS = 32
 
 
-def _partial_cell_stats(batch: pd.DataFrame, cell_col: str) -> pd.DataFrame:
-    """Per-batch per-cell partials (the combiner half of the aggregate)."""
-    g = batch.groupby(cell_col, sort=False)
-    out = g.agg(
-        pages=("url", "size"),
-        text_bytes=("text_len", "sum"),
-        token_sum=("token_count", "sum"),
-        score_sum=("score", "sum"),
-        flag_max=("flag", "max"),
-        lat_min=("lat", "min"),
-        lat_max=("lat", "max"),
-        lon_min=("lon", "min"),
-        lon_max=("lon", "max"),
-        min_url=("url", "min"),
-    ).reset_index()
-    # lang of the min-url row (deterministic "first" seed value)
-    first_rows = batch.sort_values("url", kind="mergesort").drop_duplicates(
-        subset=[cell_col], keep="first"
-    )[[cell_col, "lang"]]
-    out = out.merge(first_rows, on=cell_col, how="left").rename(
-        columns={"lang": "lang_first", cell_col: "cell"}
+#: \x00 sorts before every url byte, so min("url\x00lang") = (min url, its
+#: lang) — the deterministic-first seed packed into ONE Arrow aggregate
+_FIRST_SEP = "\x00"
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+def _partial_cell_stats(batch: pa.Table | pd.DataFrame, cell_col: str) -> pa.Table:
+    """Per-batch per-cell partials (the combiner half of the aggregate).
+
+    Pure Arrow (``pa.Table.group_by``) — string columns stay Arrow buffers
+    instead of decaying to Python objects in a pandas round-trip.
+    """
+    import pyarrow.compute as pc_
+
+    if isinstance(batch, pd.DataFrame):
+        batch = pa.Table.from_pandas(batch, preserve_index=False)
+    fk = pc_.binary_join_element_wise(batch["url"], batch["lang"], _FIRST_SEP)
+    t = batch.append_column("__fk", fk)
+    g = t.group_by(cell_col, use_threads=False).aggregate(
+        [
+            ("url", "count"),
+            ("text_len", "sum"),
+            ("token_count", "sum"),
+            ("score", "sum"),
+            ("flag", "max"),
+            ("lat", "min"),
+            ("lat", "max"),
+            ("lon", "min"),
+            ("lon", "max"),
+            ("__fk", "min"),
+        ]
     )
-    return out
+    return _rename(
+        g,
+        {
+            cell_col: "cell",
+            "url_count": "pages",
+            "text_len_sum": "text_bytes",
+            "token_count_sum": "token_sum",
+            "score_sum": "score_sum",
+            "flag_max": "flag_max",
+            "__fk_min": "first_key",
+        },
+    )
 
 
-def _merge_partials(group: pd.DataFrame) -> pd.DataFrame:
+def _merge_partials(t: pa.Table) -> pa.Table:
     """Algebraic (commutative + associative) merge of partial rows — safe
     at any tree level with any row grouping."""
-    g = group.groupby("cell", sort=False)
-    out = g.agg(
-        pages=("pages", "sum"),
-        text_bytes=("text_bytes", "sum"),
-        token_sum=("token_sum", "sum"),
-        score_sum=("score_sum", "sum"),
-        flag_max=("flag_max", "max"),
-        lat_min=("lat_min", "min"),
-        lat_max=("lat_max", "max"),
-        lon_min=("lon_min", "min"),
-        lon_max=("lon_max", "max"),
-    ).reset_index()
-    # argmin-combine for the deterministic first value
-    first = group.sort_values("min_url", kind="mergesort").drop_duplicates(
-        subset=["cell"], keep="first"
-    )[["cell", "min_url", "lang_first"]]
-    return out.merge(first, on="cell", how="left")
+    g = t.group_by("cell", use_threads=False).aggregate(
+        [
+            ("pages", "sum"),
+            ("text_bytes", "sum"),
+            ("token_sum", "sum"),
+            ("score_sum", "sum"),
+            ("flag_max", "max"),
+            ("lat_min", "min"),
+            ("lat_max", "max"),
+            ("lon_min", "min"),
+            ("lon_max", "max"),
+            ("first_key", "min"),
+        ]
+    )
+    return _rename(
+        g,
+        {
+            "pages_sum": "pages",
+            "text_bytes_sum": "text_bytes",
+            "token_sum_sum": "token_sum",
+            "score_sum_sum": "score_sum",
+            "flag_max_max": "flag_max",
+            "lat_min_min": "lat_min",
+            "lat_max_max": "lat_max",
+            "lon_min_min": "lon_min",
+            "lon_max_max": "lon_max",
+            "first_key_min": "first_key",
+        },
+    )
 
 
-def _finalize_partials(group: pd.DataFrame) -> pd.DataFrame:
-    out = _merge_partials(group)
-    out["mean_text_len"] = out["text_bytes"] / out["pages"]
-    out["score_mean"] = (out["score_sum"] / out["pages"]).clip(0.0, 1.0)
-    return out.drop(columns=["score_sum", "min_url"])
+def _finalize_partials(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc_
+
+    out = _merge_partials(t)
+    pages_f = pc_.cast(out["pages"], pa.float64())
+    mean_text_len = pc_.divide(pc_.cast(out["text_bytes"], pa.float64()), pages_f)
+    score_mean = pc_.min_element_wise(
+        pc_.max_element_wise(pc_.divide(out["score_sum"], pages_f), 0.0), 1.0
+    )
+    split = pc_.split_pattern(out["first_key"], _FIRST_SEP)
+    lang_first = pc_.list_element(split, 1)
+    out = out.drop_columns(["score_sum", "first_key"])
+    out = out.append_column("lang_first", lang_first)
+    out = out.append_column("mean_text_len", mean_text_len)
+    return out.append_column("score_mean", score_mean)
 
 
-def _combine_partials(group: pd.DataFrame) -> pd.DataFrame:
+def _combine_partials(t: pa.Table | pd.DataFrame) -> pa.Table:
     """Single-shot combine (merge + finalize) — used by tests/goldens."""
-    return _finalize_partials(group)
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    return _finalize_partials(t)
 
 
 def cell_aggregate(ds, *, cell_col: str = "h3_7", num_buckets: int = NUM_COMBINE_BUCKETS):
@@ -150,15 +199,15 @@ def cell_aggregate(ds, *, cell_col: str = "h3_7", num_buckets: int = NUM_COMBINE
     between nodes, never raw pages. `num_buckets` is the tree fanout.
     """
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         return _partial_cell_stats(batch, cell_col)
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(num_buckets)
-        .map_batches(_merge_partials, batch_format="pandas", batch_size=None)
+        .map_batches(_merge_partials, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(_finalize_partials, batch_format="pandas", batch_size=None)
+        .map_batches(_finalize_partials, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -552,7 +552,7 @@ def knn_embeddings_query(sf_dir: str, *, k: int = 3, n_queries: int = 5):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     head = (
-        ds.filter(lambda r: r["vec_id"] < n_queries)
+        ds.filter(expr=f"vec_id < {int(n_queries)}")
         .to_pandas()
         .sort_values("vec_id")
     )

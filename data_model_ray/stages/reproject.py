@@ -17,13 +17,27 @@ import pyarrow as pa
 from ..functions.proj import CachedTransformer
 
 
-def parse_zone(mgrs_codes: np.ndarray) -> np.ndarray:
-    """UTM zone from synthetic MGRS codes ``T{zz}...`` (-1 for unassigned)."""
-    out = np.full(len(mgrs_codes), -1, dtype=np.int64)
-    for i, code in enumerate(mgrs_codes):
-        if code and len(code) >= 3 and code[0] == "T":
-            out[i] = int(code[1:3])
-    return out
+def parse_zone(mgrs_codes) -> np.ndarray:
+    """UTM zone from synthetic MGRS codes ``T{zz}...`` (-1 for unassigned).
+
+    Vectorized Arrow kernel (slice + cast); accepts an Arrow array/chunked
+    array or anything ``pa.array`` can ingest.
+    """
+    import pyarrow.compute as pc
+
+    col = (
+        mgrs_codes
+        if isinstance(mgrs_codes, (pa.Array, pa.ChunkedArray))
+        else pa.array(list(mgrs_codes), type=pa.string())
+    )
+    ok = pc.and_(
+        pc.equal(pc.utf8_slice_codeunits(col, 0, 1), "T"),
+        pc.greater_equal(pc.utf8_length(col), 3),
+    )
+    ok = pc.fill_null(ok, False)
+    digits = pc.if_else(ok, pc.utf8_slice_codeunits(col, 1, 3), "-1")
+    zones = pc.cast(digits, pa.int64())
+    return pc.fill_null(zones, -1).to_numpy(zero_copy_only=False)
 
 
 class UtmReproject:
@@ -40,7 +54,7 @@ class UtmReproject:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
-        zones = parse_zone(np.array(batch["mgrs"].to_pylist(), dtype=object))
+        zones = parse_zone(batch["mgrs"])
         e = np.full(len(batch), np.nan)
         n = np.full(len(batch), np.nan)
         for zone in np.unique(zones):

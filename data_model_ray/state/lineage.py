@@ -149,9 +149,11 @@ def resumable_write(
         d = ray.get(done_ref)
         if not d:
             return batch
-        keys = [str(v) for v in batch[partition_col].to_pylist()]
-        mask = pa.array([k not in d for k in keys])
-        return batch.filter(mask)
+        import pyarrow.compute as pc
+
+        keys = pc.cast(batch[partition_col], pa.string())
+        done_set = pa.array(sorted(d), type=pa.string())
+        return batch.filter(pc.invert(pc.is_in(keys, value_set=done_set)))
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
         pkey = str(group[partition_col].iloc[0])

@@ -195,7 +195,7 @@ class TestMegaCellSkew:
                 "lang": rng.choice(["en", "de"], n),
             }
         )
-        partial = _partial_cell_stats(df, "h3_7")
+        partial = _partial_cell_stats(df, "h3_7").to_pandas()
         # one output row per distinct cell, regardless of skew
         assert partial["cell"].is_unique
         assert len(partial) == len(np.unique(cells))
