@@ -54,8 +54,36 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _norm_table_fn(int64_cols=(), round6_cols=()):
+    """map_batches kernel: cast/round columns so engine and DuckDB oracle
+    dtypes agree (the driver hash compares values per dtype)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t):
+        for c in int64_cols:
+            if c in t.column_names:
+                t = t.set_column(
+                    t.column_names.index(c), c, pc.cast(t[c], pa.int64())
+                )
+        for c in round6_cols:
+            if c in t.column_names:
+                t = t.set_column(
+                    t.column_names.index(c), c, pc.round(t[c], ndigits=6)
+                )
+        return t
+
+    return fn
+
+
 def _pages_assignments(sf_dir: str):
-    """Deduped per-url cell/granule/admin assignment table (north-star join)."""
+    """Deduped per-url cell/granule/admin assignment table (north-star join).
+
+    SQL-oracled columns only (h3_7 floor arithmetic, MGRS rect containment,
+    admin even-odd PIP); the s2_12 Hilbert-curve ids are exposed in
+    `pages_s2_cells` (rows-only — not SQL-expressible) and exact-tested in
+    tests/test_flagship.py + tests/test_grid.py.
+    """
     import ray.data as rd
 
     from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
@@ -63,8 +91,22 @@ def _pages_assignments(sf_dir: str):
     ds = rd.read_parquet(_pages_path(sf_dir))
     deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
     return deduped.select_columns(
-        ["url", "h3_7", "s2_12", "mgrs", "admin_l0", "admin_l1"]
+        ["url", "h3_7", "mgrs", "admin_l0", "admin_l1"]
+    ).map_batches(
+        _norm_table_fn(int64_cols=("h3_7", "admin_l0", "admin_l1")),
+        batch_format="pyarrow",
     )
+
+
+def _pages_s2_cells(sf_dir: str):
+    """Per-url S2 level-12 cell ids (Hilbert-curve encode — no SQL oracle)."""
+    import ray.data as rd
+
+    from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
+
+    ds = rd.read_parquet(_pages_path(sf_dir))
+    deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
+    return deduped.select_columns(["url", "s2_12"])
 
 
 def _pages_cell_stats(sf_dir: str):
@@ -75,21 +117,44 @@ def _pages_cell_stats(sf_dir: str):
 
     ds = rd.read_parquet(_pages_path(sf_dir))
     _, cells = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
-    return cells
+    return cells.map_batches(
+        _norm_table_fn(
+            int64_cols=("cell", "flag_max"), round6_cols=("score_mean",)
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _pages_knn(sf_dir: str):
-    """Per-cell spatial kNN over a deterministic 2k-row slice of pages."""
+    """Per-cell spatial kNN over the deterministic host-prefix subset.
+
+    Query/candidate set = DISTINCT (url, lat, lon) of pages whose url
+    starts with oracles.KNN_HOST_PREFIX; output (url, neighbor, rank).
+    dist_km is intentionally not compared (libm cos last-ulp differences
+    between engines); ordering ties resolve by neighbor id on both sides.
+    """
+    import pyarrow.compute as pc
     import ray.data as rd
 
+    from data_model_ray.oracles import KNN_HOST_PREFIX
+    from data_model_ray.stages.dedup import dedup_exact
     from data_model_ray.stages.extract import extract_batch
     from data_model_ray.stages.knn import knn_per_cell
 
-    ds = rd.read_parquet(_pages_path(sf_dir)).limit(2000)
-    pts = ds.map_batches(
-        lambda b: extract_batch(b, verify_text=False), batch_format="pyarrow"
-    ).select_columns(["url", "lat", "lon"])
-    return knn_per_cell(pts, k=5)
+    ds = rd.read_parquet(_pages_path(sf_dir))
+
+    def prep(b):
+        b = b.filter(pc.starts_with(b["url"], pattern=KNN_HOST_PREFIX))
+        b = extract_batch(b, verify_text=False)
+        return b.select(["url", "lat", "lon"])
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+    # duplicate urls carry identical (lat, lon) -> distinct triples
+    pts = dedup_exact(pts, key="url", order_col="lat", num_buckets=8)
+    out = knn_per_cell(pts, k=5)
+    return out.select_columns(["url", "neighbor", "rank"]).map_batches(
+        _norm_table_fn(int64_cols=("rank",)), batch_format="pyarrow"
+    )
 
 
 def _minhash_near_dups(sf_dir: str):
@@ -104,6 +169,13 @@ def _simhash_docs(sf_dir: str):
     return simhash_table(f"{sf_dir}/documents.parquet")
 
 
+def _simhash_pairs(sf_dir: str):
+    """Banded SimHash near-dup pairs (hamming <= 3) over documents."""
+    from data_model_ray.stages.neardup import simhash_pairs
+
+    return simhash_pairs(f"{sf_dir}/documents.parquet", max_distance=3)
+
+
 def _pages_raster(sf_dir: str):
     """Rasterized base level (tile_x/tile_y/px/py layout) — raster<->vector."""
     import pyarrow as pa
@@ -116,7 +188,10 @@ def _pages_raster(sf_dir: str):
         [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
         promote_options="default",
     )
-    return rasterize_level(table)
+    raster = rasterize_level(table)
+    return _norm_table_fn(
+        int64_cols=("level", "tile_x", "tile_y", "px", "py")
+    )(raster)
 
 
 def _langid_docs(sf_dir: str):
@@ -173,13 +248,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill_join": rel.backfill_join,              # J1 inject-missing
         "sessionize": rel.sessionize,                    # gap sessions
         "distinct_pairs": rel.distinct_pairs,            # set-op distinct
-        # pages-based spatial pipelines (rows-only for the driver; exact
-        # goldens in tests/) — the north-star operators themselves
+        # pages-based spatial pipelines — the north-star operators. All but
+        # the hash-based ones (minhash/simhash LSH, s2 Hilbert ids, LSH ANN)
+        # are DuckDB-oracled via data_model_ray.oracles at sf0.01 scale.
         "pages_assignments": _pages_assignments,
+        "pages_s2_cells": _pages_s2_cells,
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_docs": _simhash_docs,
+        "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
@@ -187,8 +265,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+#: the driver's correctness gate runs at sf=0.01 -> this pages row count
+_ORACLE_N = 100_000
+
+
 def oracle_sql() -> dict[str, str]:
+    from data_model_ray import fixtures, oracles
+
+    # the pages oracles read /tmp parquet the engine synthesizes; make sure
+    # it exists even if the oracle runs before the queries (Ray-free path
+    # generates identical rows — pure function of row id)
+    fixtures.ensure_pages_parquet(_ORACLE_N)
+    fixtures.ensure_side_tables()
+
     return {
+        "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
+        "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
+        "pages_raster": oracles.pages_raster_sql(_ORACLE_N),
+        "pages_knn": oracles.pages_knn_sql(_ORACLE_N),
+        "langid_docs": oracles.langid_docs_sql(),
+        "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue

@@ -329,13 +329,37 @@ def write_pages_parquet(path: str, n_rows: int, *, parallelism: int = -1) -> str
     return path
 
 
+def write_pages_parquet_direct(path: str, n_rows: int, *, chunk: int = 65536) -> str:
+    """Ray-free pages writer (same rows — generation is a pure function of
+    row id). Used when no Ray session exists (e.g. oracle-side synthesis)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    writer = None
+    try:
+        for s in range(0, n_rows, chunk):
+            t = pages_batch(np.arange(s, min(s + chunk, n_rows)))
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(path, "part-0.parquet"), t.schema
+                )
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path
+
+
 def ensure_pages_parquet(n_rows: int, *, root: str = "/tmp/graft_pages") -> str:
     """Crash-safe cached synthesis: ``{root}/n{n_rows}`` with a ``_DONE`` marker.
 
     Writes into a temp directory and atomically renames over the target
     (the lineage commit pattern, state/lineage.py), so an interrupted
     synthesis can never leave a half-written directory that later reads
-    mix with fresh files.
+    mix with fresh files. Uses the Ray-parallel writer when a Ray session
+    exists, else the direct writer (identical rows either way).
     """
     import os
     import shutil
@@ -346,10 +370,80 @@ def ensure_pages_parquet(n_rows: int, *, root: str = "/tmp/graft_pages") -> str:
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    write_pages_parquet(tmp, n_rows)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        write_pages_parquet(tmp, n_rows)
+    else:
+        write_pages_parquet_direct(tmp, n_rows)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(str(n_rows))
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
     return path
+
+
+def admin_edges_table() -> pa.Table:
+    """Admin polygons as an edge list (one row per directed boundary edge,
+    exactly the (i, j=i-1) orientation ``functions.pip.points_in_polygon``
+    iterates) plus per-polygon bbox columns — the SQL-joinable form the
+    DuckDB point-in-polygon oracle consumes."""
+    poly = admin_polygons()
+    starts = np.zeros(len(poly["admin_id"]) + 1, dtype=np.int64)
+    np.cumsum(poly["n_vertices"], out=starts[1:])
+    rows: dict[str, list] = {
+        k: []
+        for k in (
+            "admin_id", "level", "xi", "yi", "xj", "yj", "bx0", "bx1", "by0", "by1"
+        )
+    }
+    for p in range(len(poly["admin_id"])):
+        s, e = starts[p], starts[p + 1]
+        vx, vy = poly["vx"][s:e], poly["vy"][s:e]
+        n = e - s
+        for i in range(n):
+            j = (i - 1) % n
+            rows["admin_id"].append(int(poly["admin_id"][p]))
+            rows["level"].append(int(poly["level"][p]))
+            rows["xi"].append(float(vx[i]))
+            rows["yi"].append(float(vy[i]))
+            rows["xj"].append(float(vx[j]))
+            rows["yj"].append(float(vy[j]))
+            rows["bx0"].append(float(vx.min()))
+            rows["bx1"].append(float(vx.max()))
+            rows["by0"].append(float(vy.min()))
+            rows["by1"].append(float(vy.max()))
+    return pa.table(
+        {
+            "admin_id": pa.array(rows["admin_id"], type=pa.int64()),
+            "level": pa.array(rows["level"], type=pa.int64()),
+            **{
+                k: pa.array(rows[k], type=pa.float64())
+                for k in ("xi", "yi", "xj", "yj", "bx0", "bx1", "by0", "by1")
+            },
+        }
+    )
+
+
+def ensure_side_tables(root: str = "/tmp/graft_pages") -> tuple[str, str]:
+    """Materialize the broadcast side tables (MGRS granules, admin polygon
+    edges) as parquet for the DuckDB oracles. Atomic writes, tiny tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    gr = os.path.join(root, "granules.parquet")
+    ae = os.path.join(root, "admin_edges.parquet")
+    if not os.path.exists(gr):
+        pq.write_table(mgrs_granules(), gr + ".tmp")
+        os.replace(gr + ".tmp", gr)
+    if not os.path.exists(ae):
+        pq.write_table(admin_edges_table(), ae + ".tmp")
+        os.replace(ae + ".tmp", ae)
+    return gr, ae

@@ -1,0 +1,264 @@
+"""DuckDB oracle SQL for the pages-based spatial queries.
+
+Every oracle replicates the engine's arithmetic EXPRESSION-FOR-EXPRESSION
+(same operand order, so IEEE doubles agree bitwise): GeoCell encode is the
+floor arithmetic of ``grid.geocell_encode``, MGRS assignment is the
+half-open rect containment + lexicographic-min tie-break of
+``functions.pip.RectIndex.assign``, admin assignment is the even-odd
+ray-cast parity of ``functions.pip.points_in_polygon`` (same edge
+orientation, same ``x_at`` formula) with min-id tie-break, and the text
+stats mirror ``stages.text._byte_counts`` (ASCII corpus: RE2 char counts ==
+byte counts). Quantities whose accumulation order is engine-dependent
+(float sums, cosines) are rounded to 6 decimals on BOTH sides.
+
+The SQL reads the synthesized pages parquet + side tables from
+``/tmp/graft_pages`` (written by ``fixtures.ensure_pages_parquet`` /
+``ensure_side_tables``); the builders are parameterized by row count so
+tests can exercise the same SQL at smaller scales than the driver's sf0.01.
+"""
+
+from __future__ import annotations
+
+GRAFT_ROOT = "/tmp/graft_pages"
+EARTH_DEG = "111.19492664455873"  # stages.knn.EARTH_DEG, exact literal
+H3_BASE = 7 << 56  # GeoCell res-7 id prefix (grid.py id layout)
+KNN_HOST_PREFIX = "https://host3."  # deterministic kNN query subset
+
+_GEO_RE = r'geo\.position" content="(-?[0-9.]+);(-?[0-9.]+)"'
+
+# LangId marker chain — must match stages.text.LANG_MARKERS order exactly
+# (numpy argmax keeps the FIRST max; the CASE chain does the same).
+_LANG_MARKERS = [
+    ("en", "the|and|of|to|in"),
+    ("de", "der|die|und|das|ist"),
+    ("fr", "le|la|les|et|est"),
+    ("es", "el|la|los|que|es"),
+    ("ru", "i|v|ne|na|chto"),
+    ("zh", "de|shi|le|zai|he"),
+    ("ja", "no|ni|wa|wo|ga"),
+]
+
+
+def _base_ctes(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Shared CTE chain: pages -> extracted -> deduped -> h3 (+ text stats)."""
+    pages_glob = f"{root}/n{n_rows}/*.parquet"
+    return f"""
+  pages AS (
+    SELECT url, warc_ts, decode(html) AS h, text, lang
+    FROM read_parquet('{pages_glob}')
+  ),
+  extracted AS (
+    SELECT url, warc_ts, lang, text,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(regexp_extract(h, '{_GEO_RE}', 1) AS DOUBLE) AS lat,
+           CAST(regexp_extract(h, '{_GEO_RE}', 2) AS DOUBLE) AS lon
+    FROM pages
+  ),
+  deduped AS (
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM extracted
+    ) WHERE rn = 1
+  ),
+  h3 AS (
+    SELECT url, warc_ts, lang, text, text_len, lat, lon,
+           {H3_BASE} + GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 512.0) AS BIGINT), 511), 0) * 268435456
+                     + GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * 1024.0) AS BIGINT), 1023), 0) AS h3_7
+    FROM deduped
+  )"""
+
+
+def _admin_ctes(root: str = GRAFT_ROOT) -> str:
+    """Even-odd ray-cast PIP per level with bbox prefilter + min-id tie-break.
+
+    Mirrors functions.pip.points_in_polygon: crossing iff
+    (yi > py) != (yj > py) AND px < xi + (py - yi) * (xj - xi) / (yj - yi)
+    — same operand order, so the doubles agree bitwise. NULLIF guards the
+    division; whenever the crossing test is true the denominator is nonzero.
+    """
+    edges = f"{root}/admin_edges.parquet"
+    parts = []
+    for lvl in (0, 1):
+        parts.append(f"""
+  admin_cand_{lvl} AS (
+    SELECT d.url, e.admin_id,
+           SUM(CASE WHEN (e.yi > d.lat) <> (e.yj > d.lat)
+                     AND d.lon < e.xi + (d.lat - e.yi) * (e.xj - e.xi) / NULLIF(e.yj - e.yi, 0.0)
+               THEN 1 ELSE 0 END) AS crossings
+    FROM h3 d JOIN read_parquet('{edges}') e
+      ON e.level = {lvl}
+     AND d.lon >= e.bx0 AND d.lon <= e.bx1
+     AND d.lat >= e.by0 AND d.lat <= e.by1
+    GROUP BY d.url, e.admin_id
+  ),
+  admin{lvl} AS (
+    SELECT url, MIN(admin_id) AS admin_l{lvl}
+    FROM admin_cand_{lvl} WHERE crossings % 2 = 1 GROUP BY url
+  )""")
+    return ",".join(parts)
+
+
+_TEXT_STATS_CTES = """
+  stats AS (
+    SELECT *,
+           CAST(strlen(text) AS BIGINT) AS nb,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS nl,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS nt
+    FROM h3
+  ),
+  scored AS (
+    SELECT *,
+           CASE WHEN nb < 80 THEN 1 ELSE 0 END
+             + CASE WHEN nb > 4000 THEN 2 ELSE 0 END
+             + CASE WHEN CAST(nl AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE) < 0.6 THEN 4 ELSE 0 END AS flag,
+           LEAST(GREATEST((
+               (1.0 - LEAST(ABS(CAST(nb AS DOUBLE) / CAST(GREATEST(nt, 1) AS DOUBLE) - 5.0) / 5.0, 1.0))
+               + CAST(nl AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE)
+             ) / 2.0, 0.0), 1.0) AS score
+    FROM stats
+  ),
+  cell_stats AS (
+    SELECT h3_7 AS cell,
+           CAST(COUNT(*) AS BIGINT) AS pages,
+           CAST(SUM(text_len) AS BIGINT) AS text_bytes,
+           CAST(SUM(nt) AS BIGINT) AS token_sum,
+           CAST(MAX(flag) AS BIGINT) AS flag_max,
+           MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+           MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+           arg_min(lang, url) AS lang_first,
+           CAST(SUM(text_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_text_len,
+           ROUND(LEAST(GREATEST(SUM(score) / CAST(COUNT(*) AS DOUBLE), 0.0), 1.0), 6) AS score_mean
+    FROM scored GROUP BY h3_7
+  )"""
+
+
+def pages_assignments_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    granules = f"{root}/granules.parquet"
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  granule AS (
+    SELECT d.url, COALESCE(MIN(g.mgrs), '') AS mgrs
+    FROM h3 d LEFT JOIN read_parquet('{granules}') g
+      ON d.lon >= g.xmin AND d.lon < g.xmax
+     AND d.lat >= g.ymin AND d.lat < g.ymax
+    GROUP BY d.url
+  ),
+  {_admin_ctes(root)}
+SELECT d.url, d.h3_7, g.mgrs,
+       CAST(COALESCE(a0.admin_l0, -1) AS BIGINT) AS admin_l0,
+       CAST(COALESCE(a1.admin_l1, -1) AS BIGINT) AS admin_l1
+FROM h3 d
+JOIN granule g USING (url)
+LEFT JOIN admin0 a0 USING (url)
+LEFT JOIN admin1 a1 USING (url)
+"""
+
+
+def pages_cell_stats_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_TEXT_STATS_CTES}
+SELECT * FROM cell_stats
+"""
+
+
+def pages_raster_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """rasterize_level arithmetic over cell_stats (north-up rows, 256 tiles)."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_TEXT_STATS_CTES},
+  rc AS (
+    SELECT *,
+           (cell - {H3_BASE}) // 268435456 AS i_lat,
+           (cell - {H3_BASE}) % 268435456 AS i_lon
+    FROM cell_stats
+  )
+SELECT CAST(7 AS BIGINT) AS level,
+       CAST(i_lon // 256 AS BIGINT) AS tile_x,
+       CAST((511 - i_lat) // 256 AS BIGINT) AS tile_y,
+       CAST(i_lon % 256 AS BIGINT) AS px,
+       CAST((511 - i_lat) % 256 AS BIGINT) AS py,
+       pages, text_bytes, token_sum, flag_max,
+       lat_min, lat_max, lon_min, lon_max,
+       lang_first, mean_text_len, score_mean
+FROM rc
+"""
+
+
+def pages_knn_sql(n_rows: int, root: str = GRAFT_ROOT, *, k: int = 5) -> str:
+    """Exact bounded-radius kNN over the deterministic host subset.
+
+    Ring-1 candidacy via the 9-cell equi-join; distance is the engine's
+    wrapped equirectangular metric with identical operand order. dist_km is
+    excluded from the compared output (libm cos may differ in the last ulp
+    between engines); ordering is unaffected except for exact coordinate
+    ties, which break by neighbor id identically on both sides.
+    """
+    e = EARTH_DEG
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  q AS (
+    SELECT DISTINCT url, lat, lon FROM extracted
+    WHERE starts_with(url, '{KNN_HOST_PREFIX}')
+  ),
+  qc AS (
+    SELECT url, lat, lon,
+           GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 512.0) AS BIGINT), 511), 0) AS i_lat,
+           GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * 1024.0) AS BIGINT), 1023), 0) AS i_lon
+    FROM q
+  ),
+  pairs AS (
+    SELECT a.url AS url, b.url AS neighbor,
+           ((b.lat - a.lat) * {e}) AS dy,
+           ((((b.lon - a.lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * {e}
+             * COS(RADIANS((a.lat + b.lat) / 2.0))) AS dx
+    FROM qc a JOIN qc b
+      ON b.i_lat BETWEEN a.i_lat - 1 AND a.i_lat + 1
+     AND ((b.i_lon - a.i_lon + 1024) % 1024) IN (0, 1, 1023)
+     AND b.url <> a.url
+  ),
+  ranked AS (
+    SELECT url, neighbor,
+           ROW_NUMBER() OVER (
+             PARTITION BY url ORDER BY dx * dx + dy * dy ASC, neighbor ASC
+           ) AS rank
+    FROM pairs
+  )
+SELECT url, neighbor, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def langid_docs_sql() -> str:
+    """stages.text.LangId as SQL: marker-count argmax, first max wins."""
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '\\b({pat})\\b')) AS BIGINT) AS c_{lang}"
+        for lang, pat in _LANG_MARKERS
+    )
+    cols = ", ".join(f"c_{lang}" for lang, _ in _LANG_MARKERS)
+    chain = "\n           ".join(
+        f"WHEN c_{lang} = GREATEST({cols}) THEN '{lang}'"
+        for lang, _ in _LANG_MARKERS
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+           {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST({cols}) = 0 THEN 'und'
+           {chain}
+       END AS lang_pred
+FROM c
+"""
+
+
+def embedding_near_dups_sql(threshold: float = 0.4) -> str:
+    return f"""
+SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])) >= {threshold}
+"""

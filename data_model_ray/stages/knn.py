@@ -145,9 +145,9 @@ def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
+    """(fixed_size_)list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray):
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(arr)
         return flat.reshape(n, -1)

@@ -159,7 +159,9 @@ class LangId:
                 c = c.combine_chunks()
             counts[:, k] = c.to_numpy(zero_copy_only=False)
         best = counts.argmax(axis=1)
-        pred = np.array(langs)[best]
+        # dtype must fit 'und' (plain np.array(langs) is '<U2' and would
+        # silently truncate the unknown marker)
+        pred = np.array(langs, dtype="<U3")[best]
         pred[counts.max(axis=1) == 0] = "und"
         return batch.append_column("lang_pred", pa.array(pred))
 

@@ -1,0 +1,68 @@
+"""Engine vs DuckDB-oracle parity for the pages-based spatial queries.
+
+Runs the exact oracle SQL the driver's correctness gate uses
+(data_model_ray.oracles), at the sf0.001 scale (n=10k pages), and requires
+EXACT frame equality — the oracles replicate the engine's arithmetic
+expression-for-expression, so even the doubles must agree bitwise (modulo
+the documented 6-decimal rounding of order-dependent float sums).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+from data_model_ray import fixtures, oracles
+
+N = 10_000
+SF = "/root/testdata/sf0.001"  # fixtures.rows_for_sf(0.001) == N
+
+
+@pytest.fixture(scope="module")
+def con(ray_session):
+    assert fixtures.rows_for_sf(0.001) == N
+    fixtures.ensure_pages_parquet(N)
+    fixtures.ensure_side_tables()
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    c.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _assert_parity(got, want: pd.DataFrame):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if len(got) == 0 and len(want) == 0:
+        return
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_exact=True)
+
+
+QUERY_CASES = [
+    ("pages_assignments", lambda: oracles.pages_assignments_sql(N)),
+    ("pages_cell_stats", lambda: oracles.pages_cell_stats_sql(N)),
+    ("pages_raster", lambda: oracles.pages_raster_sql(N)),
+    ("pages_knn", lambda: oracles.pages_knn_sql(N)),
+    ("langid_docs", oracles.langid_docs_sql),
+    ("embedding_near_dups", lambda: oracles.embedding_near_dups_sql(0.4)),
+]
+
+
+@pytest.mark.parametrize("name,sql_builder", QUERY_CASES, ids=[c[0] for c in QUERY_CASES])
+def test_pages_query_matches_oracle(con, name, sql_builder):
+    got = entry.queries()[name](SF)
+    want = con.sql(sql_builder()).df()
+    _assert_parity(got, want)
+
+
+def test_oracle_sql_includes_pages_queries():
+    sqls = entry.oracle_sql()
+    for name, _ in QUERY_CASES:
+        assert name in sqls, f"driver oracle missing for {name}"
