@@ -133,7 +133,49 @@ def _lat_lon_in_range(table: pa.Table) -> str | None:
     return None
 
 
-PAGES_CONTRACT = SchemaContract("pages", PAGES_SCHEMA, mode="exact")
+def vocabulary_invariant(
+    column: str, vocab, *, allow_null: bool = False
+) -> Callable[[pa.Table], str | None]:
+    """Controlled-vocabulary membership check (T2) — the CF standard-name
+    validator analogue (/root/reference/src/eopf_geozarr/data_api/geozarr/
+    common.py:107-167): every value of `column` must be a member of `vocab`.
+    Vectorized ``pc.is_in`` against a prebuilt value set; reports up to three
+    offending values by name so violations are actionable."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(set(map(str, vocab))), pa.string())
+
+    def inv(table: pa.Table) -> str | None:
+        if column not in table.column_names:
+            return None
+        col = table[column]
+        ok = pc.is_in(col, value_set=value_set)
+        if allow_null:
+            ok = pc.or_kleene(ok, pc.is_null(col))
+        else:
+            ok = pc.fill_null(ok, False)
+        bad = pc.sum(pc.cast(pc.invert(ok), pa.int64())).as_py() or 0
+        if not bad:
+            return None
+        offenders = pc.unique(pc.filter(col, pc.invert(ok))).to_pylist()[:3]
+        return (
+            f"{bad} rows with {column!r} outside vocabulary "
+            f"(e.g. {offenders})"
+        )
+
+    return inv
+
+
+# the fixture corpus' language vocabulary (fixtures.py LANGS) + the
+# classifier's unknown marker
+LANG_VOCAB = ("en", "de", "fr", "es", "zh", "ru", "ja", "und")
+
+PAGES_CONTRACT = SchemaContract(
+    "pages",
+    PAGES_SCHEMA,
+    mode="exact",
+    invariants=[vocabulary_invariant("lang", LANG_VOCAB)],
+)
 
 ENRICHED_CONTRACT = SchemaContract(
     "enriched_pages",

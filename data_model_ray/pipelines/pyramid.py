@@ -424,6 +424,8 @@ def build_pyramid(
             }
         )
 
+    from ..functions.crs import proj_encodings
+
     base_df = base_table.to_pandas()
     manifest = {
         "kind": "geocell-pyramid",
@@ -436,6 +438,9 @@ def build_pyramid(
             _json_safe(base_df["lat_max"].max()),
         ],
         "crs": "EPSG:4326",
+        # multi-encoding CRS attrs — the Proj convention object
+        # (reference geoproj.py:20-34: >=1 of code/wkt2/projjson required)
+        "proj": proj_encodings("EPSG:4326"),
     }
     if write:
         os.makedirs(out_dir, exist_ok=True)

@@ -89,6 +89,31 @@ def vectorize_tiles(raster: pa.Table, *, tile_size: int = DEFAULT_TILE) -> pa.Ta
     return out
 
 
+# OGC TMS conventions: standardized rendering pixel size 0.28 mm, and for
+# degree-based CRSs metersPerUnit = 2*pi*a/360 (WGS84 a = 6378137 m).
+_OGC_PIXEL_M = 0.00028
+_M_PER_DEG = 2.0 * np.pi * 6378137.0 / 360.0
+
+
+def tile_matrix(res: int, *, tile_size: int = DEFAULT_TILE) -> dict:
+    """Full per-level TileMatrix record per the OGC TileMatrixSet model the
+    reference encodes (/root/reference/src/eopf_geozarr/data_api/geozarr/
+    multiscales/tms.py:8-17): scaleDenominator, cellSize, pointOfOrigin
+    (top-left corner, lon/lat axis order), tile and matrix dimensions."""
+    n_lon, n_lat = 8 << res, 4 << res
+    cell_size = 360.0 / n_lon  # degrees/pixel; grid is square-celled (2:1)
+    return {
+        "id": str(res),
+        "scaleDenominator": cell_size * _M_PER_DEG / _OGC_PIXEL_M,
+        "cellSize": cell_size,
+        "pointOfOrigin": [-180.0, 90.0],
+        "tileWidth": tile_size,
+        "tileHeight": tile_size,
+        "matrixWidth": -(-n_lon // tile_size),
+        "matrixHeight": -(-n_lat // tile_size),
+    }
+
+
 def tile_matrix_limits(raster: pa.Table) -> dict:
     """Per-level TMS-style limits: min/max tile row/col + tile count."""
     tx = raster["tile_x"].to_numpy(zero_copy_only=False)
@@ -147,9 +172,43 @@ def rasterize_pyramid(
                 "geotransform": gdal_geotransform(level_affine(res)),
                 "limits": limits,
                 "cells": table.num_rows,
+                **tile_matrix(res, tile_size=tile_size),
             }
         )
-    manifest = {"kind": "tile-raster", "crs": "EPSG:4326", "levels": levels_meta}
+    from ..functions.crs import proj_encodings
+
+    # Multiscales analogue (reference multiscales/tms.py:19-56): a
+    # TileMatrixSet with full per-level TileMatrix records + per-level
+    # TileMatrixLimits, plus the multi-encoding CRS attrs.
+    manifest = {
+        "kind": "tile-raster",
+        "crs": "EPSG:4326",
+        "proj": proj_encodings("EPSG:4326"),
+        "tile_matrix_set": {
+            "id": "GeoCellGlobal",
+            "crs": "EPSG:4326",
+            "orderedAxes": ["Lon", "Lat"],
+            "tileMatrices": [
+                {k: lv[k] for k in (
+                    "id", "scaleDenominator", "cellSize", "pointOfOrigin",
+                    "tileWidth", "tileHeight", "matrixWidth", "matrixHeight",
+                )}
+                for lv in levels_meta
+            ],
+        },
+        "resampling_method": "average",
+        "tile_matrix_limits": {
+            lv["id"]: {
+                "tileMatrix": lv["id"],
+                "minTileCol": lv["limits"]["min_tile_col"],
+                "minTileRow": lv["limits"]["min_tile_row"],
+                "maxTileCol": lv["limits"]["max_tile_col"],
+                "maxTileRow": lv["limits"]["max_tile_row"],
+            }
+            for lv in levels_meta
+        },
+        "levels": levels_meta,
+    }
     with open(os.path.join(out_dir, "tms_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

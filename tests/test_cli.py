@@ -41,3 +41,55 @@ class TestCli:
     def test_validate_detects_missing(self, tmp_path):
         v = run_cli("validate", "--out", str(tmp_path / "nothing"))
         assert v.returncode == 1
+
+    def test_validate_rejects_missing_crs_and_bad_tms(self, tmp_path):
+        # build a small pyramid + raster without Ray (pure library calls)
+        import numpy as np
+        import pyarrow as pa
+
+        from data_model_ray import grid
+        from data_model_ray.pipelines.pyramid import build_pyramid
+        from data_model_ray.pipelines.rasterize import rasterize_pyramid
+
+        rng = np.random.default_rng(3)
+        cells = np.unique(
+            grid.geocell_encode(rng.uniform(30, 50, 300), rng.uniform(-10, 25, 300), 6)
+        )
+        n = len(cells)
+        t = pa.table(
+            {
+                "cell": pa.array(cells),
+                "pages": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "lat_min": pa.array(np.full(n, 30.0)),
+                "lat_max": pa.array(np.full(n, 50.0)),
+                "lon_min": pa.array(np.full(n, -10.0)),
+                "lon_max": pa.array(np.full(n, 25.0)),
+            }
+        )
+        pyr = str(tmp_path / "pyr")
+        build_pyramid(t, pyr, base_res=6)
+        rasterize_pyramid(str(tmp_path / "raster"), pyr)
+
+        # both dirs valid as written
+        for target in (pyr, str(tmp_path / "raster")):
+            v = run_cli("validate", "--out", target)
+            assert v.returncode == 0, v.stdout
+
+        # strip every CRS encoding -> the Proj >=1-encoding invariant fails
+        mp = Path(pyr) / "manifest.json"
+        m = json.loads(mp.read_text())
+        m["proj"] = {}
+        mp.write_text(json.dumps(m))
+        v = run_cli("validate", "--out", pyr)
+        assert v.returncode == 1
+        assert "at least one of proj:code" in v.stdout
+
+        # out-of-matrix TMS limits -> fails
+        tp = tmp_path / "raster" / "tms_manifest.json"
+        tms = json.loads(tp.read_text())
+        key = next(iter(tms["tile_matrix_limits"]))
+        tms["tile_matrix_limits"][key]["maxTileCol"] = 10**6
+        tp.write_text(json.dumps(tms))
+        v = run_cli("validate", "--out", str(tmp_path / "raster"))
+        assert v.returncode == 1
+        assert "outside matrix dims" in v.stdout

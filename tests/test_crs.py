@@ -1,0 +1,132 @@
+"""Multi-encoding CRS (proj:code/wkt2/projjson), PROJJSON structural
+validation, vocabulary membership, and full TMS metadata tests — shaped like
+the reference's tests/test_data_api/test_projjson.py + test_geoproj."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from data_model_ray.functions.crs import (
+    proj_encodings,
+    projjson_for,
+    validate_proj_attrs,
+    validate_projjson,
+    wkt2_for,
+)
+from data_model_ray.functions.schema import (
+    LANG_VOCAB,
+    PAGES_CONTRACT,
+    SchemaContract,
+    SchemaViolation,
+    vocabulary_invariant,
+)
+from data_model_ray.pipelines.rasterize import tile_matrix
+
+
+class TestProjEncodings:
+    def test_all_three_encodings_present(self):
+        p = proj_encodings("EPSG:4326")
+        assert p["proj:code"] == "EPSG:4326"
+        assert p["proj:wkt2"].startswith("GEOGCRS")
+        assert p["proj:projjson"]["type"] == "GeographicCRS"
+        assert validate_proj_attrs(p) == []
+
+    @pytest.mark.parametrize("code", ["EPSG:4326", "EPSG:3857", "EPSG:32633"])
+    def test_projjson_valid_and_json_serializable(self, code):
+        pj = projjson_for(code)
+        assert validate_projjson(pj) == []
+        json.dumps(pj)  # must round-trip through JSON
+
+    def test_utm_wkt2_carries_zone_params(self):
+        w = wkt2_for("EPSG:32633")
+        assert "UTM zone 33N" in w and '"Longitude of natural origin",15,' in w
+        assert w.count("[") == w.count("]")
+
+    def test_at_least_one_encoding_required(self):
+        # the Proj model's core invariant (reference geoproj.py:27-34)
+        assert validate_proj_attrs({}) != []
+        assert validate_proj_attrs({"proj:code": "EPSG:4326"}) == []
+        assert validate_proj_attrs({"proj:wkt2": wkt2_for("EPSG:3857")}) == []
+
+    def test_bad_code_and_bad_wkt_flagged(self):
+        assert validate_proj_attrs({"proj:code": "utm33"}) != []
+        assert validate_proj_attrs({"proj:wkt2": "POINT[1 2]"}) != []
+
+
+class TestProjjsonValidator:
+    def test_rejects_missing_datum(self):
+        pj = projjson_for("EPSG:4326")
+        del pj["datum_ensemble"]
+        assert any("datum" in p for p in validate_projjson(pj))
+
+    def test_rejects_datum_and_ensemble_together(self):
+        pj = projjson_for("EPSG:4326")
+        pj["datum"] = {"name": "x"}
+        assert any("exactly one" in p for p in validate_projjson(pj))
+
+    def test_rejects_bad_axis_direction(self):
+        pj = projjson_for("EPSG:4326")
+        pj["coordinate_system"]["axis"][0]["direction"] = "sideways"
+        assert any("illegal direction" in p for p in validate_projjson(pj))
+
+    def test_rejects_id_ids_conflict(self):
+        pj = projjson_for("EPSG:4326")
+        pj["ids"] = [pj["id"]]
+        assert any("both" in p for p in validate_projjson(pj))
+
+    def test_projected_requires_base_and_conversion(self):
+        pj = projjson_for("EPSG:32633")
+        del pj["conversion"]
+        assert any("conversion" in p for p in validate_projjson(pj))
+
+
+class TestVocabularyInvariant:
+    def test_contract_rejects_off_vocabulary_batch(self):
+        contract = SchemaContract(
+            "langs",
+            pa.schema([("lang", pa.string())]),
+            invariants=[vocabulary_invariant("lang", LANG_VOCAB)],
+        )
+        ok = pa.table({"lang": pa.array(["en", "de", "und"])})
+        assert contract.check(ok) == []
+        bad = pa.table({"lang": pa.array(["en", "xx", "xx", None])})
+        msgs = contract.check(bad)
+        assert msgs and "xx" in msgs[0] and "3 rows" in msgs[0]
+
+    def test_allow_null(self):
+        inv = vocabulary_invariant("lang", ("en",), allow_null=True)
+        assert inv(pa.table({"lang": pa.array(["en", None])})) is None
+
+    def test_pages_contract_has_lang_vocab(self):
+        import numpy as np
+
+        from data_model_ray.fixtures import pages_batch
+
+        t = pages_batch(np.arange(50, dtype=np.uint64))
+        PAGES_CONTRACT.validate(t)
+        bad = t.set_column(
+            t.schema.get_field_index("lang"),
+            "lang",
+            pa.array(["klingon"] * t.num_rows),
+        )
+        with pytest.raises(SchemaViolation, match="vocabulary"):
+            PAGES_CONTRACT.validate(bad)
+
+
+class TestTileMatrix:
+    def test_fields_and_dims(self):
+        m = tile_matrix(7, tile_size=256)
+        assert m["id"] == "7"
+        assert m["matrixWidth"] == 4  # 8<<7 = 1024 cols / 256
+        assert m["matrixHeight"] == 2  # 4<<7 = 512 rows / 256
+        assert m["pointOfOrigin"] == [-180.0, 90.0]
+        assert m["cellSize"] == pytest.approx(360.0 / 1024)
+
+    def test_scale_denominator_halves_per_level(self):
+        a, b = tile_matrix(5), tile_matrix(6)
+        assert a["scaleDenominator"] == pytest.approx(2 * b["scaleDenominator"])
+        # OGC formula: cellSize(m) / 0.28mm
+        assert b["scaleDenominator"] == pytest.approx(
+            b["cellSize"] * (2 * 3.141592653589793 * 6378137 / 360) / 0.00028
+        )
