@@ -225,6 +225,52 @@ def _knn_lsh(sf_dir: str):
     return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
 
 
+def _gcp_reproject(sf_dir: str):
+    """Scattered-control-point (GCP) reprojection over a deterministic
+    image-coordinate table (T1 hard case — TPS solve, no SQL oracle;
+    accuracy exact-tested against the closed-form UTM transform in
+    tests/test_gcp.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_model_ray.functions.proj import utm_to_geodetic
+    from data_model_ray.stages.reproject import GcpReproject
+
+    # 11x11 GCP grid over a 100 km UTM-33 tile, sampled from the true
+    # transform (what a Sentinel-1 annotation carries)
+    g_rows, g_cols = np.meshgrid(np.linspace(0, 10980, 11), np.linspace(0, 10980, 11))
+    g_rows, g_cols = g_rows.ravel(), g_cols.ravel()
+    g_lat, g_lon = utm_to_geodetic(300000.0 + g_cols * 10.0, 4600000.0 - g_rows * 10.0, 33)
+    gcps = {"row": g_rows, "col": g_cols, "x": g_lon, "y": g_lat}
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_image_coords(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        row = pc.cast(pc.multiply(did, pa.scalar(37, pa.int64())), pa.float64())
+        col = pc.cast(pc.multiply(did, pa.scalar(101, pa.int64())), pa.float64())
+        return pa.table(
+            {
+                "doc_id": did,
+                "row": pc.subtract(row, pc.multiply(pc.floor(pc.divide(row, 10980.0)), 10980.0)),
+                "col": pc.subtract(col, pc.multiply(pc.floor(pc.divide(col, 10980.0)), 10980.0)),
+            }
+        )
+
+    out = ds.map_batches(to_image_coords, batch_format="pyarrow").map_batches(
+        GcpReproject,
+        fn_constructor_kwargs={"gcps": gcps, "method": "tps"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )
+    return out.select_columns(["doc_id", "lon", "lat"]).map_batches(
+        _norm_table_fn(round6_cols=("lon", "lat")), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import relational as rel
 
@@ -262,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
+        "gcp_reproject": _gcp_reproject,
     }
 
 

@@ -70,3 +70,58 @@ class UtmReproject:
         out = out.append_column("utm_e", pa.array(e))
         out = out.append_column("utm_n", pa.array(n))
         return out
+
+
+class GcpReproject:
+    """Scattered-control-point reprojection stage — the reference's hard T1
+    case (Sentinel-1 GRD georeferencing via GCP grids,
+    /root/reference/src/eopf_geozarr/conversion/sentinel1_reprojection.py:
+    111-138): imagery coordinates carry no affine, only sparse (row, col) ->
+    (lon, lat) control points, and every pixel position is interpolated.
+
+    The GCP table is small (a Sentinel-1 grid is ~200 points), so the fitted
+    transformer is built ONCE per actor in ``__init__`` from broadcast GCP
+    arrays (pass the ``ray.put`` handle via fn_constructor_kwargs, or the
+    raw dict — both ship once per actor, never per batch) and applied
+    vectorized per batch:
+
+        gcps_ref = ray.put(gcps_dict)
+        ds.map_batches(GcpReproject, fn_constructor_kwargs={"gcps": gcps_ref},
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, N))
+    """
+
+    def __init__(
+        self,
+        gcps,
+        *,
+        row_col: str = "row",
+        col_col: str = "col",
+        method: str = "tps",
+        order: int = 2,
+        out_x: str = "lon",
+        out_y: str = "lat",
+    ):
+        import ray
+
+        from ..functions.gcp import fit_gcp_transformer
+
+        if isinstance(gcps, ray.ObjectRef):
+            gcps = ray.get(gcps)
+        self.transformer = fit_gcp_transformer(
+            np.asarray(gcps["row"], np.float64),
+            np.asarray(gcps["col"], np.float64),
+            np.asarray(gcps["x"], np.float64),
+            np.asarray(gcps["y"], np.float64),
+            method=method,
+            order=order,
+        )
+        self.row_col, self.col_col = row_col, col_col
+        self.out_x, self.out_y = out_x, out_y
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch[self.row_col].to_numpy(zero_copy_only=False)
+        cols = batch[self.col_col].to_numpy(zero_copy_only=False)
+        x, y = self.transformer.transform(rows, cols)
+        out = batch.append_column(self.out_x, pa.array(x))
+        return out.append_column(self.out_y, pa.array(y))
