@@ -110,6 +110,16 @@ def cmd_validate(args) -> int:
         bbox = manifest.get("spatial:bbox", [])
         if len(bbox) == 4 and not (bbox[0] <= bbox[2] and bbox[1] <= bbox[3]):
             problems.append("bbox not ordered (xmin<=xmax, ymin<=ymax)")
+        # level-graph referential integrity (the check_grid_mapping analogue,
+        # reference common.py:251-264): every derived_from must name an
+        # existing level asset
+        assets = {lv["asset"] for lv in manifest.get("levels", [])}
+        for lv in manifest.get("levels", []):
+            src = lv.get("derived_from")
+            if src is not None and src not in assets:
+                problems.append(
+                    f"{lv['asset']}: derived_from {src!r} names no level asset"
+                )
         # CRS compliance: the Proj convention requires >=1 of
         # code/wkt2/projjson (reference geoproj.py:27-34); validate
         # whichever encodings are present.

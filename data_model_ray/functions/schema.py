@@ -166,6 +166,98 @@ def vocabulary_invariant(
     return inv
 
 
+def foreign_key_invariant(
+    column: str, referent_values, *, referent_name: str = "referent", allow_null: bool = True
+) -> Callable[[pa.Table], str | None]:
+    """Cross-table referential integrity — the `check_grid_mapping` analogue
+    (/root/reference/src/eopf_geozarr/data_api/geozarr/common.py:251-264):
+    every non-null value of `column` must name a row of the (small,
+    broadcast) referent key set; a dangling reference fails the batch.
+    Nulls mean 'unassigned' and pass by default."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(set(referent_values)))
+
+    def inv(table: pa.Table) -> str | None:
+        if column not in table.column_names:
+            return None
+        col = table[column]
+        ok = pc.is_in(col, value_set=value_set)
+        if allow_null:
+            ok = pc.or_kleene(ok, pc.is_null(col))
+        else:
+            ok = pc.fill_null(ok, False)
+        bad = pc.sum(pc.cast(pc.invert(ok), pa.int64())).as_py() or 0
+        if not bad:
+            return None
+        offenders = pc.unique(pc.filter(col, pc.invert(ok))).to_pylist()[:3]
+        return (
+            f"{bad} rows whose {column!r} references no {referent_name} "
+            f"(e.g. {offenders})"
+        )
+
+    return inv
+
+
+def dependency_invariant(
+    derive: Callable[[pa.Table], "pa.Array | pa.ChunkedArray"],
+    column: str,
+    *,
+    description: str,
+) -> Callable[[pa.Table], str | None]:
+    """Cross-column functional-dependency check — the dims<->coords
+    consistency analogue (common.py:179-219: a referenced dimension must
+    exist AND agree in shape). Here: `column` must equal the value derived
+    from its sibling columns; rows where the derived value is null are
+    exempt (no assignment to be consistent with)."""
+    import pyarrow.compute as pc
+
+    def inv(table: pa.Table) -> str | None:
+        if column not in table.column_names:
+            return None
+        want = derive(table)
+        ok = pc.or_kleene(pc.equal(table[column], want), pc.is_null(want))
+        ok = pc.fill_null(ok, False)
+        bad = pc.sum(pc.cast(pc.invert(ok), pa.int64())).as_py() or 0
+        if bad:
+            return f"{bad} rows violate {description}"
+        return None
+
+    return inv
+
+
+def mgrs_zone_dependency() -> Callable[[pa.Table], str | None]:
+    """utm_zone must equal the zone encoded in the mgrs granule code."""
+    def derive(table: pa.Table):
+        import pyarrow.compute as pc
+
+        from ..stages.reproject import parse_zone
+
+        zones = parse_zone(table["mgrs"])
+        arr = pa.array(zones)
+        # unassigned granule (zone -1) -> null -> exempt
+        return pc.if_else(pc.equal(arr, -1), pa.scalar(None, pa.int64()), arr)
+
+    return dependency_invariant(
+        derive, "utm_zone", description="utm_zone == zone(mgrs)"
+    )
+
+
+def cell_level_dependency(cell_col: str = "cell", level_col: str = "level"):
+    """level must equal the resolution packed in the cell id's high bits."""
+    def derive(table: pa.Table):
+        import numpy as np
+
+        from ..grid import geocell_res
+
+        cells = table[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(geocell_res(cells).astype(np.int32))
+
+    return dependency_invariant(
+        derive, level_col, description=f"{level_col} == res({cell_col})"
+    )
+
+
 # the fixture corpus' language vocabulary (fixtures.py LANGS) + the
 # classifier's unknown marker
 LANG_VOCAB = ("en", "de", "fr", "es", "zh", "ru", "ja", "und")
@@ -176,6 +268,13 @@ PAGES_CONTRACT = SchemaContract(
     mode="exact",
     invariants=[vocabulary_invariant("lang", LANG_VOCAB)],
 )
+
+def _granule_codes() -> list[str]:
+    from ..fixtures import mgrs_granules
+
+    # "" is the engine's unassigned sentinel (functions/pip.py:61)
+    return mgrs_granules()["mgrs"].to_pylist() + [""]
+
 
 ENRICHED_CONTRACT = SchemaContract(
     "enriched_pages",
@@ -190,7 +289,13 @@ ENRICHED_CONTRACT = SchemaContract(
         ]
     ),
     mode="subset",
-    invariants=[_lat_lon_in_range],
+    invariants=[
+        _lat_lon_in_range,
+        # referential: an assigned granule code must exist in the granule
+        # registry; a reprojected row's utm_zone must agree with its mgrs
+        foreign_key_invariant("mgrs", _granule_codes(), referent_name="granule"),
+        mgrs_zone_dependency(),
+    ],
 )
 
 CELL_STATS_CONTRACT = SchemaContract(

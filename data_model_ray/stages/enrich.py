@@ -36,7 +36,14 @@ SLIM_COLUMNS = [
 
 
 class Enrich:
-    """Actor-pool deployment of the fused kernel."""
+    """Actor-pool deployment of the fused kernel.
+
+    With ``validate=True`` (default when a granule index is present) every
+    output batch passes the enriched-pages contract — lat/lon range, granule
+    foreign-key, mgrs<->utm_zone dependency (functions/schema.py) — inside
+    the same kernel, the reference's validate-on-write semantics without an
+    extra operator boundary.
+    """
 
     def __init__(
         self,
@@ -45,16 +52,45 @@ class Enrich:
         *,
         verify_text: bool = True,
         h3_res: int | None = None,
+        validate: bool | None = None,
     ):
         kwargs = {} if h3_res is None else {"h3_res": h3_res}
         self.geoindex = GeoIndex(granules_ref, admin_ref, **kwargs)
         self.verify_text = verify_text
+        if validate is None:
+            validate = granules_ref is not None
+        self.contract = None
+        if validate and self.geoindex.granule_index is not None:
+            from ..functions.schema import (
+                ENRICHED_CONTRACT,
+                SchemaContract,
+                _lat_lon_in_range,
+                foreign_key_invariant,
+                mgrs_zone_dependency,
+            )
+
+            # FK referent = the granule index THIS actor actually joins
+            # against (not a global fixture), so the check is self-consistent
+            codes = list(self.geoindex.granule_index.codes) + [""]
+            self.contract = SchemaContract(
+                "enriched_pages",
+                ENRICHED_CONTRACT.schema,
+                mode="subset",
+                invariants=[
+                    _lat_lon_in_range,
+                    foreign_key_invariant("mgrs", codes, referent_name="granule"),
+                    mgrs_zone_dependency(),
+                ],
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.geoindex.process_chunk(
             text_stats(extract_batch(batch, verify_text=self.verify_text))
         )
-        return out.select(SLIM_COLUMNS)
+        out = out.select(SLIM_COLUMNS)
+        if self.contract is not None:
+            self.contract.validate(out)
+        return out
 
 
 def make_enrich_fn(

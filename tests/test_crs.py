@@ -130,3 +130,64 @@ class TestTileMatrix:
         assert b["scaleDenominator"] == pytest.approx(
             b["cellSize"] * (2 * 3.141592653589793 * 6378137 / 360) / 0.00028
         )
+
+
+class TestReferentialInvariants:
+    def test_foreign_key_catches_dangling_granule(self):
+        from data_model_ray.functions.schema import foreign_key_invariant
+
+        inv = foreign_key_invariant("mgrs", ["T33UAA", "T33UAB", ""], referent_name="granule")
+        ok = pa.table({"mgrs": pa.array(["T33UAA", "", None])})
+        assert inv(ok) is None
+        bad = pa.table({"mgrs": pa.array(["T33UAA", "T99ZZZ"])})
+        msg = inv(bad)
+        assert msg and "T99ZZZ" in msg and "granule" in msg
+
+    def test_mgrs_zone_dependency(self):
+        from data_model_ray.functions.schema import mgrs_zone_dependency
+
+        inv = mgrs_zone_dependency()
+        ok = pa.table(
+            {
+                "mgrs": pa.array(["T33UAA", "T32TBB", ""]),
+                "utm_zone": pa.array([33, 32, -1], pa.int64()),
+            }
+        )
+        assert inv(ok) is None
+        bad = pa.table(
+            {
+                "mgrs": pa.array(["T33UAA", "T32TBB"]),
+                "utm_zone": pa.array([33, 31], pa.int64()),
+            }
+        )
+        assert "utm_zone == zone(mgrs)" in inv(bad)
+
+    def test_cell_level_dependency(self):
+        import numpy as np
+
+        from data_model_ray import grid
+        from data_model_ray.functions.schema import cell_level_dependency
+
+        cells = grid.geocell_encode(np.array([45.0, 10.0]), np.array([7.0, 7.0]), 6)
+        inv = cell_level_dependency()
+        ok = pa.table({"cell": pa.array(cells), "level": pa.array([6, 6], pa.int32())})
+        assert inv(ok) is None
+        bad = pa.table({"cell": pa.array(cells), "level": pa.array([6, 5], pa.int32())})
+        assert inv(bad) is not None
+
+    def test_enriched_contract_end_to_end(self):
+        # the live flagship batch passes; a corrupted granule ref fails
+        import numpy as np
+
+        from data_model_ray.fixtures import admin_polygons, mgrs_granules, pages_batch
+        from data_model_ray.functions.schema import ENRICHED_CONTRACT
+        from data_model_ray.stages.enrich import Enrich
+
+        t = Enrich(mgrs_granules(), admin_polygons())(
+            pages_batch(np.arange(200, dtype=np.uint64))
+        )
+        ENRICHED_CONTRACT.validate(t)
+        i = t.schema.get_field_index("mgrs")
+        bad = t.set_column(i, "mgrs", pa.array(["T99XXX"] * t.num_rows))
+        with pytest.raises(SchemaViolation, match="granule"):
+            ENRICHED_CONTRACT.validate(bad)
