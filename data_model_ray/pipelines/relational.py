@@ -343,15 +343,20 @@ def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
 
     joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
         out = (
-            group.groupby("o_orderstatus", sort=False)
+            batch.groupby("o_orderstatus", sort=False)
             .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
             .reset_index()
         )
         return _round_col(out, ["revenue"], nd=2)
 
-    return joined.groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+    # per-bucket partials are <= num_buckets x |status| rows — combine them
+    # in ONE task via a coalesce instead of a second sort-based groupby
+    # exchange (the all-to-all machinery costs more than the 48-row combine)
+    return joined.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
 
 
 def distinct_pairs(sf_dir: str):

@@ -228,14 +228,20 @@ def knn_embeddings_lsh(
     seed: int = 42,
     dim: int | None = None,
 ):
-    """Random-hyperplane LSH-bucketed ANN (the scale path).
+    """Random-hyperplane LSH ANN as a true bucketed index (the scale path).
 
     Standard multi-table construction: ``n_tables`` independent sets of
     ``n_planes`` hyperplanes; a row is a candidate for a query if their sign
     buckets match in ANY table (OR-amplification of recall). Approximate by
-    design — recall tested against the brute-force baseline. At scale this
-    turns the all-rows scan into a ``groupby(table, bucket)`` with
-    per-bucket matmuls.
+    design — recall tested against the brute-force baseline.
+
+    Index shape, not a masked scan: the map stage hashes each row into its
+    per-table buckets and DROPS every row that shares no bucket with any
+    query — only candidate rows (with their normalized vectors) enter the
+    ``groupby(bucket)`` exchange, and each bucket group is scored with ONE
+    matmul against just the queries hashed to that bucket. Work after the
+    map is proportional to bucket occupancy x queries-per-bucket, never to
+    table size; the shuffle moves only surviving candidates.
     """
     import ray
 
@@ -244,37 +250,89 @@ def knn_embeddings_lsh(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, d, n_planes))
     pow2 = 1 << np.arange(n_planes)
-    q_buckets = np.stack(
-        [((qm @ planes[t]) > 0) @ pow2 for t in range(n_tables)], axis=1
-    )  # (nq, n_tables)
-    q_ref = ray.put((qm, planes, q_buckets))
     qids = np.asarray(query_ids)
+    # bucket key packs (table, signature): key = t << n_planes | sig
+    q_sigs = np.stack(
+        [((qm @ planes[t]) > 0) @ pow2 for t in range(n_tables)], axis=1
+    )
+    q_keys = (np.arange(n_tables)[None, :] << n_planes) | q_sigs  # (nq, nt)
+    # query-side index: bucket key -> query row indices (small, broadcast)
+    q_by_key: dict[int, np.ndarray] = {}
+    for t in range(n_tables):
+        order = np.argsort(q_keys[:, t], kind="stable")
+        keys_sorted = q_keys[order, t]
+        starts = np.flatnonzero(np.r_[True, keys_sorted[1:] != keys_sorted[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(keys_sorted)]):
+            q_by_key.setdefault(int(keys_sorted[s]), []).append(order[s:e])
+    q_by_key = {kk: np.concatenate(v) for kk, v in q_by_key.items()}
+    wanted = np.array(sorted(q_by_key), dtype=np.int64)
+    idx_ref = ray.put((qm, qids, q_by_key))
+    planes_ref = ray.put(planes)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        qm_, planes_, q_b = ray.get(q_ref)
+    def emit_candidates(batch: pa.Table) -> pa.Table:
+        """Hash rows; keep only (row, table) pairs landing in a query bucket."""
+        planes_ = ray.get(planes_ref)
         m = _normalize(_as_matrix(batch[vec_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        nt = planes_.shape[0]
-        buckets = np.stack(
-            [((m @ planes_[t]) > 0) @ pow2 for t in range(nt)], axis=1
-        )  # (nb, n_tables)
-        rows = []
-        for qi in range(len(qids)):
-            mask = (buckets == q_b[qi]).any(axis=1) & (ids != qids[qi])
-            if not mask.any():
-                continue
-            cand = m[mask]
-            cand_ids = ids[mask]
-            s = cand @ qm_[qi]
-            order = np.lexsort((cand_ids, -s))[:k]
-            for j in order:
-                rows.append((qids[qi], cand_ids[j], float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+        keys = np.stack(
+            [
+                (np.int64(t) << n_planes) | (((m @ planes_[t]) > 0) @ pow2)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )  # (nb, nt)
+        hit = np.isin(keys, wanted)
+        rows, tables = np.nonzero(hit)
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        flat = m[rows].ravel()
+        vecs = pa.FixedSizeListArray.from_arrays(pa.array(flat), m.shape[1])
+        return pa.table(
+            {
+                "bucket": pa.array(keys[rows, tables]),
+                "neighbor_id": pa.array(ids[rows].astype(np.int64)),
+                "vec": vecs,
+            }
+        )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    candidates = ds.map_batches(emit_candidates, batch_format="pyarrow")
+
+    def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """One matmul: bucket vectors x queries hashed to this bucket."""
+        qm_, qids_, q_by_key_ = ray.get(idx_ref)
+        key = int(group["bucket"].iloc[0])
+        qidx = q_by_key_[key]
+        m = np.stack(group["vec"].to_numpy())
+        ids = group["neighbor_id"].to_numpy()
+        sims = qm_[qidx] @ m.T  # (nq_in_bucket, n_cand)
+        out = []
+        for row, qi in enumerate(qidx):
+            s = sims[row]
+            mask = ids != qids_[qi]
+            cid, cs = ids[mask], s[mask]
+            order = np.lexsort((cid, -cs))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qids_[qi], "neighbor_id": cid[order], "cos": cs[order]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
+        return pd.concat(out, ignore_index=True)
+
+    partials = candidates.groupby("bucket").map_groups(
+        score_bucket, batch_format="pandas"
+    )
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
+        # a pair can surface via several tables -> dedup before ranking
+        g = group.drop_duplicates(["query_id", "neighbor_id"]).sort_values(
             ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1))
