@@ -348,6 +348,8 @@ def build_pyramid(
     min_cells: int = 16,
     write: bool = True,
     resume: bool = True,
+    scale_offset: dict[str, dict[str, Any]] | None = None,
+    target_chunk: int = 131_072,
 ) -> dict[str, Any]:
     """Driver loop: write the base level, then roll up level by level.
 
@@ -369,7 +371,10 @@ def build_pyramid(
         write_partition_atomic,
     )
 
+    from ..functions.encoding import plan_table_encoding, unpack_plan, unpack_table
+
     levels_meta: list[dict[str, Any]] = []
+    level_plans: dict[int, dict[str, Any]] = {}
     current = base_table
     res = base_res
     fingerprint = pyramid_fingerprint(base_table, base_res) if write else ""
@@ -391,10 +396,27 @@ def build_pyramid(
                         "wall_s": 0.0,
                     }
                 )
-                return read_partition_table(out_dir, pkey)
+                stored = read_partition_table(out_dir, pkey)
+                stored = unpack_table(stored, unpack_plan(scale_offset))
+                level_plans[r] = plan_table_encoding(
+                    stored.schema,
+                    stored.num_rows,
+                    target_chunk=target_chunk,
+                    scale_offset=scale_offset,
+                )
+                return stored
         table = compute() if table is None else table
+        plan = plan_table_encoding(
+            table.schema,
+            table.num_rows,
+            target_chunk=target_chunk,
+            scale_offset=scale_offset,
+        )
+        level_plans[r] = plan
         if write:
-            rec = write_partition_atomic(table, out_dir, pkey, fingerprint)
+            rec = write_partition_atomic(
+                table, out_dir, pkey, fingerprint, encoding=plan
+            )
             rec["stage"] = "pyramid"
             log.append(rec)
         return table
@@ -407,6 +429,7 @@ def build_pyramid(
             "asset": f"part=level{res}",
             "derived_from": None,
             "scale": 1,
+            "encoding": level_plans[res],
         }
     )
     for r in plan_levels(base_res, current.num_rows, min_cells=min_cells):
@@ -421,6 +444,7 @@ def build_pyramid(
                 "asset": f"part=level{r}",
                 "derived_from": f"part=level{r + 1}",
                 "scale": 2,  # per-axis /2, as the reference's COG ladder
+                "encoding": level_plans[r],
             }
         )
 

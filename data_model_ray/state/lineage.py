@@ -93,18 +93,34 @@ def validate_partition(out_dir: str, pkey: str, fingerprint: str) -> int | None:
 
 
 def write_partition_atomic(
-    table: pa.Table, out_dir: str, pkey: str, fingerprint: str
+    table: pa.Table,
+    out_dir: str,
+    pkey: str,
+    fingerprint: str,
+    *,
+    encoding: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Write one partition: temp file + atomic rename (idempotent commit)."""
+    """Write one partition: temp file + atomic rename (idempotent commit).
+
+    ``encoding`` is a plan from ``functions.encoding.plan_table_encoding``:
+    scale-offset columns are packed and the plan's row-group size and
+    per-column codecs are applied (the reference's encoded-write path,
+    s2_multiscale.py:424-556)."""
     t0 = time.perf_counter()
     path = partition_path(out_dir, pkey)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_kwargs: dict[str, Any] = {}
+    if encoding is not None:
+        from ..functions.encoding import pack_table, parquet_write_options
+
+        table = pack_table(table, encoding)
+        write_kwargs = parquet_write_options(encoding, table.schema)
     schema = table.schema.with_metadata(
         {**(table.schema.metadata or {}), FINGERPRINT_KEY: fingerprint.encode()}
     )
     table = table.cast(schema)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, **write_kwargs)
     os.replace(tmp, path)  # atomic on POSIX; retries re-commit same content
     return {
         "stage": "write",
