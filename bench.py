@@ -61,10 +61,10 @@ def run_headline(pages_path: str, n_rows: int) -> dict:
     cfg = FlagshipConfig(
         geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
         batch_size=8192,
-        # GRAFT_DEDUP_MODE=shuffle selects the cluster-canonical hash-bucket
-        # groupby dedup (the path whose scaling matters for a multi-node
-        # deployment); default is the single-node index-actor fast path
-        dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "index"),
+        # cluster-canonical hash-bucket groupby dedup is the DEFAULT (the
+        # exchange a multi-node deployment actually runs); override with
+        # GRAFT_DEDUP_MODE=index for the single-node shared-index fast path
+        dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "shuffle"),
         dedup_actors=max(8, NUM_CPUS // 2),
         dedup_buckets=max(32, NUM_CPUS * 2),
         cell_buckets=max(16, NUM_CPUS),

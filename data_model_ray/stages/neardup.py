@@ -217,11 +217,12 @@ def minhash_lsh_candidates(
 
     Returns a Dataset of (doc_a, doc_b, jaccard) for verified pairs
     (doc_a < doc_b). Stages: band shuffle moves (band, hash, doc_id)
-    triples only; candidate pairs are deduped with a pair-key groupby, then
-    texts are attached with two hash joins against the docs table and the
-    exact-Jaccard kernel runs vectorized per batch — nothing materializes
-    on the driver (round-1 verdict fix: the old path did two full
-    ``to_pandas()`` gathers).
+    triples only; candidate pairs are deduped with a pair-key groupby; each
+    pair then explodes into two keyed rows so ONE union+bucket hash join
+    against the docs table attaches both texts (the docs table is shuffled
+    once, not once per pair side), and a final groupby over candidate rows
+    only pivots the two slots together and runs the exact-Jaccard kernel —
+    nothing materializes on the driver.
     """
     import ray.data as rd
 
@@ -271,44 +272,43 @@ def minhash_lsh_candidates(
         .map_batches(norm_pairs, batch_format="pyarrow")
     )
 
-    # Attach both texts with two union+bucket-groupby hash joins (the
+    # Attach both texts with ONE union+bucket-groupby hash join (the
     # explicit partitioned-join shape of relational.hash_join_revenue —
     # robust to the empty blocks map_groups emits, which the native Join
-    # operator chokes on). Both sides carry one unified schema.
-    def tag(side: int, key_arr, a, b, ta, tb, n):
+    # operator chokes on). A pair (a, b) explodes into two rows keyed by
+    # doc_a and doc_b with a slot marker; docs rows carry their text. The
+    # full docs table crosses the exchange once; the pair pivot afterwards
+    # moves only candidate rows (bounded by the LSH candidate count).
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
         return pa.table(
             {
-                "key": key_arr.cast(pa.int64()) if hasattr(key_arr, "cast") else key_arr,
-                "doc_a": a if a is not None else pa.nulls(n, pa.int64()),
-                "doc_b": b if b is not None else pa.nulls(n, pa.int64()),
-                "text_a": ta if ta is not None else pa.nulls(n, pa.string()),
-                "text_b": tb if tb is not None else pa.nulls(n, pa.string()),
-                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "key": pa.array(np.concatenate([a, b])),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
             }
         )
 
-    def tag_pairs_a(t: pa.Table) -> pa.Table:
-        return tag(0, t["doc_a"], t["doc_a"], t["doc_b"], None, None, t.num_rows)
-
-    def tag_docs_a(t: pa.Table) -> pa.Table:
-        return tag(
-            1, t[id_col], None, None, t[text_col].cast(pa.string()), None, t.num_rows
-        )
-
-    def tag_pairs_b(t: pa.Table) -> pa.Table:
-        return tag(
-            0,
-            t["doc_b"],
-            t["doc_a"],
-            t["doc_b"],
-            t["text_a"].cast(pa.string()),
-            None,
-            t.num_rows,
-        )
-
-    def tag_docs_b(t: pa.Table) -> pa.Table:
-        return tag(
-            1, t[id_col], None, None, None, t[text_col].cast(pa.string()), t.num_rows
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t[id_col].cast(pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "slot": pa.array(np.full(n, -1, dtype=np.int8)),
+                "text": t[text_col].cast(pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -320,35 +320,41 @@ def minhash_lsh_candidates(
         )
         return t.append_column("bucket", b)
 
-    def join_bucket_a(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["side"] == 0][["key", "doc_a", "doc_b"]]
-        right = group[group["side"] == 1][["key", "text_a"]]
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["key", "doc_a", "doc_b", "slot"]]
+        right = group[group["side"] == 1][["key", "text"]]
         return left.merge(right, on="key", how="inner")[
-            ["doc_a", "doc_b", "text_a"]
+            ["doc_a", "doc_b", "slot", "text"]
         ]
 
-    def join_bucket_b(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["side"] == 0][["key", "doc_a", "doc_b", "text_a"]]
-        right = group[group["side"] == 1][["key", "text_b"]]
-        return left.merge(right, on="key", how="inner")[
-            ["doc_a", "doc_b", "text_a", "text_b"]
-        ]
-
-    u1 = (
-        cand.map_batches(tag_pairs_a, batch_format="pyarrow")
-        .union(ds.map_batches(tag_docs_a, batch_format="pyarrow"))
+    u = (
+        cand.map_batches(explode_pairs, batch_format="pyarrow")
+        .union(ds.map_batches(tag_docs, batch_format="pyarrow"))
         .map_batches(add_bucket, batch_format="pyarrow")
     )
-    j1 = u1.groupby("bucket").map_groups(join_bucket_a, batch_format="pandas")
-    u2 = (
-        j1.map_batches(tag_pairs_b, batch_format="pyarrow")
-        .union(ds.map_batches(tag_docs_b, batch_format="pyarrow"))
-        .map_batches(add_bucket, batch_format="pyarrow")
-    )
-    j2 = u2.groupby("bucket").map_groups(join_bucket_b, batch_format="pandas")
+    joined = u.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("slot")
+        if len(g) != 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        j = round(float(jaccard([g["text"].iloc[0]], [g["text"].iloc[1]])[0]), 6)
+        if j < threshold:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        return pd.DataFrame(
+            {
+                "doc_a": [int(g["doc_a"].iloc[0])],
+                "doc_b": [int(g["doc_b"].iloc[0])],
+                "jaccard": [j],
+            }
+        )
+
+    out = joined.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pandas"
+    )
+
+    def norm_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "doc_a": pa.array([], type=pa.int64()),
@@ -356,19 +362,15 @@ def minhash_lsh_candidates(
                     "jaccard": pa.array([], type=pa.float64()),
                 }
             )
-        j = np.round(
-            jaccard(batch["text_a"].to_pylist(), batch["text_b"].to_pylist()), 6
-        )
-        keep = j >= threshold
         return pa.table(
             {
-                "doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
-                "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
-                "jaccard": pa.array(j[keep], type=pa.float64()),
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "jaccard": t["jaccard"].cast(pa.float64()),
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return out.map_batches(norm_out, batch_format="pyarrow")
 
 
 def simhash_table(docs_path: str, *, text_col: str = "text", id_col: str = "doc_id"):
