@@ -1,0 +1,145 @@
+"""Filesystem abstraction (S9/S10): path scheme -> pyarrow.fs + retry writes.
+
+Re-derives the reference's fsspec plumbing
+(/root/reference/src/eopf_geozarr/conversion/fs_utils.py:110-260,475-580 —
+normalize/parse s3 paths, scheme-dispatched filesystem, JSON metadata
+read/write; geozarr.py:1075-1159 — 3-attempt retried writes) on
+``pyarrow.fs``, the filesystem layer Ray Data readers/writers natively
+accept. S3 itself is unreachable in this sandbox, so ``S3FileSystem``
+construction is exercised only when the endpoint is configured; every other
+path (parsing, local dispatch, retries, NaN-safe JSON round-trips) is real
+and tested.
+
+Usage with Ray Data:
+
+    fs, p = resolve_filesystem("s3://bucket/pages/")
+    ds = ray.data.read_parquet(p, filesystem=fs, columns=[...])
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from typing import Any
+
+#: retry policy for flaky object stores (reference geozarr.py:1075-1159)
+DEFAULT_MAX_RETRIES = 3
+DEFAULT_BACKOFF_S = 2.0
+
+
+def is_s3_path(path: str) -> bool:
+    return path.startswith("s3://")
+
+
+def normalize_path(path: str) -> str:
+    """Collapse duplicate slashes (object stores are slash-sensitive);
+    local paths and the scheme prefix are preserved."""
+    if is_s3_path(path):
+        parts = [p for p in path[5:].split("/") if p]
+        return "s3://" + "/".join(parts)
+    if path.startswith("file://"):
+        return path[7:]
+    return path
+
+
+def parse_s3_path(path: str) -> tuple[str, str]:
+    """s3://bucket/key -> (bucket, key)."""
+    if not is_s3_path(path):
+        raise ValueError(f"not an s3 path: {path}")
+    rest = normalize_path(path)[5:]
+    bucket, _, key = rest.partition("/")
+    if not bucket:
+        raise ValueError(f"no bucket in s3 path: {path}")
+    return bucket, key
+
+
+def resolve_filesystem(path: str, **s3_kwargs: Any):
+    """(pyarrow.fs.FileSystem, fs-relative path) for a URI or local path.
+
+    The tuple plugs straight into ``ray.data.read_parquet(path,
+    filesystem=fs)`` / ``ds.write_parquet``. s3:// paths build an
+    ``S3FileSystem`` from explicit kwargs (endpoint/credentials come from
+    the deployment, never hardcoded); everything else is local.
+    """
+    from pyarrow import fs as pafs
+
+    path = normalize_path(path)
+    if is_s3_path(path):
+        bucket, key = parse_s3_path("s3://" + path[5:])
+        return pafs.S3FileSystem(**s3_kwargs), f"{bucket}/{key}" if key else bucket
+    return pafs.LocalFileSystem(), path
+
+
+def retry_io(fn, *, max_retries: int = DEFAULT_MAX_RETRIES,
+             backoff_s: float = DEFAULT_BACKOFF_S, retryable=(OSError, IOError)):
+    """Run ``fn()`` with the reference's bounded retry-with-backoff loop."""
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            return fn()
+        except retryable as e:  # noqa: PERF203 — retry loop by design
+            last = e
+            if attempt < max_retries - 1:
+                time.sleep(backoff_s * (attempt + 1))
+    raise last  # type: ignore[misc]
+
+
+# --- NaN-safe JSON metadata (fs_utils.py:22-68 + 500-552) --------------------
+
+
+def _json_sanitize(obj: Any) -> Any:
+    if isinstance(obj, float):
+        if math.isnan(obj):
+            return "NaN"
+        if math.isinf(obj):
+            return "Infinity" if obj > 0 else "-Infinity"
+        return obj
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    return obj
+
+
+def _json_restore(obj: Any) -> Any:
+    if obj == "NaN":
+        return float("nan")
+    if obj == "Infinity":
+        return float("inf")
+    if obj == "-Infinity":
+        return float("-inf")
+    if isinstance(obj, dict):
+        return {k: _json_restore(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_restore(v) for v in obj]
+    return obj
+
+
+def write_json_metadata(path: str, metadata: dict[str, Any], **fs_kwargs: Any) -> None:
+    """NaN-safe JSON write through the resolved filesystem, with retries."""
+    fs, p = resolve_filesystem(path, **fs_kwargs)
+    payload = json.dumps(_json_sanitize(metadata), indent=2).encode()
+
+    def write() -> None:
+        with fs.open_output_stream(p) as f:
+            f.write(payload)
+
+    retry_io(write)
+
+
+def read_json_metadata(path: str, **fs_kwargs: Any) -> dict[str, Any]:
+    fs, p = resolve_filesystem(path, **fs_kwargs)
+
+    def read() -> bytes:
+        with fs.open_input_stream(p) as f:
+            return f.read()
+
+    return _json_restore(json.loads(retry_io(read)))
+
+
+def path_exists(path: str, **fs_kwargs: Any) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_filesystem(path, **fs_kwargs)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound

@@ -1,0 +1,92 @@
+"""Filesystem abstraction tests (S9/S10 analogue — fs_utils semantics)."""
+
+import math
+
+import pytest
+
+from data_model_ray.sources.fs import (
+    is_s3_path,
+    normalize_path,
+    parse_s3_path,
+    path_exists,
+    read_json_metadata,
+    resolve_filesystem,
+    retry_io,
+    write_json_metadata,
+)
+
+
+class TestPaths:
+    def test_normalize_collapses_double_slashes(self):
+        assert normalize_path("s3://bucket//a///b/c") == "s3://bucket/a/b/c"
+        assert normalize_path("file:///tmp/x") == "/tmp/x"
+        assert normalize_path("/tmp/x") == "/tmp/x"
+
+    def test_parse_s3(self):
+        assert parse_s3_path("s3://bucket/key/part") == ("bucket", "key/part")
+        assert parse_s3_path("s3://bucket") == ("bucket", "")
+        with pytest.raises(ValueError):
+            parse_s3_path("/local/path")
+        with pytest.raises(ValueError):
+            parse_s3_path("s3://")
+
+    def test_is_s3(self):
+        assert is_s3_path("s3://b/k") and not is_s3_path("/b/k")
+
+
+class TestResolve:
+    def test_local_roundtrip_with_ray_reader(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+        fs, rel = resolve_filesystem(p)
+        ds = rd.read_parquet(rel, filesystem=fs)
+        assert ds.count() == 3
+
+    def test_s3_resolves_bucket_key(self):
+        # construction only — no network call is made until IO happens
+        try:
+            fs, rel = resolve_filesystem(
+                "s3://bucket//k1/k2", endpoint_override="http://127.0.0.1:1"
+            )
+        except OSError:
+            pytest.skip("S3FileSystem unavailable in this environment")
+        assert rel == "bucket/k1/k2"
+
+
+class TestRetry:
+    def test_retries_then_succeeds(self):
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise OSError("transient")
+            return "ok"
+
+        assert retry_io(flaky, backoff_s=0.0) == "ok"
+        assert calls["n"] == 3
+
+    def test_exhausts_and_raises(self):
+        def dead():
+            raise OSError("permanent")
+
+        with pytest.raises(OSError, match="permanent"):
+            retry_io(dead, max_retries=2, backoff_s=0.0)
+
+
+class TestJsonMetadata:
+    def test_nan_safe_roundtrip(self, tmp_path):
+        p = str(tmp_path / "meta.json")
+        meta = {"bbox": [1.0, float("nan"), float("inf"), float("-inf")], "n": 3}
+        write_json_metadata(p, meta)
+        back = read_json_metadata(p)
+        assert back["n"] == 3
+        assert back["bbox"][0] == 1.0
+        assert math.isnan(back["bbox"][1])
+        assert back["bbox"][2] == float("inf")
+        assert back["bbox"][3] == float("-inf")
+        assert path_exists(p) and not path_exists(p + ".missing")
