@@ -33,15 +33,27 @@ def _make_actor_class():
         def __init__(self):
             self.state: dict[Any, list] = {}  # key -> [count, sum, max]
 
-        def ingest(self, keys: list, values: list) -> int:
-            for k, v in zip(keys, values):
+        def ingest(self, keys: np.ndarray, values: np.ndarray) -> int:
+            # vectorized per-batch partial (sort + reduceat), then one dict
+            # merge per DISTINCT key — no per-row Python in the hot loop
+            keys = np.asarray(keys)
+            values = np.asarray(values)
+            order = np.argsort(keys, kind="stable")
+            ks, vs = keys[order], values[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            counts = np.diff(np.r_[starts, len(ks)])
+            sums = np.add.reduceat(vs, starts)
+            maxs = np.maximum.reduceat(vs, starts)
+            for i, si in enumerate(starts):
+                k = ks[si]
+                k = k.item() if isinstance(k, np.generic) else k
                 s = self.state.get(k)
                 if s is None:
-                    self.state[k] = [1, v, v]
+                    self.state[k] = [int(counts[i]), sums[i].item(), maxs[i].item()]
                 else:
-                    s[0] += 1
-                    s[1] += v
-                    s[2] = max(s[2], v)
+                    s[0] += int(counts[i])
+                    s[1] += sums[i].item()
+                    s[2] = max(s[2], maxs[i].item())
             return len(keys)
 
         def snapshot(self) -> dict:
@@ -75,11 +87,7 @@ class RunningAggregatorPool:
         futures = []
         for b in np.unique(buckets):
             m = buckets == b
-            futures.append(
-                self.actors[int(b)].ingest.remote(
-                    keys[m].tolist(), vals[m].tolist()
-                )
-            )
+            futures.append(self.actors[int(b)].ingest.remote(keys[m], vals[m]))
         ray.get(futures)  # per-batch barrier keeps per-key ordering
 
     def snapshot(self) -> dict:
