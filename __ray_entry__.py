@@ -225,6 +225,22 @@ def _knn_lsh(sf_dir: str):
     return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
 
 
+def _knn_ivf(sf_dir: str):
+    """IVF ANN with every list probed -> exact search, so the brute-force
+    DuckDB kNN oracle applies (rank-identical output contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_model_ray.stages.knn import knn_embeddings_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qm = np.stack(head["embedding"].to_numpy())
+    return knn_embeddings_ivf(
+        ds, qm, head["vec_id"].to_numpy(), k=3, n_lists=16, n_probe=16
+    )
+
+
 def _gcp_reproject(sf_dir: str):
     """Scattered-control-point (GCP) reprojection over a deterministic
     image-coordinate table (T1 hard case — TPS solve, no SQL oracle;
@@ -308,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
+        "knn_embeddings_ivf": _knn_ivf,
         "gcp_reproject": _gcp_reproject,
     }
 
@@ -466,6 +483,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_idx
         """,
         "knn_embeddings": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ) WHERE rank <= 3
+        """,
+        # full-probe IVF is exact search -> same brute-force oracle
+        "knn_embeddings_ivf": """
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (

@@ -215,6 +215,146 @@ def knn_embeddings(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def kmeans_centroids(
+    sample: np.ndarray, n_lists: int, *, n_iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Plain Lloyd k-means on a (small, driver-side) training sample —
+    the IVF coarse quantizer (standard public construction: Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011,
+    coarse-quantizer stage). Deterministic: seeded init, stable argmin."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(sample)
+    if n < n_lists:
+        raise ValueError(f"need >= {n_lists} training vectors, got {n}")
+    cents = sample[rng.choice(n, n_lists, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def knn_embeddings_ivf(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """IVF (inverted-file) ANN — the k-means-bucketed scale path.
+
+    Train: a bounded sample (first ``train_size`` rows by id — deterministic)
+    fits ``n_lists`` coarse centroids driver-side; centroids broadcast once.
+    Index: each row is assigned to its nearest centroid inside
+    ``map_batches``; rows whose list is probed by NO query are dropped
+    before the exchange (same candidates-only shuffle as the LSH index).
+    Query: each query probes its ``n_probe`` nearest lists; each list group
+    is scored with one matmul against only the queries probing it.
+
+    Output (query_id, neighbor_id, rank) — same contract as
+    ``knn_embeddings`` / ``knn_embeddings_lsh``.
+    """
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids)
+
+    # bounded training sample: filter is pushed to the read where possible
+    train = (
+        ds.filter(expr=f"{id_col} < {int(train_size)}")
+        .select_columns([vec_col])
+        .to_pandas()
+    )
+    cents = kmeans_centroids(
+        np.stack(train[vec_col].to_numpy()), n_lists, seed=seed
+    )
+    # query-side probe lists: list id -> query indices probing it
+    probe = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    q_by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            q_by_list.setdefault(int(c), []).append(qi)
+    q_by_list = {c: np.array(v) for c, v in q_by_list.items()}
+    probed = np.zeros(n_lists, dtype=bool)
+    probed[list(q_by_list)] = True
+    cents_ref = ray.put((cents, probed))
+    idx_ref = ray.put((qm, qids, q_by_list))
+
+    def emit_lists(batch: pa.Table) -> pa.Table:
+        cents_, probed_ = ray.get(cents_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(m @ cents_.T, axis=1)
+        keep = probed_[assign]
+        if not keep.any():
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        kept = m[keep]
+        return pa.table(
+            {
+                "list_id": pa.array(assign[keep].astype(np.int64)),
+                "neighbor_id": pa.array(ids[keep].astype(np.int64)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(kept.ravel()), m.shape[1]
+                ),
+            }
+        )
+
+    candidates = ds.map_batches(emit_lists, batch_format="pyarrow")
+
+    def score_list(group: pd.DataFrame) -> pd.DataFrame:
+        qm_, qids_, q_by_list_ = ray.get(idx_ref)
+        c = int(group["list_id"].iloc[0])
+        qidx = q_by_list_[c]
+        m = np.stack(group["vec"].to_numpy())
+        ids = group["neighbor_id"].to_numpy()
+        sims = qm_[qidx] @ m.T
+        out = []
+        for row, qi in enumerate(qidx):
+            s = sims[row]
+            mask = ids != qids_[qi]
+            cid, cs = ids[mask], s[mask]
+            order = np.lexsort((cid, -cs))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qids_[qi], "neighbor_id": cid[order], "cos": cs[order]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
+        return pd.concat(out, ignore_index=True)
+
+    partials = candidates.groupby("list_id").map_groups(
+        score_list, batch_format="pandas"
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["query_id", "neighbor_id"]).sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def knn_embeddings_lsh(
     ds,
     query_matrix: np.ndarray,

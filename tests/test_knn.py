@@ -114,3 +114,59 @@ class TestEmbeddingKnn:
             hits += len(want & have)
             total += len(want)
         assert hits / total > 0.2  # approximate by design; sanity bound
+
+    def test_ivf_recall_beats_floor(self, ray_session, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_ivf
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 20
+        brute = knn_embeddings(ds, m[:nq], ids[:nq], k=3).to_pandas()
+        approx = knn_embeddings_ivf(
+            ds, m[:nq], ids[:nq], k=3, n_lists=8, n_probe=4, train_size=256
+        ).to_pandas()
+        hits = total = 0
+        for qid in ids[:nq]:
+            want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            have = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(want & have)
+            total += len(want)
+        # probing half the lists must recover at least half the true kNN
+        assert hits / total >= 0.5
+
+    def test_ivf_full_probe_equals_bruteforce(self, ray_session, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_ivf
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 10
+        brute = (
+            knn_embeddings(ds, m[:nq], ids[:nq], k=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        # probing EVERY list = exact search; outputs must be identical
+        full = (
+            knn_embeddings_ivf(
+                ds, m[:nq], ids[:nq], k=3, n_lists=8, n_probe=8, train_size=256
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert brute[["query_id", "neighbor_id", "rank"]].equals(
+            full[["query_id", "neighbor_id", "rank"]]
+        )
+
+    def test_kmeans_deterministic(self):
+        from data_model_ray.stages.knn import kmeans_centroids
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((300, 16))
+        a = kmeans_centroids(x, 8)
+        b = kmeans_centroids(x, 8)
+        assert np.array_equal(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
