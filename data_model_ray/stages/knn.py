@@ -41,13 +41,53 @@ def _equirect_dist2(
     return dx * dx + dy * dy
 
 
-def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
+def knn_per_cell(
+    ds,
+    *,
+    k: int = 5,
+    cell_res: int = 7,
+    id_col: str = "url",
+    salt_threshold: int | None = None,
+    n_salt: int = 4,
+):
     """For every row: its k nearest rows (by lat/lon) within cell + ring-1.
 
     Input needs columns (id_col, lat, lon). Output: one row per (query, rank)
     -> columns (id_col, neighbor, rank, dist_km). Deterministic ties: sort by
     (dist, neighbor id).
+
+    Mega-cell skew (north rule: "salted repartitioning"): with
+    ``salt_threshold`` set, a counting pre-pass finds cells holding more
+    than that many rows, and their groups are SALTED — each hot cell's
+    query rows split across ``n_salt`` shards (deterministic id hash) while
+    its candidate rows replicate into every shard, so results are identical
+    but no single task owns a whole mega-cell. Cold cells pay nothing; the
+    extra exchange volume is ``(n_salt - 1) x`` the hot cells' candidate
+    rows only. Default (None) keeps the unsalted single-group-per-cell
+    plan.
     """
+    import ray
+
+    hot_ref = None
+    if salt_threshold is not None:
+        # counting pre-pass: per-block partial counts -> tiny global combine
+        # (bounded by the grid, <= 512*1024 cells at res 7)
+        def count_partial(batch: pa.Table) -> pd.DataFrame:
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            cells = geocell_encode(lat, lon, cell_res)
+            uniq, cnt = np.unique(cells, return_counts=True)
+            return pd.DataFrame({"cell": uniq, "n": cnt})
+
+        counts = (
+            ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("cell")
+            .sum("n")
+            .to_pandas()
+        )
+        col = "sum(n)" if "sum(n)" in counts.columns else "n"
+        hot = counts.loc[counts[col] > salt_threshold, "cell"].to_numpy()
+        hot_ref = ray.put(np.asarray(hot, dtype=np.uint64))
 
     def expand(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([id_col, "lat", "lon"]).to_pandas()
@@ -78,6 +118,28 @@ def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
         out = df.iloc[idx].reset_index(drop=True)
         out["__cell"] = owner
         out["__is_query"] = owner == np.repeat(own, reps)
+        out["__salt"] = np.zeros(len(out), dtype=np.int32)
+        if hot_ref is not None:
+            import ray as _ray
+
+            hot_cells = _ray.get(hot_ref)
+            hot_mask = np.isin(out["__cell"].to_numpy(), hot_cells)
+            if hot_mask.any():
+                cold = out[~hot_mask]
+                hrows = out[hot_mask]
+                # replicate hot rows into every salt shard; the query flag
+                # survives only in the row's home shard (id-hash routed)
+                rep = pd.concat([hrows] * n_salt, ignore_index=True)
+                salts = np.repeat(np.arange(n_salt, dtype=np.int32), len(hrows))
+                qsalt = (
+                    pd.util.hash_array(
+                        np.tile(hrows[id_col].to_numpy(), n_salt)
+                    ).astype(np.int64)
+                    % n_salt
+                ).astype(np.int32)
+                rep["__salt"] = salts
+                rep["__is_query"] = rep["__is_query"].to_numpy() & (salts == qsalt)
+                out = pd.concat([cold, rep], ignore_index=True)
         return out
 
     def per_cell(group: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +196,7 @@ def knn_per_cell(ds, *, k: int = 5, cell_res: int = 7, id_col: str = "url"):
 
     return (
         ds.map_batches(expand, batch_format="pyarrow")
-        .groupby("__cell")
+        .groupby(["__cell", "__salt"])
         .map_groups(per_cell, batch_format="pandas")
     )
 

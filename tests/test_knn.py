@@ -170,3 +170,38 @@ class TestEmbeddingKnn:
         b = kmeans_centroids(x, 8)
         assert np.array_equal(a, b)
         assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+class TestSaltedKnn:
+    def test_salted_equals_unsalted_on_skewed_input(self, ray_session):
+        import ray.data as rd
+
+        from data_model_ray.stages.knn import knn_per_cell
+
+        # skewed fixture: 600 points crammed into one cell, 100 spread out
+        rng = np.random.default_rng(9)
+        lat = np.concatenate(
+            [40.0 + rng.uniform(0, 0.05, 600), rng.uniform(10, 50, 100)]
+        )
+        lon = np.concatenate(
+            [7.0 + rng.uniform(0, 0.05, 600), rng.uniform(-10, 30, 100)]
+        )
+        urls = np.array([f"u{i:04d}" for i in range(len(lat))])
+        df = pd.DataFrame({"url": urls, "lat": lat, "lon": lon})
+
+        base = (
+            knn_per_cell(rd.from_pandas(df), k=5)
+            .to_pandas()
+            .sort_values(["url", "rank"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            knn_per_cell(rd.from_pandas(df), k=5, salt_threshold=100, n_salt=4)
+            .to_pandas()
+            .sort_values(["url", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(base) == len(salted)
+        pd.testing.assert_frame_equal(
+            base[["url", "neighbor", "rank"]], salted[["url", "neighbor", "rank"]]
+        )
