@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": rel.hash_join_revenue,      # J partitioned hash
         "window_hourly": rel.window_hourly,              # streaming window
         "prev_event_ts": rel.prev_event_ts,              # as-of/lag
+        "asof_join": rel.asof_join_orders,               # cross-table as-of join
         "cell_rollup_events": rel.cell_rollup_events,    # pyramid mean-of-means
         "knn_embeddings": rel.knn_embeddings_query,      # similarity search
         "backfill_join": rel.backfill_join,              # J1 inject-missing
@@ -495,6 +496,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey
+            FROM events e ASOF LEFT JOIN (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         # full-probe IVF is exact search -> same brute-force oracle
         "knn_embeddings_ivf": """

@@ -488,6 +488,84 @@ def window_hourly(sf_dir: str):
     )
 
 
+def asof_join_orders(sf_dir: str, num_buckets: int = 16):
+    """Cross-table as-of join: each event gets the latest order the same
+    customer placed at-or-before the event time (left join; no-match ->
+    null). The custom-operator ladder case (a): a composition of
+    map_batches (tag + bucket) + one hash-bucket exchange +
+    ``pd.merge_asof`` per bucket — both sides sorted-merged inside the
+    group, only key-matched buckets co-locate. Right side is pre-reduced to
+    one row per (key, ts) (max orderkey wins) so tie behavior is
+    deterministic and SQL-expressible.
+    """
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "key": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["o_custkey"], pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "key": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["key", "ts", "event_id"]]
+        right = group[group["side"] == 1][["key", "ts", "o_orderkey"]]
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "o_orderkey"]
+            ).astype({"event_id": "int64", "user_id": "int64",
+                      "ts": "datetime64[us]", "o_orderkey": "float64"})
+        # deterministic ties: one row per (key, ts), max orderkey wins
+        right = (
+            right.groupby(["key", "ts"], sort=False)["o_orderkey"]
+            .max()
+            .reset_index()
+        )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left, right, on="ts", by="key", direction="backward"
+        )
+        m = m.rename(columns={"key": "user_id"})
+        # event_id picked up float64 from the union's null padding; restore.
+        # o_orderkey stays float64 (nullable on no-match) — oracle casts too.
+        m["event_id"] = m["event_id"].astype("int64")
+        m["o_orderkey"] = m["o_orderkey"].astype("float64")
+        return m[["event_id", "user_id", "ts", "o_orderkey"]]
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def prev_event_ts(sf_dir: str):
     """Per-user as-of/lag: previous event ts for every event (ordered by
     ts, event_id within user) — merge_asof/window-lag shape over a

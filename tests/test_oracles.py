@@ -87,3 +87,30 @@ def test_entry_smoke(contract):
     df = contract.entry()
     assert len(df) > 0
     assert "cell" in df.columns and "pages" in df.columns
+
+
+class TestAsofJoin:
+    def test_asof_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        SF = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        r = (
+            e.queries()["asof_join"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        o = (
+            con.sql(e.oracle_sql()["asof_join"])
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert r.equals(o[r.columns.tolist()])
