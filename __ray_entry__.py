@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": rel.window_hourly,              # streaming window
         "prev_event_ts": rel.prev_event_ts,              # as-of/lag
         "asof_join": rel.asof_join_orders,               # cross-table as-of join
+        "range_join": rel.range_join_bands,              # overlapping-interval join
         "cell_rollup_events": rel.cell_rollup_events,    # pyramid mean-of-means
         "knn_embeddings": rel.knn_embeddings_query,      # similarity search
         "backfill_join": rel.backfill_join,              # J1 inject-missing
@@ -496,6 +497,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
+        """,
+        "range_join": """
+            WITH bands AS (
+                SELECT i AS band_id, 500.0 * i AS lo, 500.0 * i + 750.0 AS hi
+                FROM range(12) t(i)
+            )
+            SELECT b.band_id AS band_id,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total
+            FROM orders o JOIN bands b
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY b.band_id
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id, e.ts,

@@ -488,6 +488,49 @@ def window_hourly(sf_dir: str):
     )
 
 
+PRICE_BANDS: list[tuple[int, float, float]] = [
+    # overlapping price bands (band_id, lo, hi) — rows can match several
+    (i, 500.0 * i, 500.0 * i + 750.0) for i in range(12)
+]
+
+
+def range_join_bands(sf_dir: str):
+    """Range join: every (order, band) pair where o_totalprice falls inside
+    the band's [lo, hi) — bands OVERLAP so a row can join several. The
+    broadcast-small-side pattern: the band table rides in the kernel
+    closure (never shuffled); each batch evaluates all bands with
+    vectorized masks and emits partial (band, count, sum) rows; a tiny
+    final combine groups |bands| rows. No all-to-all over the fact table.
+    """
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    bands = PRICE_BANDS
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        rows = []
+        for band_id, lo, hi in bands:
+            m = (price >= lo) & (price < hi)
+            n = int(m.sum())
+            if n:
+                rows.append((band_id, n, float(price[m].sum())))
+        return pd.DataFrame(rows, columns=["band_id", "n", "s"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("band_id", sort=True)
+            .agg(n_orders=("n", "sum"), total=("s", "sum"))
+            .reset_index()
+        )
+        g["total"] = g["total"].round(2)
+        return g[["band_id", "n_orders", "total"]]
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
 def asof_join_orders(sf_dir: str, num_buckets: int = 16):
     """Cross-table as-of join: each event gets the latest order the same
     customer placed at-or-before the event time (left join; no-match ->

@@ -114,3 +114,31 @@ class TestAsofJoin:
             .reset_index(drop=True)
         )
         assert r.equals(o[r.columns.tolist()])
+
+    def test_range_join_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        SF = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+        )
+        r = (
+            e.queries()["range_join"](SF)
+            .to_pandas()
+            .sort_values("band_id")
+            .reset_index(drop=True)
+        )
+        o = (
+            con.sql(e.oracle_sql()["range_join"])
+            .df()
+            .sort_values("band_id")
+            .reset_index(drop=True)
+        )
+        assert r.astype({"n_orders": "int64"}).equals(
+            o[r.columns.tolist()].astype({"n_orders": "int64"})
+        )
+        # overlap property: a row near a band edge joins two bands
+        assert r["n_orders"].sum() > con.sql("SELECT COUNT(*) FROM orders").fetchone()[0]
