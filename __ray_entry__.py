@@ -500,8 +500,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_join": """
             WITH bands AS (
-                SELECT i AS band_id, 500.0 * i AS lo, 500.0 * i + 750.0 AS hi
-                FROM range(12) t(i)
+                SELECT i AS band_id, 50000.0 * i AS lo,
+                       50000.0 * i + 75000.0 AS hi
+                FROM range(10) t(i)
             )
             SELECT b.band_id AS band_id,
                    COUNT(*) AS n_orders,

@@ -489,8 +489,10 @@ def window_hourly(sf_dir: str):
 
 
 PRICE_BANDS: list[tuple[int, float, float]] = [
-    # overlapping price bands (band_id, lo, hi) — rows can match several
-    (i, 500.0 * i, 500.0 * i + 750.0) for i in range(12)
+    # overlapping price bands (band_id, lo, hi) covering the fixture's
+    # o_totalprice range (~1e3..5e5) — each band overlaps the next by 50%,
+    # so rows in the overlap join two bands
+    (i, 50_000.0 * i, 50_000.0 * i + 75_000.0) for i in range(10)
 ]
 
 
