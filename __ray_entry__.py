@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": rel.window_hourly,              # streaming window
         "prev_event_ts": rel.prev_event_ts,              # as-of/lag
         "asof_join": rel.asof_join_orders,               # cross-table as-of join
+        "sliding_window": rel.sliding_window_sum,        # RANGE sliding aggregate
+        "doc_quality": rel.doc_quality,                  # quality scoring
         "range_join": rel.range_join_bands,              # overlapping-interval join
         "cell_rollup_events": rel.cell_rollup_events,    # pyramid mean-of-means
         "knn_embeddings": rel.knn_embeddings_query,      # similarity search
@@ -497,6 +499,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+                   ROUND(alpha * 1.0 / GREATEST(STRLEN(text), 1), 6)
+                       AS alpha_ratio,
+                   ROUND(LEAST(GREATEST((
+                       (1 - LEAST(ABS(STRLEN(text) * 1.0 / GREATEST(tok, 1) - 5) / 5, 1))
+                       + alpha * 1.0 / GREATEST(STRLEN(text), 1)
+                   ) / 2, 0), 1), 6) AS score
+            FROM (
+                SELECT doc_id, text,
+                       LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9_]+')) AS tok
+                FROM documents
+            )
+        """,
+        "sliding_window": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 6) AS win_sum
+            FROM events
         """,
         "range_join": """
             WITH bands AS (

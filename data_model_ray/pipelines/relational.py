@@ -611,6 +611,57 @@ def asof_join_orders(sf_dir: str, num_buckets: int = 16):
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def doc_quality(sf_dir: str):
+    """Per-document quality stats (task brief "quality scoring"): byte
+    length, alphabetic ratio, and the engine's [0,1] score (mean-word-length
+    closeness + alpha ratio) — all from the single-pass byte kernel in
+    stages/text.py, oracle-replicated expression-for-expression in SQL."""
+    from ..stages.text import text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = text_stats(t)
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(s["text"]), pa.int64()),
+                # DuckDB ROUND is half-away-from-zero; match it exactly
+                "alpha_ratio": pc.round(
+                    s["alpha_ratio"], ndigits=6, round_mode="half_towards_infinity"
+                ),
+                "score": pc.round(
+                    s["score"], ndigits=6, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sliding_window_sum(sf_dir: str, window_s: int = 3600):
+    """Per-user sliding-window sum: for each event, the sum of that user's
+    values in the closed interval [ts - window, ts] — SQL RANGE BETWEEN
+    semantics (all ts-peers included). Vectorized per user group: sort by
+    ts, prefix-sum, two searchsorted cuts; the exchange is one groupby on
+    the partition key (the streaming-window ladder case (a)).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(ts, ts - window_s * 1_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # include ALL ts peers
+        out = g[["event_id"]].copy()
+        out["win_sum"] = np.round(cs[hi] - cs[lo], 6)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def prev_event_ts(sf_dir: str):
     """Per-user as-of/lag: previous event ts for every event (ordered by
     ts, event_id within user) — merge_asof/window-lag shape over a

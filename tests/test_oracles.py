@@ -142,3 +142,51 @@ class TestAsofJoin:
         )
         # overlap property: a row near a band edge joins two bands
         assert r["n_orders"].sum() > con.sql("SELECT COUNT(*) FROM orders").fetchone()[0]
+
+    def test_sliding_window_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        SF = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        r = (
+            e.queries()["sliding_window"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        o = (
+            con.sql(e.oracle_sql()["sliding_window"])
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert r.equals(o[r.columns.tolist()])
+
+    def test_doc_quality_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        SF = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        r = (
+            e.queries()["doc_quality"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        o = (
+            con.sql(e.oracle_sql()["doc_quality"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert r.equals(o[r.columns.tolist()])
