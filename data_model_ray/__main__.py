@@ -32,6 +32,7 @@ def _init_ray(cpus: int) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().use_push_based_shuffle = True
 
 
 def cmd_run(args) -> int:
