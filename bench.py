@@ -124,8 +124,9 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # push-based shuffle: ~15-20% faster all-to-all on this pipeline
-    # (measured 16.3s -> 12.9s at 1M rows); same results (test-verified)
-    ctx.use_push_based_shuffle = True
+    # (measured 16.3s -> 12.9s at 1M rows); same results (test-verified).
+    # GRAFT_PUSH_SHUFFLE=0 opts out for A/B measurement.
+    ctx.use_push_based_shuffle = os.environ.get("GRAFT_PUSH_SHUFFLE", "1") != "0"
 
     pages_path = _ensure_pages(n_rows)
     # untimed warm-up: run the same pipeline over a small slice so every
