@@ -234,16 +234,43 @@ def minhash_lsh_candidates(
         sig = minhash_signatures(texts)
         bands = band_hashes(sig)
         n = len(ids)
+        band_id = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
+        band_hash = bands.T.reshape(-1)
         return pd.DataFrame(
             {
-                "band_id": np.repeat(np.arange(N_BANDS, dtype=np.int32), n),
-                "band_hash": bands.T.reshape(-1),
+                "band_id": band_id,
+                "band_hash": band_hash,
                 id_col: np.tile(ids, N_BANDS),
+                # coarse exchange key: one groupby over ~num_partitions*8
+                # groups instead of one PER (band, hash) bucket (~1 group
+                # per doc-band) — per-group Python overhead dominated the
+                # candidate stage before this
+                "__bkt": (band_hash % np.uint64(64)).astype(np.int32),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs_frame(group[id_col].to_numpy())
+        """All (band, hash) runs inside one coarse bucket, vectorized run
+        detection; the per-run pair emitter only executes for actual
+        collision buckets (rare by construction)."""
+        kb = group["band_id"].to_numpy()
+        kh = group["band_hash"].to_numpy()
+        ids = group[id_col].to_numpy()
+        order = np.lexsort((ids, kh, kb))
+        kb, kh, ids = kb[order], kh[order], ids[order]
+        new_run = np.r_[True, (kb[1:] != kb[:-1]) | (kh[1:] != kh[:-1])]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(ids)]
+        frames = [
+            _bucket_pairs_frame(ids[s:e])
+            for s, e in zip(starts, ends)
+            if e - s >= 2
+        ]
+        if not frames:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def norm_pairs(t: pa.Table) -> pa.Table:
         # map_groups emits column-less empty blocks for empty partitions;
@@ -264,9 +291,11 @@ def minhash_lsh_candidates(
 
     cand = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("__bkt")
         .map_groups(bucket_pairs, batch_format="pandas")
-        # a pair fires once per matching band -> distributed distinct
+        # a pair can fire in several bands (different band_hash -> possibly
+        # different __bkt), so distinct needs one more exchange — over pair
+        # keys only (tiny: candidate pairs, not corpus rows)
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
         .map_batches(norm_pairs, batch_format="pyarrow")
