@@ -53,10 +53,19 @@ class Enrich:
         verify_text: bool = True,
         h3_res: int | None = None,
         validate: bool | None = None,
+        adaptive: bool = False,
+        target_latency_s: float = 0.5,
     ):
         kwargs = {} if h3_res is None else {"h3_res": h3_res}
         self.geoindex = GeoIndex(granules_ref, admin_ref, **kwargs)
         self.verify_text = verify_text
+        # AIMD sub-chunking (north star): per-actor latency-targeted chunk
+        # sizes absorb per-row payload variance (wide html pages)
+        self.controller = None
+        if adaptive:
+            from .aimd import AIMDController
+
+            self.controller = AIMDController(target_latency_s=target_latency_s)
         if validate is None:
             validate = granules_ref is not None
         self.contract = None
@@ -83,7 +92,7 @@ class Enrich:
                 ],
             )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _process(self, batch: pa.Table) -> pa.Table:
         out = self.geoindex.process_chunk(
             text_stats(extract_batch(batch, verify_text=self.verify_text))
         )
@@ -91,6 +100,23 @@ class Enrich:
         if self.contract is not None:
             self.contract.validate(out)
         return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.controller is None:
+            return self._process(batch)
+        import time as _time
+
+        outputs = []
+        pos = 0
+        while pos < len(batch):
+            chunk = batch.slice(pos, self.controller.size)
+            t0 = _time.perf_counter()
+            outputs.append(self._process(chunk))
+            self.controller.record(_time.perf_counter() - t0)
+            pos += len(chunk)
+        if not outputs:
+            return self._process(batch)
+        return pa.concat_tables(outputs, promote_options="default")
 
 
 def make_enrich_fn(

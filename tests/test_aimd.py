@@ -67,3 +67,16 @@ class TestAdaptiveMixin:
         b = adaptive(batch)
         assert a.to_pydict() == b.to_pydict()
         assert adaptive.controller.observations > 1  # actually chunked
+
+
+class TestEnrichAdaptive:
+    def test_enrich_adaptive_matches_plain(self):
+        import numpy as np
+
+        from data_model_ray.fixtures import admin_polygons, mgrs_granules, pages_batch
+        from data_model_ray.stages.enrich import Enrich
+
+        batch = pages_batch(np.arange(3000, dtype=np.uint64))
+        plain = Enrich(mgrs_granules(), admin_polygons())(batch)
+        adaptive = Enrich(mgrs_granules(), admin_polygons(), adaptive=True)(batch)
+        assert plain.equals(adaptive)
