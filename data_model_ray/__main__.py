@@ -74,10 +74,18 @@ def cmd_synth(args) -> int:
 def cmd_info(args) -> int:
     path = os.path.join(args.out, "manifest.json")
     if not os.path.exists(path):
-        print(f"no manifest at {path}", file=sys.stderr)
+        path = os.path.join(args.out, "tms_manifest.json")
+    if not os.path.exists(path):
+        print(f"no manifest in {args.out}", file=sys.stderr)
         return 1
     with open(path) as f:
-        print(json.dumps(json.load(f), indent=2))
+        manifest = json.load(f)
+    if getattr(args, "html", False):
+        from data_model_ray.functions.html_repr import manifest_to_html
+
+        print(manifest_to_html(manifest))
+    else:
+        print(json.dumps(manifest, indent=2))
     return 0
 
 
@@ -168,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
 
     i = sub.add_parser("info", help="print a pyramid manifest")
     i.add_argument("--out", required=True)
+    i.add_argument("--html", action="store_true", help="HTML tree repr (M13)")
     i.set_defaults(fn=cmd_info)
 
     v = sub.add_parser("validate", help="validate a pyramid output dir")

@@ -93,3 +93,41 @@ class TestCli:
         v = run_cli("validate", "--out", str(tmp_path / "raster"))
         assert v.returncode == 1
         assert "outside matrix dims" in v.stdout
+
+    def test_info_html_repr(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from data_model_ray import grid
+        from data_model_ray.functions.html_repr import ManifestView, manifest_to_html
+        from data_model_ray.pipelines.pyramid import build_pyramid
+
+        rng = np.random.default_rng(4)
+        cells = np.unique(
+            grid.geocell_encode(rng.uniform(30, 50, 200), rng.uniform(-10, 25, 200), 6)
+        )
+        n = len(cells)
+        t = pa.table(
+            {
+                "cell": pa.array(cells),
+                "pages": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "lat_min": pa.array(np.full(n, 30.0)),
+                "lat_max": pa.array(np.full(n, 50.0)),
+                "lon_min": pa.array(np.full(n, -10.0)),
+                "lon_max": pa.array(np.full(n, 25.0)),
+            }
+        )
+        out = str(tmp_path / "pyr")
+        manifest = build_pyramid(t, out, base_res=6)
+
+        html_str = manifest_to_html(manifest)
+        assert "<details" in html_str and "level 6" in html_str
+        assert "EPSG:4326" in html_str and "proj:projjson" in html_str
+        # notebook protocol
+        assert ManifestView(manifest)._repr_html_() == html_str
+        # values are escaped
+        evil = {"kind": "<script>alert(1)</script>", "levels": []}
+        assert "<script>" not in manifest_to_html(evil)
+
+        r = run_cli("info", "--out", out, "--html")
+        assert r.returncode == 0 and "<details" in r.stdout
