@@ -133,10 +133,20 @@ def rasterize_pyramid(
     *,
     tile_size: int = DEFAULT_TILE,
     fingerprint: str = "raster",
+    streaming: bool = False,
 ) -> dict:
     """Rasterize every pyramid level into per-tile partitioned parquet with
     an affine/TMS manifest. Resumable: each (level, tile) partition commits
-    atomically with lineage (state/lineage.py)."""
+    atomically with lineage (state/lineage.py).
+
+    ``streaming=False`` (default) runs driver-side — correct for this
+    engine's grid-bounded pyramid levels (<= 512*1024 cells). With
+    ``streaming=True`` each level goes through a Ray Data pipeline instead:
+    ``read_parquet -> map_batches(rasterize kernel) -> resumable_write``
+    partitioned by tile key — the 100 TB shape when levels outgrow one
+    machine (deep grids / many variables); completed tiles are skipped
+    after the read on rerun.
+    """
     import json
     import os
 
@@ -149,22 +159,49 @@ def rasterize_pyramid(
     log = LineageLog(out_dir)
     levels_meta = []
     for lv in pyr["levels"]:
-        table = pq.read_table(os.path.join(pyramid_dir, lv["asset"]))
+        level_path = os.path.join(pyramid_dir, lv["asset"])
+        table = pq.read_table(level_path)
         raster = rasterize_level(table, tile_size=tile_size)
         res = int(raster["level"][0].as_py())
         limits = tile_matrix_limits(raster)
-        # per-tile atomic partitions
-        df = raster.to_pandas()
-        for (tx, ty), g in df.groupby(["tile_x", "tile_y"], sort=True):
-            pkey = f"L{res}_{tx}_{ty}"
-            rec = write_partition_atomic(
-                pa.Table.from_pandas(g, preserve_index=False),
+        if streaming:
+            import ray.data as rd
+
+            from ..state.lineage import resumable_write
+
+            def kernel(batch: pa.Table, _res=res) -> pa.Table:
+                r = rasterize_level(batch, tile_size=tile_size)
+                import pyarrow.compute as pc_
+
+                pkey = pc_.binary_join_element_wise(
+                    pa.array([f"L{_res}"] * r.num_rows),
+                    pc_.cast(r["tile_x"], pa.string()),
+                    pc_.cast(r["tile_y"], pa.string()),
+                    "_",
+                )
+                return r.append_column("part_key", pkey)
+
+            resumable_write(
+                rd.read_parquet(level_path).map_batches(
+                    kernel, batch_format="pyarrow"
+                ),
                 out_dir,
-                pkey,
-                fingerprint,
+                partition_col="part_key",
+                fingerprint=fingerprint,
             )
-            rec["stage"] = "rasterize"
-            log.append(rec)
+        else:
+            # per-tile atomic partitions (driver-side; levels are bounded)
+            df = raster.to_pandas()
+            for (tx, ty), g in df.groupby(["tile_x", "tile_y"], sort=True):
+                pkey = f"L{res}_{tx}_{ty}"
+                rec = write_partition_atomic(
+                    pa.Table.from_pandas(g, preserve_index=False),
+                    out_dir,
+                    pkey,
+                    fingerprint,
+                )
+                rec["stage"] = "rasterize"
+                log.append(rec)
         levels_meta.append(
             {
                 "level": res,

@@ -92,3 +92,45 @@ class TestRasterize:
             assert json.load(f) == manifest
         recs = LineageLog(out_dir).records()
         assert sum(r["rows_out"] for r in recs) == sum(l["cells"] for l in levels)
+
+    def test_rasterize_pyramid_streaming_parity(self, ray_session, tmp_path):
+        """streaming=True (Ray Data + resumable partitioned sink) writes the
+        same tiles/rows as the driver-side path, and a rerun skips all."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from data_model_ray.pipelines.pyramid import build_pyramid
+        from data_model_ray.state.lineage import LineageLog
+
+        import tests.test_pyramid as tp
+
+        base = make_cells(res=6, n=500)
+        cells = base["cell"].to_numpy(zero_copy_only=False)
+        t = tp.make_level_table(cells, pages=np.ones(len(cells), dtype=np.int64))
+        pyr_dir = str(tmp_path / "pyr")
+        build_pyramid(t, pyr_dir, base_res=6, min_cells=4)
+
+        drv_dir = str(tmp_path / "tiles_driver")
+        stream_dir = str(tmp_path / "tiles_stream")
+        m_drv = rasterize_pyramid(drv_dir, pyr_dir)
+        m_stream = rasterize_pyramid(stream_dir, pyr_dir, streaming=True)
+        assert m_drv["levels"] == m_stream["levels"]
+
+        def tile_rows(d):
+            out = {}
+            for name in os.listdir(d):
+                p = os.path.join(d, name, "data.parquet")
+                if name.startswith("part=L") and os.path.exists(p):
+                    out[name] = pq.read_table(p).num_rows
+            return out
+
+        drv = tile_rows(drv_dir)
+        stream = tile_rows(stream_dir)
+        assert drv == stream and len(drv) > 1
+
+        # rerun resumes: every partition already valid -> no new writes
+        before = LineageLog(stream_dir).records()
+        rasterize_pyramid(stream_dir, pyr_dir, streaming=True)
+        after = LineageLog(stream_dir).records()
+        assert len(after) == len(before)
