@@ -287,6 +287,31 @@ def _gcp_reproject(sf_dir: str):
     )
 
 
+def _media_decode(sf_dir: str):
+    """Multimodal decode pipeline over REAL payloads (PPM images, RIFF/WAV
+    audio, concatenated-P6 video) — from-scratch codecs in
+    functions/codecs.py, actor-pool map_batches stages (no SQL oracle:
+    binary parsing; round-trip exact-tested in tests/test_multimodal.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_model_ray.stages.multimodal import (
+        BINARY_STAGE_KWARGS,
+        ImageDecode,
+        ImageResize,
+        synth_media_table,
+    )
+
+    t = synth_media_table(600, kinds=("image", "audio", "video"))
+    images = t.filter(pc.equal(t["media_type"], "image/x-portable-pixmap"))
+    return (
+        rd.from_arrow(images)
+        .map_batches(ImageDecode, concurrency=(1, 2), **BINARY_STAGE_KWARGS)
+        .map_batches(ImageResize, concurrency=(1, 2), **BINARY_STAGE_KWARGS)
+        .drop_columns(["features"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import relational as rel
 
@@ -330,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings_lsh": _knn_lsh,
         "knn_embeddings_ivf": _knn_ivf,
         "gcp_reproject": _gcp_reproject,
+        "media_decode": _media_decode,
     }
 
 
