@@ -88,7 +88,9 @@ def _pages_assignments(sf_dir: str):
 
     from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
 
-    ds = rd.read_parquet(_pages_path(sf_dir))
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(_pages_path(sf_dir))
     deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
     return deduped.select_columns(
         ["url", "h3_7", "mgrs", "admin_l0", "admin_l1"]
@@ -104,7 +106,9 @@ def _pages_s2_cells(sf_dir: str):
 
     from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
 
-    ds = rd.read_parquet(_pages_path(sf_dir))
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(_pages_path(sf_dir))
     deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
     return deduped.select_columns(["url", "s2_12"])
 
@@ -115,7 +119,9 @@ def _pages_cell_stats(sf_dir: str):
 
     from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
 
-    ds = rd.read_parquet(_pages_path(sf_dir))
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(_pages_path(sf_dir))
     _, cells = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
     return cells.map_batches(
         _norm_table_fn(
@@ -141,7 +147,9 @@ def _pages_knn(sf_dir: str):
     from data_model_ray.stages.extract import extract_batch
     from data_model_ray.stages.knn import knn_per_cell
 
-    ds = rd.read_parquet(_pages_path(sf_dir))
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(_pages_path(sf_dir))
 
     def prep(b):
         b = b.filter(pc.starts_with(b["url"], pattern=KNN_HOST_PREFIX))
@@ -199,7 +207,9 @@ def _langid_docs(sf_dir: str):
 
     from data_model_ray.stages.text import LangId
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 2)
     ).select_columns(["doc_id", "lang_pred"])
@@ -219,7 +229,9 @@ def _knn_lsh(sf_dir: str):
 
     from data_model_ray.stages.knn import knn_embeddings_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     qm = np.stack(head["embedding"].to_numpy())
     return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
@@ -233,7 +245,9 @@ def _knn_ivf(sf_dir: str):
 
     from data_model_ray.stages.knn import knn_embeddings_ivf
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     qm = np.stack(head["embedding"].to_numpy())
     return knn_embeddings_ivf(

@@ -18,9 +18,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from ..sources.fs import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round_col(df: pd.DataFrame, cols: list[str], nd: int = 6) -> pd.DataFrame:

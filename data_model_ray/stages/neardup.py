@@ -216,17 +216,21 @@ def minhash_lsh_candidates(
     """MinHash-LSH near-dup pairs with DISTRIBUTED exact-Jaccard verification.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) for verified pairs
-    (doc_a < doc_b). Stages: band shuffle moves (band, hash, doc_id)
-    triples only; candidate pairs are deduped with a pair-key groupby; each
-    pair then explodes into two keyed rows so ONE union+bucket hash join
-    against the docs table attaches both texts (the docs table is shuffled
-    once, not once per pair side), and a final groupby over candidate rows
-    only pivots the two slots together and runs the exact-Jaccard kernel —
-    nothing materializes on the driver.
+    (doc_a < doc_b). THREE exchanges total: (1) the band shuffle moves
+    (band, hash, doc_id) triples only; (2) each candidate pair (possibly
+    duplicated across bands — deduped later, not with its own exchange)
+    explodes into two keyed rows so ONE union+bucket hash join against the
+    docs table attaches both texts (the docs table is shuffled once, not
+    once per pair side); (3) a coarse pair-hash groupby pivots the two
+    slots together, dedups band-duplicate pairs, and runs the exact-Jaccard
+    kernel BATCHED across all pairs in the group — nothing materializes on
+    the driver and no per-pair Python function calls.
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
     def to_bands(batch: pa.Table) -> pd.DataFrame:
         texts = batch[text_col].to_pylist()
@@ -293,11 +297,10 @@ def minhash_lsh_candidates(
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("__bkt")
         .map_groups(bucket_pairs, batch_format="pandas")
-        # a pair can fire in several bands (different band_hash -> possibly
-        # different __bkt), so distinct needs one more exchange — over pair
-        # keys only (tiny: candidate pairs, not corpus rows)
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        # NOTE: a pair can fire in several bands (different band_hash ->
+        # different __bkt), so duplicates survive here. Dedup rides the
+        # final pair-pivot exchange instead of costing its own groupby —
+        # the dup factor is bounded by N_BANDS.
         .map_batches(norm_pairs, batch_format="pyarrow")
     )
 
@@ -363,23 +366,54 @@ def minhash_lsh_candidates(
     )
     joined = u.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
-    def verify_pair(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("slot")
-        if len(g) != 2:
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        # coarse pair-hash key: both slots of a pair land in the same group,
+        # ~64 groups total (vs one exchange group PER pair before)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int8()),
+                    "text": pa.array([], pa.string()),
+                    "__pk": pa.array([], pa.int32()),
+                }
+            )
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            pk = splitmix64(
+                (a.astype(U64) << U64(20)) ^ b.astype(U64)
+            ) % U64(64)
+        return t.append_column("__pk", pa.array(pk.astype(np.int32)))
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # dedup band-duplicate pair rows, pivot slots side by side, then ONE
+        # batched exact-Jaccard call for every pair in the group
+        g = group.drop_duplicates(subset=["doc_a", "doc_b", "slot"])
+        a = g[g["slot"] == 0][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = g[g["slot"] == 1][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"], how="inner")
+        if m.empty:
             return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-        j = round(float(jaccard([g["text"].iloc[0]], [g["text"].iloc[1]])[0]), 6)
-        if j < threshold:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        j = np.round(jaccard(m["text_a"].tolist(), m["text_b"].tolist()), 6)
+        keep = j >= threshold
         return pd.DataFrame(
             {
-                "doc_a": [int(g["doc_a"].iloc[0])],
-                "doc_b": [int(g["doc_b"].iloc[0])],
-                "jaccard": [j],
+                "doc_a": m["doc_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": m["doc_b"].to_numpy()[keep].astype(np.int64),
+                "jaccard": j[keep],
             }
         )
 
-    out = joined.groupby(["doc_a", "doc_b"]).map_groups(
-        verify_pair, batch_format="pandas"
+    out = (
+        joined.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pk")
+        .map_groups(verify_bucket, batch_format="pandas")
     )
 
     def norm_out(t: pa.Table) -> pa.Table:
@@ -406,7 +440,9 @@ def simhash_table(docs_path: str, *, text_col: str = "text", id_col: str = "doc_
     """(doc_id, simhash) fingerprints as a Dataset (vectorized per batch)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -451,7 +487,9 @@ def simhash_pairs(
     n_pieces = max_distance + 1
     width = 64 // n_pieces
 
-    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
     def to_pieces(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -530,7 +568,9 @@ def embedding_near_dups(
     from .knn import _as_matrix, _normalize
 
     B = num_blocks
-    ds = rd.read_parquet(emb_path, columns=[id_col, vec_col])
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(emb_path, columns=[id_col, vec_col])
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
