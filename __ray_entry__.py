@@ -326,6 +326,33 @@ def _media_decode(sf_dir: str):
     )
 
 
+def _media_near_dups(sf_dir: str):
+    """Composed multimodal pipeline: real image decode -> pixel features ->
+    per-dim standardization -> distributed cosine near-dup. Planted
+    near-duplicates (one-pixel perturbations every 20th image) must be
+    found; the synthetic corpus also contains a few exact seed collisions
+    which are genuine duplicates. Rows-only (binary decode, no SQL)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.knn import standardize_embeddings
+    from data_model_ray.stages.multimodal import (
+        BINARY_STAGE_KWARGS,
+        ImageDecode,
+        synth_media_table,
+    )
+    from data_model_ray.stages.neardup import embedding_near_dups
+
+    feats = (
+        rd.from_arrow(synth_media_table(400, dup_every=20))
+        .map_batches(ImageDecode, concurrency=(1, 2), **BINARY_STAGE_KWARGS)
+        .select_columns(["id", "features"])
+    )
+    z = standardize_embeddings(feats, vec_col="features")
+    return embedding_near_dups(
+        z, threshold=0.99, vec_col="features", id_col="id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import relational as rel
 
@@ -370,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings_ivf": _knn_ivf,
         "gcp_reproject": _gcp_reproject,
         "media_decode": _media_decode,
+        "media_near_dups": _media_near_dups,
     }
 
 

@@ -541,3 +541,47 @@ def knn_embeddings_lsh(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def standardize_embeddings(ds, *, vec_col: str = "embedding"):
+    """Per-dimension z-score standardization of an embedding column.
+
+    Two passes, both distributed: (1) per-block partial (n, sum, sumsq)
+    vectors — one tiny row per block — combined on the driver into the
+    global per-dim mean/std (a bounded aggregate, never the data); (2) a
+    broadcast map rewrites the column as ``(x - mu) / sd``. Whitening like
+    this is what makes cosine near-dup discriminative for raw descriptor
+    features (e.g. multimodal image features, whose all-positive dims are
+    otherwise near-collinear across the corpus).
+    """
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        d = m.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([float(len(m))]),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.sum(axis=0).reshape(-1)), d
+                ),
+                "ss": pa.FixedSizeListArray.from_arrays(
+                    pa.array((m * m).sum(axis=0).reshape(-1)), d
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = parts["n"].sum()
+    s = np.stack(parts["s"].to_numpy()).sum(axis=0)
+    ss = np.stack(parts["ss"].to_numpy()).sum(axis=0)
+    mu = s / n
+    sd = np.sqrt(np.maximum(ss / n - mu * mu, 0.0)) + 1e-9
+
+    def apply(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        z = ((m - mu) / sd).astype(np.float64)
+        col = pa.FixedSizeListArray.from_arrays(pa.array(z.reshape(-1)), z.shape[1])
+        return batch.set_column(batch.column_names.index(vec_col), vec_col, col)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -294,11 +294,18 @@ def _synth_wav(rid: int) -> bytes:
     return wav_encode(pcm, sr)
 
 
-def synth_media_table(n: int, *, kinds: tuple[str, ...] = ("image",)) -> pa.Table:
+def synth_media_table(
+    n: int,
+    *,
+    kinds: tuple[str, ...] = ("image",),
+    dup_every: int | None = None,
+) -> pa.Table:
     """Deterministic media fixture with REAL payloads.
 
     ``kinds`` cycles per row over any of ``image`` (P6 PPM), ``audio``
     (RIFF/WAV PCM16), ``video`` (concatenated-P6, 3-6 frames).
+    ``dup_every=k`` plants a near-duplicate every k-th image row: the
+    previous row's image with one pixel bumped by 3 (for near-dup tests).
     """
     from ..functions.codecs import ppmv_encode
 
@@ -308,7 +315,12 @@ def synth_media_table(n: int, *, kinds: tuple[str, ...] = ("image",)) -> pa.Tabl
     for rid in ids:
         kind = kinds[int(rid) % len(kinds)]
         if kind == "image":
-            payloads.append(ppm_encode(_synth_image(int(rid))))
+            if dup_every and rid > 0 and int(rid) % dup_every == 0:
+                img = _synth_image(int(rid) - 1).copy()
+                img[0, 0, 0] = min(255, int(img[0, 0, 0]) + 3)
+            else:
+                img = _synth_image(int(rid))
+            payloads.append(ppm_encode(img))
             types.append("image/x-portable-pixmap")
         elif kind == "audio":
             payloads.append(_synth_wav(int(rid)))

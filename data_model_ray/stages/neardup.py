@@ -562,15 +562,22 @@ def embedding_near_dups(
     ``simhash_pairs``/``minhash_lsh_candidates`` for near-dup or
     ``knn.knn_embeddings_lsh`` for ANN; this operator is the exact
     verifier/baseline, parallel over B(B+1)/2 tasks.
+
+    ``emb_path`` may be a parquet path OR an already-built Dataset with
+    (id_col, vec_col) columns — e.g. multimodal image features from
+    ``stages.multimodal.ImageDecode`` flowing straight into near-dup.
     """
     import ray.data as rd
 
     from .knn import _as_matrix, _normalize
 
     B = num_blocks
-    from ..sources.fs import sized_read_parquet
+    if isinstance(emb_path, str):
+        from ..sources.fs import sized_read_parquet
 
-    ds = sized_read_parquet(emb_path, columns=[id_col, vec_col])
+        ds = sized_read_parquet(emb_path, columns=[id_col, vec_col])
+    else:
+        ds = emb_path.select_columns([id_col, vec_col])
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

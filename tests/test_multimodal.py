@@ -214,6 +214,37 @@ class TestRayPlumbing:
         b = df2.sort_values("id")["width"].to_numpy()
         np.testing.assert_array_equal(a, b)
 
+    def test_media_near_dups_composition(self, ray_session):
+        """decode -> features -> standardize -> cosine near-dup finds every
+        planted one-pixel near-duplicate; any extra pair must be an exact
+        pixel-identical duplicate (seed collisions in the fixture space)."""
+        import ray.data as rd
+
+        from data_model_ray.functions.codecs import ppm_decode
+        from data_model_ray.stages.knn import standardize_embeddings
+        from data_model_ray.stages.neardup import embedding_near_dups
+
+        t = synth_media_table(400, dup_every=20)
+        feats = (
+            rd.from_arrow(t)
+            .map_batches(ImageDecode, concurrency=(1, 2), **BINARY_STAGE_KWARGS)
+            .select_columns(["id", "features"])
+        )
+        z = standardize_embeddings(feats, vec_col="features")
+        df = embedding_near_dups(
+            z, threshold=0.99, vec_col="features", id_col="id"
+        ).to_pandas()
+        found = set(zip(df["vec_a"].astype(int), df["vec_b"].astype(int)))
+        planted = {(r - 1, r) for r in range(20, 400, 20)}
+        assert planted <= found  # 100% recall on planted near-dups
+        payloads = t["payload"].to_pylist()
+        for a, b in found - planted:
+            ia = ppm_decode(payloads[a])
+            ib = ppm_decode(payloads[b])
+            # exact seed-collision duplicate, or a planted bump of one
+            # (transitively near-identical): at most one byte differs
+            assert ia.shape == ib.shape and (ia != ib).sum() <= 1, (a, b)
+
     def test_mixed_media_end_to_end(self, ray_session):
         import ray.data as rd
 
