@@ -353,6 +353,24 @@ def _media_near_dups(sf_dir: str):
     )
 
 
+def _approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
+    user_id, documents text). Rows-only: the estimate is within ~1.6%
+    (p=12) of truth but not bit-equal to an exact SQL count; exactness vs
+    a tolerance band is pytest-verified instead (tests/test_sketch.py)."""
+    import pandas as pd
+
+    from data_model_ray.pipelines.relational import _read
+    from data_model_ray.stages.sketch import approx_distinct
+
+    users = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    texts = approx_distinct(_read(sf_dir, "documents", ["text"]), "text")
+    return pd.DataFrame(
+        {"column": ["events.user_id", "documents.text"],
+         "approx_distinct": [round(users), round(texts)]}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import relational as rel
 
@@ -380,6 +398,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill_join": rel.backfill_join,              # J1 inject-missing
         "sessionize": rel.sessionize,                    # gap sessions
         "distinct_pairs": rel.distinct_pairs,            # set-op distinct
+        "semi_join": rel.semi_join_customers,            # EXISTS semi-join
+        "anti_join": rel.anti_join_customers,            # NOT EXISTS anti-join
+        "grouped_topk": rel.grouped_topk_orders,         # per-key top-k window
+        "rollup_agg": rel.rollup_lineitem,               # ROLLUP grouping sets
+        "stddev_group": rel.stddev_prices,               # algebraic variance
+        "quantile_disc": rel.quantile_prices,            # exact order statistics
+        "approx_distinct": _approx_distinct_users,       # HLL sketch (rows-only)
         # pages-based spatial pipelines — the north-star operators. All but
         # the hash-based ones (minhash/simhash LSH, s2 Hilbert ids, LSH ANN)
         # are DuckDB-oracled via data_model_ray.oracles at sf0.01 scale.
@@ -421,6 +446,49 @@ def oracle_sql() -> dict[str, str]:
         "pages_knn": oracles.pages_knn_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        "grouped_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "stddev_group": """
+            SELECT l_returnflag,
+                   ROUND(AVG(l_extendedprice), 2) AS mean_price,
+                   ROUND(STDDEV_POP(l_extendedprice), 2) AS std_price,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "quantile_disc": """
+            SELECT 0.25 AS q, QUANTILE_DISC(l_extendedprice, 0.25) AS val
+            FROM lineitem
+            UNION ALL
+            SELECT 0.5, QUANTILE_DISC(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT 0.75, QUANTILE_DISC(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL
+            SELECT 0.9, QUANTILE_DISC(l_extendedprice, 0.9) FROM lineitem
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue

@@ -738,3 +738,274 @@ def knn_embeddings_query(sf_dir: str, *, k: int = 3, n_queries: int = 5):
     qm = np.stack(head["embedding"].to_numpy())
     qids = head["vec_id"].to_numpy()
     return knn_embeddings(ds, qm, qids, k=k)
+
+
+# --- Join variants: semi / anti (EXISTS / NOT EXISTS) ----------------------
+
+
+def _exists_join(sf_dir: str, *, anti: bool, num_buckets: int = 16):
+    """Customers with (semi) / without (anti) at least one event.
+
+    Both-sides-large formulation: the probe side is pre-distincted PER
+    BLOCK before the exchange (only unique keys cross the wire — bounded
+    by the key cardinality regardless of fan-in), then both sides meet in
+    one bucketed groupby and membership is decided per bucket with a
+    vectorized isin. No driver-side key set, no second exchange.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "events", ["user_id"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["c_custkey"], pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["user_id"])  # local pre-distinct: tiny exchange
+        b = pc.cast(
+            pc.bit_wise_and(keys, pa.scalar(num_buckets - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "key": keys,
+                "c_mktsegment": pa.nulls(len(keys), pa.string()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        have = group.loc[group["side"] == 1, "key"].to_numpy()
+        left = group[group["side"] == 0]
+        mask = left["key"].isin(have).to_numpy()
+        keep = left[~mask] if anti else left[mask]
+        return keep[["key", "c_mktsegment"]].rename(columns={"key": "c_custkey"})
+
+    return both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def semi_join_customers(sf_dir: str):
+    """Customers with at least one event (EXISTS semi-join)."""
+    return _exists_join(sf_dir, anti=False)
+
+
+def anti_join_customers(sf_dir: str):
+    """Customers with no events (NOT EXISTS anti-join)."""
+    return _exists_join(sf_dir, anti=True)
+
+
+# --- Grouped top-k per key (window ROW_NUMBER <= k) ------------------------
+
+
+def grouped_topk_orders(sf_dir: str, k: int = 3):
+    """Top-k orders per priority by (price DESC, orderkey ASC), ranked.
+
+    Partial per-block top-k per key bounds the exchange to k rows per key
+    per block; the final per-key group re-ranks deterministically. The
+    same partial/final shape as the spatial per-cell kNN — this is its
+    relational twin.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        return df.groupby("o_orderpriority", sort=False).head(k)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        group = group.reset_index(drop=True)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["o_orderpriority", "o_orderkey", "o_totalprice", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- ROLLUP grouping sets --------------------------------------------------
+
+
+def rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) on sum(qty) + count.
+
+    The finest level is a normal distributed partial+final aggregate; the
+    coarser grouping sets are derived algebraically from the finest table
+    (bounded: |flags| x |statuses| rows), so the rollup costs ONE exchange
+    no matter how many levels — never a second pass over the fact table.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)["l_quantity"]
+        return g.agg(s="sum", n="size").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        return g.agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    ).to_pandas()  # bounded: one row per (flag, status) pair
+
+    lvl1 = (
+        finest.groupby("l_returnflag", sort=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "s": [finest["s"].sum()],
+            "n": [finest["n"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out = out.rename(columns={"s": "sum_qty", "n": "n_items"})
+    return _round_col(out, ["sum_qty"], nd=6)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_items"]
+    ]
+
+
+# --- Algebraic variance/stddev aggregate -----------------------------------
+
+
+def stddev_prices(sf_dir: str):
+    """Population stddev of extendedprice per returnflag via (n, s, ss)
+    partials — the canonical algebraic (decomposable) aggregate beyond
+    sum/min/max; one tiny exchange of three floats per key per block."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"]
+        df = df.assign(ss=x * x)
+        g = df.groupby("l_returnflag", sort=False)
+        return g.agg(n=("l_extendedprice", "size"), s=("l_extendedprice", "sum"),
+                     ss=("ss", "sum")).reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_returnflag", sort=False)
+        out = g.agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")).reset_index()
+        mu = out["s"] / out["n"]
+        var = np.maximum(out["ss"] / out["n"] - mu * mu, 0.0)
+        out["std_price"] = np.sqrt(var)
+        out["mean_price"] = mu
+        out = out[["l_returnflag", "mean_price", "std_price", "n"]]
+        return _round_col(out, ["mean_price", "std_price"], nd=2)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- Distributed exact quantiles (order statistics) ------------------------
+
+
+def quantile_prices(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    num_bins: int = 2048,
+    collect_cap: int = 1_000_000,
+):
+    """Exact QUANTILE_DISC (ascending element at floor((n-1)*q)) of
+    l_extendedprice, computed distributedly in O(passes) scans:
+
+    1. one map_batches pass -> per-block (count, min, max) partials;
+    2. histogram pass(es): per-block bin counts over [lo, hi] (a
+       ``num_bins``-long int vector per block — tiny); the driver sums
+       them and locates the bin holding each target rank. If a candidate
+       bin still holds more than ``collect_cap`` values the range narrows
+       to that bin and the histogram repeats (geometric convergence);
+    3. one filtered collect of ONLY the candidate-bin values (expected
+       n/num_bins rows) -> exact order statistic via np.partition.
+
+    The driver never sees more than num_bins ints per block plus the
+    final bounded candidate set; no sort, no full materialization.
+    """
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])}
+            )
+        return pa.table(
+            {"n": pa.array([len(x)], pa.int64()),
+             "lo": pa.array([float(x.min())]), "hi": pa.array([float(x.max())])}
+        )
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(mm["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"q": list(qs), "val": [np.nan] * len(qs)})
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    targets = {q: int(np.floor((n_total - 1) * q)) for q in qs}
+
+    def hist_counts(lo_: float, hi_: float):
+        edges = np.linspace(lo_, hi_, num_bins + 1)
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            x = t[col].to_numpy(zero_copy_only=False)
+            x = x[(x >= lo_) & (x <= hi_)]
+            c, _ = np.histogram(x, bins=edges)
+            return pa.table({"c": pa.array(c.astype(np.int64))})
+
+        parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+        c = parts["c"].to_numpy().reshape(-1, num_bins).sum(axis=0)
+        return edges, c
+
+    out_rows = []
+    for q, t_idx in targets.items():
+        lo_, hi_ = lo, hi
+        rank = t_idx  # rank within [lo_, hi_] (global at first: all values)
+        for _ in range(8):  # geometric narrowing; 2 passes in practice
+            edges, c = hist_counts(lo_, hi_)
+            cum = np.cumsum(c)
+            b = int(np.searchsorted(cum, rank + 1))
+            in_bin = int(c[b])
+            rank_in_bin = rank - (int(cum[b - 1]) if b > 0 else 0)
+            blo, bhi = float(edges[b]), float(edges[b + 1])
+            if in_bin <= collect_cap:
+                break
+            lo_, hi_, rank = blo, bhi, rank_in_bin
+        else:  # pragma: no cover - pathological all-equal overflow
+            pass
+        # inclusive upper edge only for the last bin of this refinement
+        ub = "<=" if b == num_bins - 1 else "<"
+        vals = (
+            ds.filter(expr=f"{col} >= {blo!r} and {col} {ub} {bhi!r}")
+            .to_pandas()[col]
+            .to_numpy()
+        )
+        vals = np.partition(vals, rank_in_bin)
+        out_rows.append({"q": float(q), "val": float(vals[rank_in_bin])})
+    return pd.DataFrame(out_rows)
