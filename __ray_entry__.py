@@ -353,6 +353,16 @@ def _media_near_dups(sf_dir: str):
     )
 
 
+def _jaccard_pairs(sf_dir: str):
+    """Exact all-pairs shingle Jaccard — the near-dup family's hard
+    oracle: unlike the MinHash sketch, the shingle set is a deterministic
+    function of the text, so DuckDB can rebuild it and the engine's
+    distributed triangle join must match value-for-value."""
+    from data_model_ray.stages.neardup import jaccard_all_pairs
+
+    return jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
     user_id, documents text). Rows-only: the estimate is within ~1.6%
@@ -413,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
         "minhash_near_dups": _minhash_near_dups,
+        "jaccard_pairs": _jaccard_pairs,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
@@ -428,6 +439,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 #: the driver's correctness gate runs at sf=0.01 -> this pages row count
 _ORACLE_N = 100_000
+
+#: exact all-pairs word-3-gram-shingle Jaccard (matches
+#: stages/neardup.py shingle_hashes: w=3, per-token fallback for short
+#: docs). Shared by jaccard_pairs (exact triangle join) and
+#: minhash_near_dups (LSH sketch whose verified output deterministically
+#: equals the exact pair set on these fixtures).
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT t1.doc_id,
+               t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        FROM toks t1
+        JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        WHERE t1.ntok >= 3
+        UNION
+        SELECT DISTINCT doc_id, tok AS s FROM toks WHERE ntok < 3
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE i / (ca.n + cb.n - i) >= 0.5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -446,6 +493,13 @@ def oracle_sql() -> dict[str, str]:
         "pages_knn": oracles.pages_knn_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
+        # minhash_near_dups shares the exact-Jaccard oracle: its LSH
+        # candidate stage is exact-Jaccard-verified, and with the fixed
+        # seeded hashing its recall on these inputs is deterministically
+        # 100% (verified value-for-value at sf0.001 and sf0.01), so the
+        # sketch pipeline must reproduce the exact pair set.
+        "minhash_near_dups": _JACCARD_PAIRS_SQL,
+        "jaccard_pairs": _JACCARD_PAIRS_SQL,
         "semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey IN (SELECT user_id FROM events)

@@ -646,3 +646,112 @@ def embedding_near_dups(
         .groupby("__pair")
         .map_groups(pair_sims, batch_format="pandas")
     )
+
+
+def jaccard_all_pairs(
+    docs_path: str,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_blocks: int = 4,
+):
+    """EXACT all-pairs shingle Jaccard (doc_a < doc_b, j >= threshold).
+
+    The exact ground-truth baseline the MinHash/LSH pipeline approximates —
+    and, unlike the hash-sketch pipelines, SQL-expressible (the shingle
+    set is a deterministic function of the text), so this is the near-dup
+    family's hard DuckDB oracle. Same distributed triangle join as
+    ``embedding_near_dups``: shingle-hash each doc once in map_batches,
+    emit B copies keyed by unordered block pair, and one ``groupby(pair)``
+    computes each block-pair's cross Jaccards via an incidence-matrix
+    matmul over the group's union shingle vocabulary (no Python loop over
+    pairs). O(N^2) compute by definition — the verifier rung; use
+    ``minhash_lsh_candidates`` above it at corpus scale.
+    """
+    B = num_blocks
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        flat, offsets = shingle_hashes(texts)
+        sh_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat.astype(np.int64))
+        )
+        blk = (ids % B).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids)), B)
+        other = np.tile(np.arange(B, dtype=np.int64), len(ids))
+        mine = blk[idx]
+        lo = np.minimum(mine, other)
+        hi = np.maximum(mine, other)
+        return pa.table(
+            {
+                "__pair": pa.array(lo * B + hi),
+                id_col: pa.array(ids[idx]),
+                "__blk": pa.array(mine),
+                "sh": sh_lists.take(pa.array(idx)),
+            }
+        )
+
+    def pair_jaccards(group: pd.DataFrame) -> pd.DataFrame:
+        pair = int(group["__pair"].iloc[0])
+        lo, hi = pair // B, pair % B
+        ids = group[id_col].to_numpy()
+        blk = group["__blk"].to_numpy()
+        sh = group["sh"].to_numpy()
+        flat = (
+            np.concatenate([np.asarray(s, dtype=np.int64) for s in sh])
+            if len(sh)
+            else np.array([], dtype=np.int64)
+        )
+        counts = np.array([len(s) for s in sh], dtype=np.int64)
+        starts = np.zeros(len(sh) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        vocab, inv = np.unique(flat, return_inverse=True)
+        V = len(vocab)
+        inc = np.zeros((len(ids), V))
+        rows = np.repeat(np.arange(len(ids)), counts)
+        inc[rows, inv] = 1.0
+        if lo == hi:
+            a_sel = b_sel = np.arange(len(ids))
+        else:
+            a_sel = np.nonzero(blk == lo)[0]
+            b_sel = np.nonzero(blk == hi)[0]
+        out_a, out_b, out_j = [], [], []
+        CHUNK = 1024  # mega-block guard: <= CHUNK x |b| doubles at once
+        b_inc = inc[b_sel]
+        for s in range(0, len(a_sel), CHUNK):
+            chunk = a_sel[s : s + CHUNK]
+            inter = inc[chunk] @ b_inc.T
+            union = counts[chunk][:, None] + counts[b_sel][None, :] - inter
+            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            ai, bi = np.nonzero(j >= threshold)
+            ida = ids[chunk][ai]
+            idb = ids[b_sel][bi]
+            jj = j[ai, bi]
+            if lo == hi:
+                keep = ida < idb
+                va, vb, js = ida[keep], idb[keep], jj[keep]
+            else:
+                va = np.minimum(ida, idb)
+                vb = np.maximum(ida, idb)
+                js = jj
+            out_a.append(va)
+            out_b.append(vb)
+            out_j.append(np.round(js, 6))
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else [],
+                "doc_b": np.concatenate(out_b) if out_b else [],
+                "jaccard": np.concatenate(out_j) if out_j else [],
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__pair")
+        .map_groups(pair_jaccards, batch_format="pandas")
+    )
