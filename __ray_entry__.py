@@ -381,10 +381,31 @@ def _approx_distinct_users(sf_dir: str):
     )
 
 
+def _pages_host_counts(sf_dir: str):
+    from data_model_ray.pipelines.analytic import pages_host_counts
+
+    return pages_host_counts(_pages_path(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from data_model_ray.pipelines import analytic as ana
     from data_model_ray.pipelines import relational as rel
 
     return {
+        # round-2 widening: multi-way join, conditional agg, interpolated
+        # percentiles, set ops, cumulative window, date/JSON/string scalar
+        # fns, n-gram mining, correlated filter (pipelines/analytic.py)
+        "q3_top_orders": ana.q3_top_orders,
+        "promo_share_monthly": ana.promo_share_monthly,
+        "quantile_cont": ana.quantile_cont_prices,
+        "intersect_users": ana.intersect_users,
+        "except_users": ana.except_users,
+        "running_total": ana.running_total,
+        "events_monthly": ana.events_monthly,
+        "bigram_topk": ana.bigram_topk,
+        "above_user_median": ana.above_user_median,
+        "json_field_agg": ana.json_field_agg,
+        "pages_host_counts": _pages_host_counts,
         # SQL-oracled operator families (SURVEY.md section 2)
         "filter_project": rel.filter_project,            # M-group map/filter
         "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
@@ -487,6 +508,109 @@ def oracle_sql() -> dict[str, str]:
     fixtures.ensure_side_tables()
 
     return {
+        "q3_top_orders": """
+            SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+                SELECT l.l_orderkey AS l_orderkey,
+                       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                           AS revenue,
+                       o.o_orderdate, o.o_orderpriority
+                FROM customer c
+                JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+                  AND l.l_shipdate > TIMESTAMP '1996-07-01'
+                GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "promo_share_monthly": """
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2) AS promo_rev,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "quantile_cont": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.25) AS DOUBLE), 6) AS val
+            FROM lineitem
+            UNION ALL
+            SELECT 0.5, ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.5) AS DOUBLE), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 0.75, ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.75) AS DOUBLE), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 0.9, ROUND(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS DOUBLE), 6)
+            FROM lineitem
+        """,
+        "intersect_users": """
+            SELECT DISTINCT user_id FROM events
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+        """,
+        "except_users": """
+            SELECT DISTINCT o_custkey AS user_id FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+        """,
+        "running_total": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ), 6) AS run_sum
+            FROM events
+        """,
+        "events_monthly": """
+            SELECT EXTRACT(YEAR FROM ts) AS year,
+                   EXTRACT(MONTH FROM ts) AS month,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "bigram_topk": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            bg AS (
+                SELECT t1.tok || ' ' || t2.tok AS bigram
+                FROM toks t1
+                JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+            )
+            SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "above_user_median": """
+            SELECT e.event_id FROM events e
+            JOIN (
+                SELECT user_id, MEDIAN(value) AS med
+                FROM events GROUP BY user_id
+            ) m USING (user_id)
+            WHERE e.value > m.med
+        """,
+        "json_field_agg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "pages_host_counts": f"""
+            SELECT SPLIT_PART(url, '/', 3) AS host,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT url) AS n_urls
+            FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')
+            GROUP BY 1
+        """,
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
         "pages_raster": oracles.pages_raster_sql(_ORACLE_N),

@@ -1,0 +1,537 @@
+"""Second batch of oracle-checked analytic operators (round 2 widening).
+
+Families added here (each a ``queries()`` entry with DuckDB oracle SQL in
+``__ray_entry__.oracle_sql``; column names match the SQL aliases exactly):
+
+- ``q3_top_orders``      — multi-way join (dim-filter semi-join + partitioned
+                           hash join) + grouped revenue + deterministic top-k
+                           (TPC-H Q3 shape; reference has no relational joins,
+                           SURVEY 2.4 J-ours).
+- ``promo_share_monthly``— dimension-broadcast conditional aggregate
+                           (CASE WHEN inside SUM; TPC-H Q14 shape).
+- ``quantile_cont_prices``— interpolated percentile (QUANTILE_CONT) via exact
+                           distributed order statistics: histogram ranks, no
+                           sort, no full collect.
+- ``intersect_users`` / ``except_users`` — set ops (INTERSECT / EXCEPT) as
+                           tagged-union + per-key side aggregate.
+- ``running_total``      — per-key cumulative windowed sum (ROWS UNBOUNDED
+                           PRECEDING), groupby + in-group ordered cumsum.
+- ``events_monthly``     — date-part scalar functions (year/month extract)
+                           feeding a partial+final aggregate.
+- ``bigram_topk``        — n-gram frequency mining: per-batch token bigram
+                           counting, keyed combine, global ordered top-k.
+- ``above_user_median``  — correlated filter: per-key exact median computed
+                           distributedly, broadcast back, strict-above filter
+                           (median is an order statistic -> engine-exact,
+                           unlike a float mean whose sum order drifts).
+- ``json_field_agg``     — JSON field extraction (vectorized regex over the
+                           ``props`` column) + grouped integer sums.
+- ``pages_host_counts``  — URL host parse (scalar string fn F-ours,
+                           SURVEY 2.8) over the synthesized pages table with
+                           per-host page/url counts.
+
+Scale notes: the broadcast sides here (filtered customer keys, the part
+dimension, per-user medians) are dimension-sized; each rides the object
+store once via ``ray.put`` and is read per actor, never re-shipped per
+batch. Where the small side could grow fact-sized the partitioned
+hash-join machinery of ``relational.hash_join_revenue`` is the documented
+fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _read, _round_col
+
+
+# --- multi-way join + top-k (TPC-H Q3 shape) --------------------------------
+
+
+def q3_top_orders(
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-07-01",
+    k: int = 10,
+    num_buckets: int = 16,
+):
+    """customer ⋈ orders ⋈ lineitem: revenue per urgent order, top-k.
+
+    Three-stage composition, never shuffling the unfiltered fact tables:
+
+    1. dim semi-join — the filtered customer keys (one market segment)
+       are collected once (dimension-sized) and broadcast via ``ray.put``;
+       orders are filtered by ``np.isin`` per batch (no shuffle).
+    2. partitioned hash join — both remaining sides bucket on
+       ``orderkey & (B-1)`` and join inside ``groupby(bucket)`` groups,
+       pre-aggregating lineitem revenue per orderkey per batch first so
+       the exchange moves one row per (orderkey, batch), not per item.
+    3. deterministic top-k — global ``sort`` on (rounded revenue desc,
+       date asc, orderkey asc) then ``limit(k)``; rounding *before* the
+       sort keeps the cutoff identical across engines.
+    """
+    import ray
+
+    cut = pd.Timestamp(cutoff)
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == {segment!r}")
+        .select_columns(["c_custkey"])
+        .to_pandas()
+    )
+    keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy()))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        m = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys, assume_unique=False)
+        t = t.filter(pa.array(m))
+        b = pc.cast(pc.bit_wise_and(t["o_orderkey"], pa.scalar(num_buckets - 1, pa.int64())), pa.int32())
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+                "rev": pa.nulls(len(t), pa.float64()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "bucket": b,
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(zero_copy_only=False), "rev": rev.to_numpy(zero_copy_only=False)}
+        )
+        part = df.groupby("key", sort=False)["rev"].sum().reset_index()
+        n = len(part)
+        keys = part["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "rev": pa.array(part["rev"].to_numpy(), pa.float64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "bucket": pa.array((keys & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["key", "o_orderdate", "o_orderpriority"]]
+        right = (
+            group[group["side"] == 1]
+            .groupby("key", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        m = right.merge(left, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series([], dtype=object),
+                }
+            )
+        m = m.rename(columns={"key": "l_orderkey", "rev": "revenue"})
+        m["revenue"] = m["revenue"].round(2)
+        return m[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return joined.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(k)
+
+
+# --- dimension-broadcast conditional aggregate (TPC-H Q14 shape) ------------
+
+
+def promo_share_monthly(sf_dir: str):
+    """Monthly promo vs total revenue: lineitem ⋈ part(p_type) with the part
+    dimension broadcast once (``ray.put``) and a CASE-WHEN conditional sum
+    folded into the per-batch partial — the fact table is never shuffled;
+    the exchange is |months| rows per block."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        pd.Series(
+            (part["p_type"] == "PROMO").to_numpy(), index=part["p_partkey"].to_numpy()
+        )
+    )
+
+    items = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        month = pc.floor_temporal(t["l_shipdate"], unit="month").to_pandas()
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        is_promo = (
+            promo.reindex(t["l_partkey"].to_numpy(zero_copy_only=False))
+            .fillna(False)
+            .to_numpy(dtype=bool)
+        )
+        df = pd.DataFrame(
+            {"month": month, "rev": rev, "promo_rev": np.where(is_promo, rev, 0.0)}
+        )
+        g = df.groupby("month", sort=False)
+        return g.agg(
+            promo_rev=("promo_rev", "sum"), total_rev=("rev", "sum"), n_items=("rev", "size")
+        ).reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("month", sort=False)
+        out = g.agg(
+            promo_rev=("promo_rev", "sum"),
+            total_rev=("total_rev", "sum"),
+            n_items=("n_items", "sum"),
+        ).reset_index()
+        return _round_col(out, ["promo_rev", "total_rev"], nd=2)
+
+    return (
+        items.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- interpolated percentiles (QUANTILE_CONT) -------------------------------
+
+
+def _exact_elements(ds, col: str, ranks: list[int], n_total: int, lo: float, hi: float,
+                    num_bins: int = 2048) -> dict[int, float]:
+    """Exact ascending-order elements at the given 0-based global ranks.
+
+    One distributed histogram pass locates each rank's bin; only the
+    candidate bins' values (expected n/num_bins rows each) are collected
+    and partially sorted. The driver never holds more than num_bins ints
+    per block plus the bounded candidate sets."""
+    edges = np.linspace(lo, hi, num_bins + 1)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False)
+        c, _ = np.histogram(x, bins=edges)
+        return pa.table({"c": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    counts = parts["c"].to_numpy().reshape(-1, num_bins).sum(axis=0)
+    cum = np.cumsum(counts)
+
+    by_bin: dict[int, list[int]] = {}
+    for r in ranks:
+        b = int(np.searchsorted(cum, r + 1))
+        by_bin.setdefault(b, []).append(r)
+
+    out: dict[int, float] = {}
+    for b, rs in by_bin.items():
+        blo, bhi = float(edges[b]), float(edges[b + 1])
+        ub = "<=" if b == num_bins - 1 else "<"
+        vals = np.sort(
+            ds.filter(expr=f"{col} >= {blo!r} and {col} {ub} {bhi!r}")
+            .to_pandas()[col]
+            .to_numpy()
+        )
+        base = int(cum[b - 1]) if b > 0 else 0
+        for r in rs:
+            out[r] = float(vals[r - base])
+    return out
+
+
+def quantile_cont_prices(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)):
+    """Interpolated percentiles (SQL QUANTILE_CONT) of l_extendedprice:
+    pos = (n-1)q; val = v[floor] + (v[ceil] - v[floor]) * frac. Exact
+    order statistics come from the shared histogram machinery; the
+    interpolation arithmetic matches DuckDB operand-for-operand, and the
+    result is rounded to 6dp on both sides."""
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n": pa.array([len(x)], pa.int64()),
+             "lo": pa.array([float(x.min()) if len(x) else np.inf]),
+             "hi": pa.array([float(x.max()) if len(x) else -np.inf])}
+        )
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(mm["n"].sum())
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    ranks: set[int] = set()
+    pos = {}
+    for q in qs:
+        p = (n_total - 1) * q
+        r0 = int(np.floor(p))
+        r1 = min(r0 + 1, n_total - 1)
+        pos[q] = (p, r0, r1)
+        ranks.update((r0, r1))
+
+    elems = _exact_elements(ds, col, sorted(ranks), n_total, lo, hi)
+    rows = []
+    for q in qs:
+        p, r0, r1 = pos[q]
+        v0, v1 = elems[r0], elems[r1]
+        rows.append({"q": float(q), "val": round(v0 + (v1 - v0) * (p - r0), 6)})
+    return pd.DataFrame(rows)
+
+
+# --- set ops: INTERSECT / EXCEPT --------------------------------------------
+
+
+def _user_sides(sf_dir: str):
+    """Tagged union of distinct event users (side 0) and order customers
+    (side 1), locally deduped per batch before the exchange."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+
+    def dedupe_ev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates()
+        out = out.assign(side=np.int8(0))
+        return out
+
+    def dedupe_od(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().rename(columns={"o_custkey": "user_id"})
+        out = out.assign(side=np.int8(1))
+        return out
+
+    return ev.map_batches(dedupe_ev, batch_format="pandas").union(
+        od.map_batches(dedupe_od, batch_format="pandas")
+    )
+
+
+def _side_presence(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    u = _user_sides(sf_dir)
+    return u.groupby("user_id").aggregate(
+        Min("side", alias_name="side_min"), Max("side", alias_name="side_max")
+    )
+
+
+def intersect_users(sf_dir: str):
+    """INTERSECT of distinct event users and order customers: per-key
+    min/max side aggregate, keep keys present on both sides. The shuffle
+    moves one (key, side) row per batch per key — already distinct."""
+    agg = _side_presence(sf_dir)
+    return agg.filter(expr="side_min == 0 and side_max == 1").select_columns(
+        ["user_id"]
+    )
+
+
+def except_users(sf_dir: str):
+    """EXCEPT: order customers who never produced an event (side-1-only
+    keys — the non-empty direction on these fixtures)."""
+    agg = _side_presence(sf_dir)
+    return agg.filter(expr="side_min == 1").select_columns(["user_id"])
+
+
+# --- per-key cumulative sum (running total) ---------------------------------
+
+
+def running_total(sf_dir: str):
+    """Per-user running sum of value ordered by (ts, event_id) — the
+    ROWS-UNBOUNDED-PRECEDING window. One hash exchange on user_id; the
+    cumulative sum is a vectorized in-group ``np.cumsum`` after an
+    in-group sort (per-group data is one user's events)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "run_sum": np.cumsum(df["value"].to_numpy()).round(6),
+            }
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- date-part extraction aggregate -----------------------------------------
+
+
+def events_monthly(sf_dir: str):
+    """Scalar date functions (year/month extract, SURVEY 2.8 F-ours
+    timestamp bucketing) feeding the standard partial+final aggregate."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "year": pc.year(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                "month": pc.month(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                "value": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["year", "month"], sort=False)["value"]
+        return g.agg(n="size", s="sum").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["year", "month"], sort=False)
+        out = g.agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        out["sum_value"] = out["s"].round(6)
+        return out[["year", "month", "n", "sum_value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("year")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- n-gram frequency top-k --------------------------------------------------
+
+
+def bigram_topk(sf_dir: str, k: int = 20):
+    """Top-k word bigrams across documents: per-batch bigram counting
+    (token pairs within each doc), keyed sum combine, global ordered
+    top-k with (count desc, bigram asc) determinism. The exchange moves
+    (bigram, partial_count) rows — already combined per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            toks = s.split(" ")
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        if not c:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        items = sorted(c.items())
+        return pd.DataFrame(
+            {"bigram": [b for b, _ in items],
+             "n": np.fromiter((v for _, v in items), dtype=np.int64)}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+# --- correlated filter via broadcast-back exact medians ----------------------
+
+
+def above_user_median(sf_dir: str):
+    """Events strictly above their user's median value. Two passes:
+    (1) per-user exact median (order statistic — identical across
+    engines, unlike a float mean) via groupby+map_groups; (2) the
+    dimension-sized (user, median) table broadcast back with ``ray.put``
+    and applied as a vectorized filter — the fact table never shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [df["user_id"].iloc[0]],
+             "med": [float(np.median(df["value"].to_numpy()))]}
+        )
+
+    medians = (
+        ds.select_columns(["user_id", "value"])
+        .groupby("user_id")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+    )
+    med_ref = ray.put(
+        pd.Series(medians["med"].to_numpy(), index=medians["user_id"].to_numpy())
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        med_s = ray.get(med_ref)
+        thresh = med_s.reindex(t["user_id"].to_numpy(zero_copy_only=False)).to_numpy()
+        mask = t["value"].to_numpy(zero_copy_only=False) > thresh
+        return t.filter(pa.array(mask)).select(["event_id"])
+
+    return ds.map_batches(above, batch_format="pyarrow")
+
+
+# --- JSON field extraction ---------------------------------------------------
+
+
+def json_field_agg(sf_dir: str):
+    """Vectorized JSON field extraction (``props -> k``) via a compiled
+    Arrow regex kernel, then grouped integer sums per event_type — the
+    scalar-function family for semi-structured payload columns."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        kk = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(kk, "k"), pa.int64())
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(),
+             "k": k.to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("event_type", sort=False)["k"]
+        return g.agg(sum_k="sum", n="size").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("event_type", sort=False)
+        return g.agg(sum_k=("sum_k", "sum"), n=("n", "sum")).reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- URL host parse over the pages table ------------------------------------
+
+
+def pages_host_counts(pages_path: str):
+    """Per-host page and distinct-url counts over the synthesized pages
+    table: the host is the third '/'-separated url segment (vectorized
+    Arrow split — no Python row loop); per-batch (host, url) dedupe-count
+    partials keep the exchange near-distinct before the per-host combine."""
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(pages_path, columns=["url"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        parts = pc.split_pattern(t["url"], pattern="/")
+        host = pc.list_element(parts, 2)
+        df = pd.DataFrame(
+            {"host": host.to_pandas(), "url": t["url"].to_pandas()}
+        )
+        g = df.groupby(["host", "url"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("host", sort=False)
+        out = g.agg(n_pages=("n", "sum"), n_urls=("url", "nunique")).reset_index()
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -45,11 +45,22 @@ def _assert_parity(got, want: pd.DataFrame):
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_exact=True)
 
 
+def _host_counts_sql() -> str:
+    return f"""
+        SELECT SPLIT_PART(url, '/', 3) AS host,
+               COUNT(*) AS n_pages,
+               COUNT(DISTINCT url) AS n_urls
+        FROM read_parquet('/tmp/graft_pages/n{N}/*.parquet')
+        GROUP BY 1
+    """
+
+
 QUERY_CASES = [
     ("pages_assignments", lambda: oracles.pages_assignments_sql(N)),
     ("pages_cell_stats", lambda: oracles.pages_cell_stats_sql(N)),
     ("pages_raster", lambda: oracles.pages_raster_sql(N)),
     ("pages_knn", lambda: oracles.pages_knn_sql(N)),
+    ("pages_host_counts", _host_counts_sql),
     ("langid_docs", oracles.langid_docs_sql),
     ("embedding_near_dups", lambda: oracles.embedding_near_dups_sql(0.4)),
 ]
