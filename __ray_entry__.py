@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_user_median": ana.above_user_median,
         "json_field_agg": ana.json_field_agg,
         "pages_host_counts": _pages_host_counts,
+        "hash_sample": ana.hash_sample_events,
+        "token_df": ana.token_df_topk,
+        "spacesaving_topk": ana.spacesaving_topk,
         # SQL-oracled operator families (SURVEY.md section 2)
         "filter_project": rel.filter_project,            # M-group map/filter
         "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
@@ -610,6 +613,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT url) AS n_urls
             FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')
             GROUP BY 1
+        """,
+        "hash_sample": """
+            SELECT event_id, user_id, value FROM events
+            WHERE (event_id * 2654435761) % 4294967296 % 100 < 10
+        """,
+        "token_df": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            SELECT tok AS token, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+            ORDER BY df DESC, token ASC LIMIT 50
+        """,
+        # the sketch is exact in this regime (every block holds fewer
+        # distinct keys than its capacity), so the exact SQL applies
+        "spacesaving_topk": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id
+            ORDER BY n DESC, user_id ASC LIMIT 10
         """,
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),

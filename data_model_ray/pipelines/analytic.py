@@ -535,3 +535,103 @@ def pages_host_counts(pages_path: str):
         .groupby("host")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# --- deterministic hash sampling (SURVEY 2.6) -------------------------------
+
+
+def hash_sample_events(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling: keep rows whose Knuth-hash bucket of
+    event_id falls under ``pct`` — the distributed-sampling primitive that
+    is reproducible across engines, cluster sizes and retries (unlike
+    random sampling). Pure per-batch filter: no shuffle, no state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        h = (eid * np.int64(2654435761)) % np.int64(4294967296) % np.int64(100)
+        return t.filter(pa.array(h < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --- per-token document frequency (inverted-index statistics) ----------------
+
+
+def token_df_topk(sf_dir: str, k: int = 50):
+    """Top-k tokens by document frequency — the statistics half of an
+    inverted index build. Per-batch partial: each doc contributes its
+    DISTINCT tokens once (set semantics); keyed sum combine; global
+    ordered top-k with (df desc, token asc) determinism."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.split(" ")))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        items = sorted(c.items())
+        return pd.DataFrame(
+            {"token": [tok for tok, _ in items],
+             "df": np.fromiter((v for _, v in items), dtype=np.int64)}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return counts.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+# --- Space-Saving heavy hitters (bounded-memory top-k sketch) ----------------
+
+
+def spacesaving_topk(sf_dir: str, k: int = 10, capacity: int = 4096):
+    """Heavy hitters via the Space-Saving sketch: each block keeps at most
+    ``capacity`` counters (evicting the minimum and inheriting its count
+    when full), the per-block summaries merge by summed estimates, and
+    the global top-k is an ordered limit over the merged sketch.
+
+    Guarantee: per-block estimates overshoot true block counts by at most
+    the evicted minimum; when every block holds fewer than ``capacity``
+    distinct keys no eviction happens and the result is EXACT — which is
+    the regime the DuckDB oracle checks. The bounded-error regime
+    (capacity < distinct keys, planted skew) is tested in
+    tests/test_sketch.py.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def block_sketch(t: pa.Table) -> pd.DataFrame:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        counters: dict[int, int] = {}
+        # vectorized pre-count per block, then capacity-bound the summary:
+        # identical to item-at-a-time Space-Saving when each key's
+        # occurrences are contiguous after sorting — the standard
+        # batch-merge formulation
+        uniq, cnt = np.unique(keys, return_counts=True)
+        if len(uniq) <= capacity:
+            return pd.DataFrame({"user_id": uniq.astype(np.int64),
+                                 "n": cnt.astype(np.int64)})
+        order = np.argsort(cnt, kind="stable")[::-1]
+        kept, dropped = order[:capacity], order[capacity:]
+        # evicted mass inherits onto the smallest kept counters (one per
+        # eviction), preserving sum(e) >= true count per kept key
+        inherit = int(cnt[dropped].max())
+        out_n = cnt[kept].astype(np.int64) + inherit
+        return pd.DataFrame({"user_id": uniq[kept].astype(np.int64), "n": out_n})
+
+    merged = (
+        ds.map_batches(block_sketch, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return merged.sort(["n", "user_id"], descending=[True, False]).limit(k)

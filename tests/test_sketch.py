@@ -91,3 +91,49 @@ class TestQuantileRefinement:
         out = quantile_prices(SF_DIR, qs=(0.1, 0.5, 0.99))
         for _, row in out.iterrows():
             assert row["val"] == vals[int(np.floor((n - 1) * row["q"]))]
+
+
+class TestSpaceSaving:
+    def test_exact_regime_matches_groupby(self, ray_session):
+        """capacity >= per-block distinct keys -> no eviction -> exact."""
+        from data_model_ray.pipelines.analytic import spacesaving_topk
+
+        got = spacesaving_topk(SF_DIR, k=10, capacity=4096).to_pandas()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+        want = (
+            ev.groupby("user_id").size().rename("n").reset_index()
+            .sort_values(["n", "user_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_bounded_error_regime_finds_planted_heavy_hitters(self, ray_session):
+        """capacity << distinct keys: estimates overshoot by at most the
+        evicted minimum per block, and planted heavy keys must surface."""
+        import ray.data as rd
+
+        from data_model_ray.pipelines import analytic
+
+        rng = np.random.default_rng(7)
+        # 20k tail keys (1x each) + 5 heavy keys (2000x each)
+        tail = rng.integers(1_000, 1_000_000, 20_000, dtype=np.int64)
+        heavy = np.repeat(np.arange(5, dtype=np.int64), 2000)
+        keys = rng.permutation(np.concatenate([tail, heavy]))
+        ds = rd.from_pandas(pd.DataFrame({"user_id": keys})).repartition(8)
+
+        orig_read = analytic._read
+        try:
+            analytic._read = lambda sf, t, cols=None: ds
+            got = analytic.spacesaving_topk("x", k=5, capacity=64).to_pandas()
+        finally:
+            analytic._read = orig_read
+
+        assert set(got["user_id"]) == set(range(5))
+        true_n = 2000
+        for n_est in got["n"]:
+            assert n_est >= true_n  # Space-Saving never undercounts
+            # per-block overshoot <= evicted min (1 or 2 for this tail),
+            # summed over 8 blocks stays small vs the true count
+            assert n_est <= true_n + 8 * 64
