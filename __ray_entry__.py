@@ -409,6 +409,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": ana.hash_sample_events,
         "token_df": ana.token_df_topk,
         "spacesaving_topk": ana.spacesaving_topk,
+        "tfidf_top_term": ana.tfidf_top_term,
+        "grouped_median": ana.grouped_median_prices,
+        "mode_per_type": ana.mode_user_per_type,
+        "corr_group": ana.corr_qty_price,
+        "value_histogram": ana.value_histogram,
         # SQL-oracled operator families (SURVEY.md section 2)
         "filter_project": rel.filter_project,            # M-group map/filter
         "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
@@ -633,6 +638,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n FROM events
             GROUP BY user_id
             ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "tfidf_top_term": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            ranked AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * (n.n / df.df) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * (n.n / df.df) DESC, tf.tok ASC
+                       ) AS rn
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok AS top_token, ROUND(score, 6) AS score
+            FROM ranked WHERE rn = 1
+        """,
+        "grouped_median": """
+            SELECT l_returnflag, MEDIAN(l_extendedprice) AS med_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "mode_per_type": """
+            SELECT event_type, user_id AS mode_user, n FROM (
+                SELECT event_type, user_id, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC, user_id ASC
+                       ) AS rn
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rn = 1
+        """,
+        "corr_group": """
+            SELECT l_returnflag,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "value_histogram": """
+            SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n
+            FROM events GROUP BY 1
         """,
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),

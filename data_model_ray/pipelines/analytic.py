@@ -635,3 +635,175 @@ def spacesaving_topk(sf_dir: str, k: int = 10, capacity: int = 4096):
         .aggregate(Sum("n", alias_name="n"))
     )
     return merged.sort(["n", "user_id"], descending=[True, False]).limit(k)
+
+
+# --- TF-IDF saliency: top term per document ---------------------------------
+
+
+def tfidf_top_term(sf_dir: str):
+    """Per-document most-salient term by tf x (N/df) — the two-stage text
+    pipeline: (1) corpus document frequencies (same partial/combine as
+    ``token_df_topk``, full vocabulary), broadcast once via ``ray.put``
+    (vocabulary-sized — bounded by the language, not the corpus; a
+    co-partitioned token join is the fallback if a vocabulary ever
+    outgrows broadcast); (2) per-doc term frequencies scored against the
+    broadcast df. The rational form tf * (N/df) keeps the arithmetic
+    bit-identical across engines (no libm log), ties break by token."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.split(" ")))
+        items = sorted(c.items())
+        return pd.DataFrame(
+            {"token": [tok for tok, _ in items],
+             "df": np.fromiter((v for _, v in items), dtype=np.int64)}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(float))))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        df_map = ray.get(df_ref)
+        out_id, out_tok, out_score = [], [], []
+        ids = t["doc_id"].to_pylist()
+        for did, s in zip(ids, t["text"].to_pylist()):
+            tf = Counter(s.split(" "))
+            best_tok, best_score = None, -1.0
+            for tok in sorted(tf):
+                sc = tf[tok] * (n_docs / df_map[tok])
+                if sc > best_score:
+                    best_tok, best_score = tok, sc
+            out_id.append(did)
+            out_tok.append(best_tok)
+            out_score.append(round(best_score, 6))
+        return pd.DataFrame(
+            {"doc_id": np.asarray(out_id, dtype=np.int64),
+             "top_token": out_tok,
+             "score": np.asarray(out_score, dtype=np.float64)}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- grouped exact median ----------------------------------------------------
+
+
+def grouped_median_prices(sf_dir: str):
+    """Exact per-group median (order statistic, bit-identical across
+    engines — both interpolate the two middles the same way). One hash
+    exchange on the group key; the in-group median is vectorized."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_returnflag": [df["l_returnflag"].iloc[0]],
+             "med_price": [float(np.median(df["l_extendedprice"].to_numpy()))]}
+        )
+
+    return ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
+# --- mode (most frequent value) per group ------------------------------------
+
+
+def mode_user_per_type(sf_dir: str):
+    """Most frequent user per event type with deterministic min-key
+    tie-break — argmax-count aggregate via (key, value) partial counts;
+    the exchange moves one row per (type, user, batch)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "user_id"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("user_id", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {"event_type": [group["event_type"].iloc[0]],
+             "mode_user": [np.int64(g["user_id"].iloc[0])],
+             "n": [np.int64(g["n"].iloc[0])]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- grouped correlation (algebraic moment partials) -------------------------
+
+
+def corr_qty_price(sf_dir: str):
+    """Pearson correlation of quantity vs price per returnflag via raw
+    moment partials (n, sx, sy, sxy, sxx, syy) — six floats per key per
+    block over the exchange, final combine on the driver-side-sized key
+    table. Rounded to 6dp on both sides (accumulation-order drift)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = df["l_quantity"], df["l_extendedprice"]
+        d = df.assign(sx=x, sy=y, sxy=x * y, sxx=x * x, syy=y * y)
+        g = d.groupby("l_returnflag", sort=False)
+        return g.agg(
+            n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sxx=("sxx", "sum"), syy=("syy", "sum"),
+        ).reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_returnflag", sort=False).sum(numeric_only=True).reset_index()
+        n = g["n"]
+        cov = g["sxy"] - g["sx"] * g["sy"] / n
+        vx = g["sxx"] - g["sx"] * g["sx"] / n
+        vy = g["syy"] - g["sy"] * g["sy"] / n
+        g["corr_qty_price"] = (cov / np.sqrt(vx * vy)).round(6)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["l_returnflag", "corr_qty_price", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- fixed-bin histogram aggregate -------------------------------------------
+
+
+def value_histogram(sf_dir: str, width: float = 25.0):
+    """Fixed-width histogram of event values: the bin index is the same
+    floor((v - 0)/w) double op on both engines, so counts are int-exact.
+    Per-batch bincount partials; the exchange moves |bins| rows per block."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": uniq, "n": cnt.astype(np.int64)})
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("bin", sort=True)["n"].sum().reset_index()
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
