@@ -298,20 +298,28 @@ def quantile_cont_prices(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 
 # --- set ops: INTERSECT / EXCEPT --------------------------------------------
 
 
-def _user_sides(sf_dir: str):
+def _user_sides(sf_dir: str, num_buckets: int):
     """Tagged union of distinct event users (side 0) and order customers
-    (side 1), locally deduped per batch before the exchange."""
+    (side 1), locally deduped per batch before the exchange; each row
+    carries its key-hash bucket so the combine shuffles |buckets| groups
+    instead of |keys| groups."""
     ev = _read(sf_dir, "events", ["user_id"])
     od = _read(sf_dir, "orders", ["o_custkey"])
 
     def dedupe_ev(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates()
-        out = out.assign(side=np.int8(0))
+        out = out.assign(
+            side=np.int8(0),
+            bucket=(out["user_id"] & (num_buckets - 1)).astype(np.int32),
+        )
         return out
 
     def dedupe_od(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates().rename(columns={"o_custkey": "user_id"})
-        out = out.assign(side=np.int8(1))
+        out = out.assign(
+            side=np.int8(1),
+            bucket=(out["user_id"] & (num_buckets - 1)).astype(np.int32),
+        )
         return out
 
     return ev.map_batches(dedupe_ev, batch_format="pandas").union(
@@ -319,13 +327,19 @@ def _user_sides(sf_dir: str):
     )
 
 
-def _side_presence(sf_dir: str):
-    from ray.data.aggregate import Max, Min
+def _side_presence(sf_dir: str, num_buckets: int = 64):
+    """Per-key (min, max) side over the tagged union, as a bucketed
+    exchange + vectorized in-group combine (Ray's sort-based Aggregate
+    costs seconds of fixed overhead per run; the bucket groupby keeps the
+    group count constant and the per-group work a pandas kernel)."""
+    u = _user_sides(sf_dir, num_buckets)
 
-    u = _user_sides(sf_dir)
-    return u.groupby("user_id").aggregate(
-        Min("side", alias_name="side_min"), Max("side", alias_name="side_max")
-    )
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("user_id", sort=False)["side"]
+        out = g.agg(side_min="min", side_max="max").reset_index()
+        return out
+
+    return u.groupby("bucket").map_groups(combine, batch_format="pandas")
 
 
 def intersect_users(sf_dir: str):
