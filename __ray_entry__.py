@@ -745,7 +745,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
-                   ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1996-01-01'
         """,

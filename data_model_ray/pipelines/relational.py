@@ -42,10 +42,15 @@ def filter_project(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))))
-        rev = pc.round(
-            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            ndigits=6,
+        # price and discount are 2-decimal fixtures: compute in exact integer
+        # cents x percent domain so the result double is bit-identical to any
+        # engine doing the same (float rounding implementations differ at ULP).
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        pct = pc.cast(
+            pc.round(pc.multiply(pc.subtract(pa.scalar(1.0), t["l_discount"]), pa.scalar(100.0))),
+            pa.int64(),
         )
+        rev = pc.divide(pc.cast(pc.multiply(cents, pct), pa.float64()), pa.scalar(10000.0))
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
