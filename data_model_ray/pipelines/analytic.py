@@ -417,37 +417,82 @@ def events_monthly(sf_dir: str):
 # --- n-gram frequency top-k --------------------------------------------------
 
 
-def bigram_topk(sf_dir: str, k: int = 20):
-    """Top-k word bigrams across documents: per-batch bigram counting
-    (token pairs within each doc), keyed sum combine, global ordered
-    top-k with (count desc, bigram asc) determinism. The exchange moves
-    (bigram, partial_count) rows — already combined per batch."""
-    from ray.data.aggregate import Sum
+def _token_list_array(col) -> pa.ListArray:
+    """Space-split a (chunked) string column into one combined ListArray."""
+    la = pc.split_pattern(col, " ")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    return la
 
+
+def _bucketed_keyed_topk(parts, key: str, val: str, k: int, descending: bool = True):
+    """(key, val, bucket) partials -> per-bucket keyed sum + local top-k
+    (each key lives in exactly one bucket, so per-bucket top-k is globally
+    safe) -> one-task final merge. Replaces Ray's sort-based Aggregate +
+    global sort (seconds of fixed exchange cost) with one bounded groupby."""
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=False)[val].sum().reset_index()
+        out = out.sort_values(
+            [val, key], ascending=[not descending, True], kind="mergesort"
+        ).head(k)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            [val, key], ascending=[not descending, True], kind="mergesort"
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    return (
+        parts.groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def bigram_topk(sf_dir: str, k: int = 20, num_buckets: int = 32):
+    """Top-k word bigrams across documents. Fully vectorized: Arrow
+    split_pattern tokenization, adjacent-pair join with a doc-boundary
+    mask, pandas hash value_counts per batch; the exchange moves
+    (bigram, partial_count, bucket) rows — already combined per batch —
+    and the combine is one bounded bucket groupby (see
+    ``_bucketed_keyed_topk``)."""
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t["text"].to_pylist():
-            toks = s.split(" ")
-            c.update(map(" ".join, zip(toks, toks[1:])))
-        if not c:
-            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
-        items = sorted(c.items())
+        la = _token_list_array(t["text"])
+        v = la.values
+        n = len(v)
+        empty = pd.DataFrame(
+            {"bigram": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64),
+             "bucket": pd.Series([], dtype=np.int32)}
+        )
+        if n < 2:
+            return empty
+        big = pc.binary_join_element_wise(v.slice(0, n - 1), v.slice(1, n - 1), " ")
+        # mask out pairs that span a document boundary
+        offs = np.asarray(la.offsets)[1:-1].astype(np.int64)
+        keep = np.ones(n - 1, dtype=bool)
+        inner = offs[(offs > 0) & (offs < n)]
+        keep[inner - 1] = False
+        ser = pd.Series(big.to_numpy(zero_copy_only=False))[keep]
+        if ser.empty:
+            return empty
+        vc = ser.value_counts()
+        keys = vc.index.to_numpy(dtype=object)
         return pd.DataFrame(
-            {"bigram": [b for b, _ in items],
-             "n": np.fromiter((v for _, v in items), dtype=np.int64)}
+            {
+                "bigram": keys,
+                "n": vc.to_numpy(np.int64),
+                "bucket": (pd.util.hash_array(keys) & (num_buckets - 1)).astype(np.int32),
+            }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_keyed_topk(parts, "bigram", "n", k)
 
 
 # --- correlated filter via broadcast-back exact medians ----------------------
@@ -572,36 +617,41 @@ def hash_sample_events(sf_dir: str, pct: int = 10):
 # --- per-token document frequency (inverted-index statistics) ----------------
 
 
-def token_df_topk(sf_dir: str, k: int = 50):
-    """Top-k tokens by document frequency — the statistics half of an
-    inverted index build. Per-batch partial: each doc contributes its
-    DISTINCT tokens once (set semantics); keyed sum combine; global
-    ordered top-k with (df desc, token asc) determinism."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t["text"].to_pylist():
-            c.update(set(s.split(" ")))
-        if not c:
-            return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 "df": pd.Series([], dtype=np.int64)})
-        items = sorted(c.items())
+def _doc_distinct_token_counts(t: pa.Table, num_buckets: int) -> pd.DataFrame:
+    """Per-batch document-frequency partial: each doc contributes its
+    DISTINCT tokens once (set semantics). Vectorized: Arrow tokenization,
+    doc-id repeat from list offsets, pandas drop_duplicates + value_counts."""
+    la = _token_list_array(t["text"])
+    offs = np.asarray(la.offsets).astype(np.int64)
+    flat = la.values.to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
         return pd.DataFrame(
-            {"token": [tok for tok, _ in items],
-             "df": np.fromiter((v for _, v in items), dtype=np.int64)}
+            {"token": pd.Series([], dtype=object),
+             "df": pd.Series([], dtype=np.int64),
+             "bucket": pd.Series([], dtype=np.int32)}
         )
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    doc = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+    pairs = pd.DataFrame({"d": doc, "token": flat}).drop_duplicates()
+    vc = pairs["token"].value_counts()
+    keys = vc.index.to_numpy(dtype=object)
+    return pd.DataFrame(
+        {
+            "token": keys,
+            "df": vc.to_numpy(np.int64),
+            "bucket": (pd.util.hash_array(keys) & (num_buckets - 1)).astype(np.int32),
+        }
     )
-    return counts.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def token_df_topk(sf_dir: str, k: int = 50, num_buckets: int = 32):
+    """Top-k tokens by document frequency — the statistics half of an
+    inverted index build. Vectorized distinct-per-doc partial; bounded
+    bucket combine; deterministic (df desc, token asc) top-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+    parts = ds.map_batches(
+        lambda t: _doc_distinct_token_counts(t, num_buckets), batch_format="pyarrow"
+    )
+    return _bucketed_keyed_topk(parts, "token", "df", k)
 
 
 # --- Space-Saving heavy hitters (bounded-memory top-k sketch) ----------------
@@ -664,51 +714,55 @@ def tfidf_top_term(sf_dir: str):
     broadcast df. The rational form tf * (N/df) keeps the arithmetic
     bit-identical across engines (no libm log), ties break by token."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = float(ds.count())
+    num_buckets = 32
 
-    def df_partial(t: pa.Table) -> pd.DataFrame:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t["text"].to_pylist():
-            c.update(set(s.split(" ")))
-        items = sorted(c.items())
-        return pd.DataFrame(
-            {"token": [tok for tok, _ in items],
-             "df": np.fromiter((v for _, v in items), dtype=np.int64)}
-        )
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["df"].sum().reset_index()
 
     df_tbl = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+        ds.map_batches(
+            lambda t: _doc_distinct_token_counts(t, num_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(df_combine, batch_format="pandas")
         .to_pandas()
     )
-    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(float))))
+    df_ser = pd.Series(
+        df_tbl["df"].to_numpy(np.float64), index=df_tbl["token"].to_numpy(object)
+    )
+    df_ref = ray.put(df_ser)
 
     def score(t: pa.Table) -> pd.DataFrame:
-        from collections import Counter
-
         df_map = ray.get(df_ref)
-        out_id, out_tok, out_score = [], [], []
-        ids = t["doc_id"].to_pylist()
-        for did, s in zip(ids, t["text"].to_pylist()):
-            tf = Counter(s.split(" "))
-            best_tok, best_score = None, -1.0
-            for tok in sorted(tf):
-                sc = tf[tok] * (n_docs / df_map[tok])
-                if sc > best_score:
-                    best_tok, best_score = tok, sc
-            out_id.append(did)
-            out_tok.append(best_tok)
-            out_score.append(round(best_score, 6))
+        la = _token_list_array(t["text"])
+        offs = np.asarray(la.offsets).astype(np.int64)
+        flat = la.values.to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+        tf = (
+            pd.DataFrame({"r": row, "token": flat})
+            .groupby(["r", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        # same scalar arithmetic as the SQL: tf * (n_docs / df)
+        sc = tf["tf"].to_numpy(np.float64) * (
+            n_docs / df_map.loc[tf["token"]].to_numpy(np.float64)
+        )
+        tf = tf.assign(score=sc)
+        best = tf.sort_values(
+            ["r", "score", "token"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("r")
         return pd.DataFrame(
-            {"doc_id": np.asarray(out_id, dtype=np.int64),
-             "top_token": out_tok,
-             "score": np.asarray(out_score, dtype=np.float64)}
+            {
+                "doc_id": doc_ids[best["r"].to_numpy(np.int64)],
+                "top_token": best["token"].to_numpy(object),
+                "score": np.round(best["score"].to_numpy(np.float64), 6),
+            }
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
