@@ -389,9 +389,22 @@ def _pages_host_counts(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import analytic as ana
+    from data_model_ray.pipelines import olap
     from data_model_ray.pipelines import relational as rel
 
     return {
+        # round-2 third batch: windows, grouping sets, distinct aggs,
+        # sampling, nested-array analytics (pipelines/olap.py)
+        "distinct_users_per_type": olap.distinct_users_per_type,
+        "pivot_status_priority": olap.pivot_status_priority,
+        "dense_rank_orders": olap.dense_rank_orders,
+        "ntile_orders": olap.ntile_orders,
+        "lead_event_ts": olap.lead_event_ts,
+        "first_last_user_value": olap.first_last_user_value,
+        "cube_status_flag": olap.cube_status_flag,
+        "stratified_sample_docs": olap.stratified_sample_docs,
+        "string_agg_nations": olap.string_agg_nations,
+        "embedding_dim_stats": olap.embedding_dim_stats,
         # round-2 widening: multi-way join, conditional agg, interpolated
         # percentiles, set ops, cumulative window, date/JSON/string scalar
         # fns, n-gram mining, correlated filter (pipelines/analytic.py)
@@ -516,6 +529,79 @@ def oracle_sql() -> dict[str, str]:
     fixtures.ensure_side_tables()
 
     return {
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "dense_rank_orders": """
+            SELECT o_orderkey,
+                   DENSE_RANK() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC
+                   ) AS drank
+            FROM orders
+        """,
+        "ntile_orders": """
+            SELECT o_orderkey,
+                   NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
+        """,
+        "lead_event_ts": """
+            SELECT event_id,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_ts
+            FROM events
+        """,
+        "first_last_user_value": """
+            SELECT DISTINCT user_id,
+                   FIRST_VALUE(value) OVER w AS first_val,
+                   LAST_VALUE(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "cube_status_flag": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY (doc_id * 2654435761) & 4294967295, doc_id
+            ) <= 20
+        """,
+        "string_agg_nations": """
+            SELECT r.r_name AS r_name,
+                   STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "embedding_dim_stats": """
+            WITH u AS (
+                SELECT UNNEST(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            SELECT dim, COUNT(*) AS n,
+                   ROUND(SUM(CAST(e AS DOUBLE)) / COUNT(*), 6) AS mean_v,
+                   ROUND(MIN(CAST(e AS DOUBLE)), 6) AS min_v,
+                   ROUND(MAX(CAST(e AS DOUBLE)), 6) AS max_v
+            FROM u GROUP BY dim
+        """,
         "q3_top_orders": """
             SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
                 SELECT l.l_orderkey AS l_orderkey,

@@ -1,0 +1,412 @@
+"""Third batch of oracle-checked operators: window functions, grouping
+sets, distinct aggregates, sampling, and nested-array analytics.
+
+Every entry is a ``queries()`` entry with DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` (column names match the SQL aliases exactly):
+
+- ``distinct_users_per_type`` — exact distributed COUNT(DISTINCT): local
+  pair-dedup per batch, one hash exchange of distinct pairs, bounded count.
+- ``pivot_status_priority``  — pivot/crosstab via per-batch partial
+  crosstabs + one-task combine (rows x cols bounded by the dimensions).
+- ``dense_rank_orders``      — DENSE_RANK per partition (groupby +
+  vectorized in-group rank).
+- ``ntile_orders``           — global NTILE via range-partitioned global
+  ranking: a cheap counting pre-pass fixes per-range offsets, one
+  range-shuffle assigns exact global positions (the scale-correct global
+  sort-rank machinery — no driver-side sort of the fact table).
+- ``lead_event_ts``          — LEAD window (forward peek), mirror of the
+  lag/prev operator.
+- ``first_last_user_value``  — FIRST_VALUE / LAST_VALUE per key over the
+  (ts, event_id) order, one exchange.
+- ``cube_status_flag``       — GROUP BY CUBE derived algebraically from
+  the finest grouping set (one fact-table exchange for all 4 sets).
+- ``stratified_sample_docs`` — deterministic stratified sampling: exact
+  n-per-stratum by Knuth-hash order (reproducible, engine-independent).
+- ``string_agg_nations``     — ordered STRING_AGG per group.
+- ``embedding_dim_stats``    — per-dimension moments over a list<float>
+  column (nested-array analytics; vectorized column-stack partials).
+
+Scale notes: every operator's exchange is either dimension-bounded
+(pivot, cube, string_agg, dim_stats partials) or moves pre-deduped /
+pre-ranked rows (distinct pairs, per-range rows). ``ntile_orders`` is the
+one inherently global-order operator; its shuffle is a single range
+exchange with skew bounded by the range histogram of the pre-pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _read, _round_col
+
+KNUTH = np.uint64(2654435761)
+U32 = np.uint64(0xFFFFFFFF)
+
+
+# --- exact distributed COUNT(DISTINCT) --------------------------------------
+
+
+def distinct_users_per_type(sf_dir: str, num_buckets: int = 64):
+    """COUNT(DISTINCT user_id) per event_type. Per-batch local pair dedup
+    (only unique (type, user) pairs cross the wire), hash exchange on the
+    user bucket (all copies of a pair collide), per-bucket global dedup +
+    per-type partial counts, one-task final sum (|types| rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates()
+        b = (out["user_id"].to_numpy(np.uint64) * KNUTH) & U32
+        return out.assign(bucket=(b % np.uint64(num_buckets)).astype(np.int32))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = g.drop_duplicates(["event_type", "user_id"])
+        return (
+            uniq.groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", sort=False)["n_users"].sum().reset_index()
+        return out.astype({"n_users": np.int64})
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+# --- pivot / crosstab --------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = {
+    "1-URGENT": "p_urgent",
+    "2-HIGH": "p_high",
+    "3-MEDIUM": "p_medium",
+    "4-NOT SPECIFIED": "p_notspec",
+    "5-LOW": "p_low",
+}
+
+
+def pivot_status_priority(sf_dir: str):
+    """Pivot: order counts by status (rows) x priority (columns). Each
+    batch contributes a partial crosstab (|status| x |priority| ints);
+    the combine is one task over the bounded partials."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = (
+            df.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+        )
+        ct = ct.reindex(columns=_PRIORITIES, fill_value=0)
+        ct.columns = [_PRIORITY_ALIAS[c] for c in ct.columns]
+        return ct.reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderstatus", sort=False).sum().reset_index()
+        for c in _PRIORITY_ALIAS.values():
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+
+
+# --- DENSE_RANK per partition ------------------------------------------------
+
+
+def dense_rank_orders(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC) — one hash exchange on the partition key, vectorized in-group
+    rank (pandas dense rank)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["o_totalprice"].rank(method="dense", ascending=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "drank": r.to_numpy(np.int64),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+# --- global NTILE via range-partitioned ranking ------------------------------
+
+
+def ntile_orders(sf_dir: str, k: int = 4, num_ranges: int = 32):
+    """NTILE(k) OVER (ORDER BY o_totalprice, o_orderkey) without a
+    driver-side sort: (1) cheap counting pre-pass bins prices into
+    equi-width ranges and fixes each range's global offset; (2) one range
+    exchange sorts within each range and assigns exact global positions
+    (offset + local index); the position -> tile map is the standard
+    NTILE split (first n%k tiles one row bigger)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    # pass 0: global min/max + per-range counts (ints only cross the wire)
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"mn": [p.min()], "mx": [p.max()], "n": [len(p)]})
+
+    mm = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    mn, mx, n_total = float(mm["mn"].min()), float(mm["mx"].max()), int(mm["n"].sum())
+    width = (mx - mn) or 1.0
+
+    def range_of(p: np.ndarray) -> np.ndarray:
+        r = np.floor((p - mn) / width * num_ranges).astype(np.int64)
+        return np.clip(r, 0, num_ranges - 1)
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        r = range_of(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(r, minlength=num_ranges)
+        return pd.DataFrame({"r": np.arange(num_ranges, dtype=np.int64), "c": cnt})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("r")["c"]
+        .sum()
+        .reindex(range(num_ranges), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    offsets = np.zeros(num_ranges, dtype=np.int64)
+    offsets[1:] = np.cumsum(hist)[:-1]
+    off_ref = ray.put(offsets)
+
+    # NTILE position -> 1-based tile: first (n % k) tiles have ceil(n/k) rows
+    small, rem = divmod(n_total, k)
+    big = small + 1
+    cut = rem * big
+
+    def assign_range(t: pa.Table) -> pd.DataFrame:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_totalprice": p,
+                "rng": range_of(p),
+            }
+        )
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        pos = offs[int(g["rng"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        tile = np.where(
+            pos < cut, pos // big, rem + (pos - cut) // max(small, 1)
+        ).astype(np.int64) + 1
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "tile": tile}
+        )
+
+    return (
+        ds.map_batches(assign_range, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(rank_range, batch_format="pandas")
+    )
+
+
+# --- LEAD window -------------------------------------------------------------
+
+
+def lead_event_ts(sf_dir: str):
+    """LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
+    forward-looking mirror of the lag operator; one hash exchange."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "next_ts": g["ts"].shift(-1),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- FIRST_VALUE / LAST_VALUE ------------------------------------------------
+
+
+def first_last_user_value(sf_dir: str):
+    """Per-user FIRST_VALUE and LAST_VALUE of ``value`` over the
+    (ts, event_id) order — one exchange, one output row per key."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "first_val": [float(g["value"].iloc[0])],
+                "last_val": [float(g["value"].iloc[-1])],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --- GROUP BY CUBE -----------------------------------------------------------
+
+
+def cube_status_flag(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the finest grouping set
+    is one distributed partial+final exchange; the other three sets are
+    derived algebraically from the bounded finest table (same machinery
+    as ROLLUP, plus the transposed single-key set)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False)["l_quantity"]
+        return g.agg(s="sum", n="size").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        return g.agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    ).to_pandas()  # bounded: one row per (flag, status)
+
+    by_flag = (
+        finest.groupby("l_returnflag", sort=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+    by_flag["l_linestatus"] = None
+    by_status = (
+        finest.groupby("l_linestatus", sort=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "s": [finest["s"].sum()],
+            "n": [finest["n"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)
+    out = out.rename(columns={"s": "sum_qty", "n": "n_items"})
+    return _round_col(out, ["sum_qty"], nd=6)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_items"]
+    ]
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+
+def stratified_sample_docs(sf_dir: str, per_stratum: int = 20):
+    """Exact n-per-stratum sample of documents, strata = lang, sampled in
+    Knuth-multiplicative-hash order of doc_id (deterministic and
+    engine-independent — the distributed analogue of ORDER BY
+    hash(id) LIMIT n per group). Per-block top-n partial bounds the
+    exchange to n rows per stratum per block."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["doc_id"].to_numpy(np.uint64) * KNUTH) & U32).astype(np.int64)
+        df = df.assign(h=h)
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(per_stratum)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(per_stratum)
+        return g[["doc_id", "lang"]]
+
+    return (
+        ds.map_batches(local_topn, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topn, batch_format="pandas")
+    )
+
+
+# --- ordered STRING_AGG ------------------------------------------------------
+
+
+def string_agg_nations(sf_dir: str):
+    """Per-region comma-joined nation names in name order (ordered
+    string aggregation over the broadcast-small dimension tables)."""
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["n_name"]))
+        return pd.DataFrame(
+            {
+                "r_name": [rmap[int(g["n_regionkey"].iloc[0])]],
+                "nations": [names],
+            }
+        )
+
+    return nation.groupby("n_regionkey").map_groups(agg, batch_format="pandas")
+
+
+# --- nested-array (list<float>) per-dimension stats --------------------------
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension count/min/max/mean over the embedding list column —
+    nested-array analytics. Each batch stacks the list column into a
+    (rows, dims) float matrix and emits one bounded partial (dims rows of
+    n/s/mn/mx); the combine is one task."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = col
+        dims = np.diff(np.asarray(la.offsets))[0] if len(la) else 0
+        m = np.asarray(la.values, dtype=np.float64).reshape(len(la), dims)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, dims + 1, dtype=np.int64),
+                "n": np.full(dims, len(la), dtype=np.int64),
+                "s": m.sum(axis=0),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dim", sort=False)
+        out = g.agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                "dim": out["dim"].to_numpy(np.int64),
+                "n": out["n"].to_numpy(np.int64),
+                "mean_v": np.round(out["s"].to_numpy() / out["n"].to_numpy(), 6),
+                "min_v": np.round(out["mn"].to_numpy(), 6),
+                "max_v": np.round(out["mx"].to_numpy(), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
