@@ -363,6 +363,17 @@ def _jaccard_pairs(sf_dir: str):
     return jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
 
 
+def _dup_clusters(sf_dir: str):
+    """Near-dup cluster formation: exact-Jaccard pairs -> connected
+    components via distributed min-label propagation (stages/graph.py).
+    The iterative-algorithm family; oracled by a DuckDB recursive CTE."""
+    from data_model_ray.stages.graph import connected_components
+    from data_model_ray.stages.neardup import jaccard_all_pairs
+
+    pairs = jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+    return connected_components(pairs)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
     user_id, documents text). Rows-only: the estimate is within ~1.6%
@@ -466,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_knn": _pages_knn,
         "minhash_near_dups": _minhash_near_dups,
         "jaccard_pairs": _jaccard_pairs,
+        "dup_clusters": _dup_clusters,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
@@ -786,6 +798,21 @@ def oracle_sql() -> dict[str, str]:
         # sketch pipeline must reproduce the exact pair set.
         "minhash_near_dups": _JACCARD_PAIRS_SQL,
         "jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "dup_clusters": f"""
+            WITH RECURSIVE pr AS ({_JACCARD_PAIRS_SQL}),
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION
+                SELECT doc_b, doc_a FROM pr
+            ),
+            walk(node, comp) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS cluster_id
+            FROM walk GROUP BY node
+        """,
         "semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey IN (SELECT user_id FROM events)

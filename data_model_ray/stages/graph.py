@@ -1,0 +1,241 @@
+"""Iterative distributed graph algorithms over Ray Data.
+
+``connected_components`` is the near-dup *cluster formation* step a
+training-data pipeline runs after pair generation (MinHash / exact
+Jaccard): duplicate PAIRS become duplicate GROUPS (keep one doc per
+component). The algorithm is min-label propagation — each round every
+node adopts the smallest label among itself and its neighbours, which
+converges in O(graph diameter) rounds (duplicate clusters are
+shallow — near-clique — so convergence is fast).
+
+Scale shape: the edge table (bounded by the candidate-pair count, not
+the corpus) is materialized once; every round costs two bounded
+hash-bucket exchanges (edges join labels on src; min-combine on dst) and
+the convergence check is an algebraic label-sum — one small partial per
+block, never a driver-side collect of the label table. The reference has
+no iterative operator; this extends the engine's operator families per
+the task brief (dedup at 100 TB needs grouping, not just pairing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = (keys.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _local_cc_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact connected components of one edge block, fully vectorized:
+    iterated min-label over the block's edges with pointer jumping
+    (O(log n) numpy passes). Returns the contraction mapping
+    (src=node, dst=component-min-node) — the same schema as an edge
+    list, so mappings from several blocks can be re-merged by running
+    this kernel again on their union."""
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, si, lab[di])
+        np.minimum.at(nxt, di, lab[si])
+        nxt = nxt[nxt]
+        nxt = nxt[nxt]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return pd.DataFrame({"src": nodes, "dst": nodes[lab]})
+
+
+def connected_components(
+    pairs,
+    *,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    method: str = "contract",
+    num_buckets: int = 32,
+    max_iters: int = 64,
+    fan_in: int = 4,
+):
+    """Pairs Dataset (a, b) -> Dataset (doc_id, cluster_id) where
+    ``cluster_id`` is the minimum node id in the node's component.
+    Only nodes appearing in at least one pair are emitted (singletons
+    are trivially their own cluster and would dominate output size).
+
+    ``method="contract"`` (default): hierarchical contraction — each
+    block reduces its edges to a (node -> min-node) mapping via the
+    vectorized local kernel, mappings merge ``fan_in``-at-a-time through
+    cheap ``repartition`` rounds (no sort exchange) until one block holds
+    the global mapping. Exact, O(log_fan_in(blocks)) rounds; the final
+    merge sees one row per dup-involved node, so it assumes that mapping
+    fits one worker (true whenever dup pairs are sparse relative to the
+    corpus — the normal web-dedup regime).
+
+    ``method="propagate"``: bucketed min-label propagation, two bounded
+    hash exchanges per round, O(diameter) rounds — nothing ever needs to
+    fit in one place; the unbounded-scale fallback.
+    """
+    if method == "contract":
+        m = pairs.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "src": t[col_a].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "dst": t[col_b].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        ).map_batches(_local_cc_frame, batch_format="pandas", batch_size=None)
+        m = m.repartition(fan_in).map_batches(
+            _local_cc_frame, batch_format="pandas", batch_size=None
+        )
+        m = m.repartition(1).map_batches(
+            _local_cc_frame, batch_format="pandas", batch_size=None
+        )
+        return m.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["src"].to_numpy(np.int64),
+                    "cluster_id": df["dst"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def expand(t: pa.Table) -> pd.DataFrame:
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "bucket": _bucket(src, num_buckets)}
+        )
+
+    # undirected edge list, bucketed by src; materialized once (bounded
+    # by the candidate-pair count) and reused every round
+    edges = pairs.map_batches(expand, batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["src"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "node": nodes.to_numpy(np.int64),
+                "lab": nodes.to_numpy(np.int64),
+                "bucket": _bucket(nodes.to_numpy(np.int64), num_buckets),
+            }
+        )
+
+    def dedupe_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedupe_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def label_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [np.int64(df["lab"].sum())]})
+
+    def total(ds) -> int:
+        return int(ds.map_batches(label_sum, batch_format="pandas").to_pandas()["s"].sum())
+
+    prev_sum = total(labels)
+    for _ in range(max_iters):
+        # round part 1: neighbours' labels — join labels to edges on src
+        # (both sides already carry the same src bucket; label rows use
+        # lab >= 0, edge rows the -1 sentinel, keeping one flat schema)
+        def join_src(g: pd.DataFrame) -> pd.DataFrame:
+            is_lab = g["lab"] >= 0
+            lab = g[is_lab][["src", "lab"]]
+            e = g[~is_lab][["src", "dst"]]
+            m = e.merge(lab, on="src", how="inner")
+            out = pd.DataFrame(
+                {
+                    "node": m["dst"].to_numpy(np.int64),
+                    "lab": m["lab"].to_numpy(np.int64),
+                }
+            )
+            out["bucket"] = _bucket(out["node"].to_numpy(np.int64), num_buckets)
+            return out
+
+        lab_as_edges = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["node"].to_numpy(np.int64),
+                    "dst": np.full(len(df), -1, dtype=np.int64),
+                    "bucket": df["bucket"].to_numpy(np.int32),
+                    "lab": df["lab"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        # shortcut edges (node <-> current label, where different): lets a
+        # node adopt lab[lab[node]] next round — pointer jumping, so the
+        # round count is O(log diameter) instead of O(diameter)
+        def mk_shortcut(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["node"].to_numpy(np.int64)
+            l = df["lab"].to_numpy(np.int64)
+            keep = n != l
+            n, l = n[keep], l[keep]
+            src = np.concatenate([n, l])
+            dst = np.concatenate([l, n])
+            return pd.DataFrame(
+                {
+                    "src": src,
+                    "dst": dst,
+                    "bucket": _bucket(src, num_buckets),
+                    "lab": np.full(len(src), -1, dtype=np.int64),
+                }
+            )
+
+        shortcut = labels.map_batches(mk_shortcut, batch_format="pandas")
+        edges_tagged = edges.map_batches(
+            lambda df: df.assign(lab=np.full(len(df), -1, dtype=np.int64)),
+            batch_format="pandas",
+        )
+        prop = (
+            edges_tagged.union(lab_as_edges, shortcut)
+            .groupby("bucket")
+            .map_groups(join_src, batch_format="pandas")
+        )
+
+        # round part 2: min(own label, neighbour labels) per node
+        def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", sort=False)["lab"].min().reset_index()
+            out["bucket"] = _bucket(out["node"].to_numpy(np.int64), num_buckets)
+            return out
+
+        # repartition pins the label table's block count: sort-shuffle
+        # output partitioning equals its input block count, so without it
+        # each round's union (labels + prop) compounds ~3x blocks/round —
+        # task-count explosion, observed 1.9s -> 121s by round 4
+        labels = (
+            labels.select_columns(["node", "lab", "bucket"])
+            .union(prop)
+            .groupby("bucket")
+            .map_groups(min_combine, batch_format="pandas")
+            .repartition(min(num_buckets, 8))
+            .materialize()
+        )
+        cur = total(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(np.int64),
+                "cluster_id": df["lab"].to_numpy(np.int64),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,81 @@
+"""Connected components (stages/graph.py): exactness on planted
+component structures, method equivalence, and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_model_ray.stages.graph import _local_cc_frame, connected_components
+
+
+def _pairs_ds(pairs):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]}
+    )
+    return rd.from_pandas(df).repartition(3)
+
+
+def _expected(pairs):
+    """Reference union-find on the driver."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return pd.DataFrame(
+        sorted((n, find(n)) for n in parent), columns=["doc_id", "cluster_id"]
+    ).astype(np.int64)
+
+
+CASES = {
+    "two_triangles": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)],
+    "chain_across_blocks": [(i, i + 1) for i in range(0, 40)],
+    "star": [(100, i) for i in range(101, 130)],
+    "merge_late": [(1, 2), (3, 4), (5, 6), (2, 3), (4, 5)],
+    "self_pairs_and_dup_edges": [(7, 8), (8, 7), (7, 8), (9, 9)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("method", ["contract", "propagate"])
+def test_components_exact(ray_session, name, method):
+    pairs = CASES[name]
+    got = (
+        connected_components(_pairs_ds(pairs), method=method)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, _expected(pairs))
+
+
+def test_empty_pairs(ray_session):
+    got = connected_components(_pairs_ds([])).to_pandas()
+    assert len(got) == 0
+
+
+def test_local_kernel_min_root():
+    df = pd.DataFrame({"src": [5, 3, 9], "dst": [3, 1, 5]})
+    out = _local_cc_frame(df).sort_values("src").reset_index(drop=True)
+    # 1-3-5-9 one component, root = 1
+    assert list(out["src"]) == [1, 3, 5, 9]
+    assert set(out["dst"]) == {1}
+
+
+def test_local_kernel_random_vs_reference():
+    rng = np.random.default_rng(7)
+    pairs = [tuple(map(int, rng.integers(0, 60, 2))) for _ in range(150)]
+    df = pd.DataFrame({"src": [a for a, _ in pairs], "dst": [b for _, b in pairs]})
+    out = _local_cc_frame(df).rename(columns={"src": "doc_id", "dst": "cluster_id"})
+    out = out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
+    pd.testing.assert_frame_equal(out, _expected(pairs))
