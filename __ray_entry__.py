@@ -374,6 +374,26 @@ def _dup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def _dedup_near_docs(sf_dir: str):
+    """End-to-end near-dup dedup: exact-Jaccard pairs -> connected
+    components -> keep the min-doc_id representative per cluster
+    (broadcast anti-join of the bounded loser set; the corpus streams)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.graph import (
+        connected_components,
+        keep_one_per_cluster,
+    )
+    from data_model_ray.stages.neardup import jaccard_all_pairs
+
+    pairs = jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+    comps = connected_components(pairs)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return keep_one_per_cluster(docs, comps)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
     user_id, documents text). Rows-only: the estimate is within ~1.6%
@@ -478,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _minhash_near_dups,
         "jaccard_pairs": _jaccard_pairs,
         "dup_clusters": _dup_clusters,
+        "dedup_near_docs": _dedup_near_docs,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
@@ -812,6 +833,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "dedup_near_docs": f"""
+            WITH RECURSIVE pr AS ({_JACCARD_PAIRS_SQL}),
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION
+                SELECT doc_b, doc_a FROM pr
+            ),
+            walk(node, comp) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+            ),
+            lose AS (
+                SELECT node FROM walk GROUP BY node HAVING node <> MIN(comp)
+            )
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM lose)
         """,
         "semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer

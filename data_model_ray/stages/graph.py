@@ -239,3 +239,39 @@ def connected_components(
         )
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+def keep_one_per_cluster(docs, comps, *, id_col: str = "doc_id"):
+    """Near-dup DEDUP: drop every component member except its min-id
+    representative; docs in no component pass through untouched.
+
+    Scale shape: the loser set is bounded by the number of dup-involved
+    docs (sparse relative to the corpus in the web regime — the same
+    assumption the candidate-pair table already makes), so it is pulled
+    once, broadcast via ``ray.put``, and the corpus streams through a
+    single ``map_batches`` ``is_in`` filter — no shuffle of the corpus,
+    no per-batch re-ship of the set.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    losers = comps.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    loser_ids = np.unique(
+        losers.to_pandas()["doc_id"].to_numpy(np.int64)
+    )  # bounded: dup-involved non-representatives only
+    ref = ray.put(pa.array(loser_ids, type=pa.int64()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        value_set = ray.get(ref)  # zero-copy read from the object store
+        return t.filter(
+            pc.invert(
+                pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=value_set)
+            )
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -64,6 +64,21 @@ def test_empty_pairs(ray_session):
     assert len(got) == 0
 
 
+def test_keep_one_per_cluster(ray_session):
+    import ray.data as rd
+
+    from data_model_ray.stages.graph import keep_one_per_cluster
+
+    pairs = [(1, 2), (2, 3), (10, 11)]  # clusters {1,2,3} and {10,11}
+    comps = connected_components(_pairs_ds(pairs))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 5, 10, 11, 20]})
+    ).repartition(3)
+    kept = sorted(keep_one_per_cluster(docs, comps).to_pandas()["doc_id"])
+    # representatives 1 and 10 survive; untouched docs 5, 20 pass through
+    assert kept == [1, 5, 10, 20]
+
+
 def test_local_kernel_min_root():
     df = pd.DataFrame({"src": [5, 3, 9], "dst": [3, 1, 5]})
     out = _local_cc_frame(df).sort_values("src").reset_index(drop=True)
