@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": rel.distinct_pairs,            # set-op distinct
         "semi_join": rel.semi_join_customers,            # EXISTS semi-join
         "anti_join": rel.anti_join_customers,            # NOT EXISTS anti-join
+        "full_outer_join": rel.full_outer_join_counts,   # FULL OUTER, 0-fill
         "grouped_topk": rel.grouped_topk_orders,         # per-key top-k window
         "rollup_agg": rel.rollup_lineitem,               # ROLLUP grouping sets
         "stddev_group": rel.stddev_prices,               # algebraic variance
@@ -859,6 +860,19 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        "full_outer_join": """
+            SELECT COALESCE(e.user_id, o.o_custkey) AS user_key,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(o.n_orders, 0) AS n_orders
+            FROM (
+                SELECT user_id, COUNT(*) AS n_events FROM events
+                WHERE user_id % 2 = 0 GROUP BY user_id
+            ) e
+            FULL OUTER JOIN (
+                SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+            ) o ON e.user_id = o.o_custkey
         """,
         "grouped_topk": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (

@@ -813,6 +813,69 @@ def anti_join_customers(sf_dir: str):
     return _exists_join(sf_dir, anti=True)
 
 
+# --- FULL OUTER join (both-sided null fill) ---------------------------------
+
+
+def full_outer_join_counts(sf_dir: str):
+    """Per-user event counts FULL OUTER JOIN per-customer order counts,
+    unmatched sides 0-filled — completes the join-type family next to
+    ``backfill_join`` (left) / ``semi_join`` / ``anti_join``.
+
+    Shape: each side emits per-block partial counts into a SHARED flat
+    schema (key, n_events, n_orders) with the other side's column zeroed;
+    one ``groupby(key)`` sum is simultaneously the final aggregation AND
+    the full-outer merge (a key present on either side survives; a key on
+    both coalesces). One exchange total, moving one row per (block, key).
+    Ray's native ``Dataset.join(full_outer)`` was measured to raise
+    ArrowInvalid when a hash partition receives zero left rows (empty
+    schemaless block), so the union-combine form is both the robust and
+    the cheaper plan. The inputs are deliberately asymmetric subsets
+    (even user_ids vs custkeys divisible by 3) so BOTH unmatched sides
+    are exercised.
+    """
+    events = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def side_partial(key: str, mod: int, mine: str, other: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            keys = df[key].to_numpy(np.int64)
+            keys = keys[keys % mod == 0]
+            u, n = np.unique(keys, return_counts=True)
+            cols = {
+                "user_key": u,
+                mine: n.astype(np.int64),
+                other: np.zeros(len(u), dtype=np.int64),
+            }
+            # fixed column order so both sides union under one schema
+            return pd.DataFrame(
+                {c: cols[c] for c in ("user_key", "n_events", "n_orders")}
+            )
+
+        return fn
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("user_key", sort=False)[["n_events", "n_orders"]]
+            .sum()
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64, "n_orders": np.int64})
+
+    ev = events.map_batches(
+        side_partial("user_id", 2, "n_events", "n_orders"),
+        batch_format="pandas",
+    )
+    od = orders.map_batches(
+        side_partial("o_custkey", 3, "n_orders", "n_events"),
+        batch_format="pandas",
+    )
+    return (
+        ev.union(od)
+        .groupby("user_key")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # --- Grouped top-k per key (window ROW_NUMBER <= k) ------------------------
 
 
