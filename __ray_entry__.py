@@ -394,6 +394,23 @@ def _dedup_near_docs(sf_dir: str):
     return keep_one_per_cluster(docs, comps)
 
 
+def _kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table: E-step
+    scans the corpus as map_batches partials (k x dim sums + counts),
+    M-step reduces the tiny partials. Iterative algorithm — no SQL
+    oracle (rows-only); exactness vs a single-process numpy reference is
+    pytest-proven (tests/test_kmeans.py)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, _ = kmeans_fit(ds, 8, n_iters=6)
+    return kmeans_assign(ds, cents)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
     user_id, documents text). Rows-only: the estimate is within ~1.6%
@@ -500,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "dup_clusters": _dup_clusters,
         "dedup_near_docs": _dedup_near_docs,
+        "kmeans_clusters": _kmeans_clusters,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,

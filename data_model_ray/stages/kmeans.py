@@ -1,0 +1,163 @@
+"""Distributed spherical k-means (Lloyd's) over an embedding column.
+
+The clustering-based-curation operator a training-data pipeline runs over
+its embedding table (topic bucketing, diversity sampling, quota-based
+filtering). Complements ``knn.kmeans_centroids`` (which fits the IVF
+coarse quantizer on a driver-side SAMPLE): here the E-step scans the
+FULL corpus as a ``map_batches`` stage — each block reduces to a
+``(k x dim)`` partial-sum matrix plus per-cluster counts, and only those
+tiny partials reach the driver for the M-step. Per iteration the corpus
+moves zero times; the only cross-node traffic is ``num_blocks`` partial
+rows down and one ``ray.put`` centroid broadcast up.
+
+Determinism: seeded sample init, stable argmax assignment, float64
+accumulation. Cross-block partial-sum order can drift centroids at ULP
+scale, so tests assert assignments on well-separated fixtures (exact)
+and centroids to tolerance — the same contract the IVF tests use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .knn import _as_matrix, _normalize, kmeans_centroids
+
+
+def _vec_ds(ds, vec_col: str, id_col: str):
+    return ds.select_columns([id_col, vec_col])
+
+
+def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means++-style seeding: start from row 0, then
+    repeatedly take the sample point with the smallest max-cosine to the
+    seeds chosen so far — spreads one seed per well-separated mode, which
+    seeded random choice routinely misses (it can drop a whole blob)."""
+    chosen = [0]
+    maxsim = sample @ sample[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(maxsim))
+        chosen.append(nxt)
+        maxsim = np.maximum(maxsim, sample @ sample[nxt])
+    return sample[chosen].copy()
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 10,
+    seed: int = 7,
+    sample_size: int = 2048,
+):
+    """Fit k spherical centroids over the full dataset.
+
+    Returns ``(centroids, inertia_per_iter)`` — centroids are unit-norm
+    ``(k, dim)`` float64; inertia is the corpus sum of ``1 - cos`` to the
+    assigned centroid, one value per iteration (monotone non-increasing,
+    which the tests assert — the live convergence signal a 100 TB run
+    would checkpoint alongside lineage).
+
+    The input embedding dataset is materialized once (object-store
+    backed, spills under pressure) because Lloyd's re-scans it every
+    iteration; re-reading parquet per iteration would work too but pays
+    the decode k times.
+    """
+    import ray
+
+    vecs = _vec_ds(ds, vec_col, id_col).materialize()
+
+    # deterministic init: seeded Lloyd's on a small head sample (the IVF
+    # quantizer path) gives well-spread unit seeds
+    head = vecs.limit(max(sample_size, k)).to_pandas()
+    sample = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in head[vec_col]])
+    )
+    cents = _farthest_point_init(sample, k)
+    cents = kmeans_centroids(sample, k, n_iters=3, seed=seed, init=cents)
+
+    inertia = []
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def estep(batch: pa.Table) -> pd.DataFrame:
+            c = ray.get(ref)  # zero-copy object-store read per task
+            m = _normalize(_as_matrix(batch[vec_col]))
+            sims = m @ c.T
+            assign = np.argmax(sims, axis=1)
+            kk, d = c.shape
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            loss = float(np.sum(1.0 - sims[np.arange(len(m)), assign]))
+            return pd.DataFrame(
+                {
+                    "sums": [sums.reshape(-1)],
+                    "counts": [counts],
+                    "loss": [loss],
+                }
+            )
+
+        parts = vecs.map_batches(estep, batch_format="pyarrow").to_pandas()
+        dim = cents.shape[1]
+        sums = np.sum(
+            np.stack(
+                [
+                    np.asarray(s, dtype=np.float64).reshape(k, dim)
+                    for s in parts["sums"]
+                ]
+            ),
+            axis=0,
+        )
+        counts = np.sum(
+            np.stack([np.asarray(c, dtype=np.int64) for c in parts["counts"]]),
+            axis=0,
+        )
+        inertia.append(float(parts["loss"].sum()))
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        pos = norms > 0
+        new[pos] = new[pos] / norms[pos, None]
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return cents, inertia
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Assign every row to its nearest centroid (broadcast once via
+    ``ray.put``; the corpus streams through one map_batches). Returns
+    ``(id_col, cluster, sim)`` with cosine similarity rounded to 6dp."""
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        sims = m @ c.T
+        assign = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "cluster": assign.astype(np.int64),
+                "sim": np.round(sims[np.arange(len(m)), assign], 6),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -213,7 +213,12 @@ def _as_matrix(col) -> np.ndarray:
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(arr)
         return flat.reshape(n, -1)
-    raise TypeError(f"expected list column, got {arr.type}")
+    if isinstance(arr, pa.ExtensionArray) or isinstance(arr, np.ndarray):
+        # Ray tensor extension array (from_pandas with ndarray cells) or an
+        # object ndarray of per-row vectors
+        rows = arr.to_numpy(zero_copy_only=False) if isinstance(arr, pa.ExtensionArray) else arr
+        return np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+    raise TypeError(f"expected list column, got {type(arr)}")
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -278,18 +283,28 @@ def knn_embeddings(
 
 
 def kmeans_centroids(
-    sample: np.ndarray, n_lists: int, *, n_iters: int = 10, seed: int = 7
+    sample: np.ndarray,
+    n_lists: int,
+    *,
+    n_iters: int = 10,
+    seed: int = 7,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Plain Lloyd k-means on a (small, driver-side) training sample —
     the IVF coarse quantizer (standard public construction: Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011,
-    coarse-quantizer stage). Deterministic: seeded init, stable argmin."""
+    coarse-quantizer stage). Deterministic: seeded init (or caller-provided
+    ``init`` seeds, e.g. farthest-point from stages/kmeans.py), stable
+    argmin."""
     rng = np.random.default_rng(seed)
     sample = _normalize(np.asarray(sample, dtype=np.float64))
     n = len(sample)
     if n < n_lists:
         raise ValueError(f"need >= {n_lists} training vectors, got {n}")
-    cents = sample[rng.choice(n, n_lists, replace=False)]
+    if init is not None:
+        cents = _normalize(np.asarray(init, dtype=np.float64)).copy()
+    else:
+        cents = sample[rng.choice(n, n_lists, replace=False)]
     for _ in range(n_iters):
         assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
         for c in range(n_lists):

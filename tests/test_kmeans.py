@@ -1,0 +1,108 @@
+"""Distributed spherical k-means (stages/kmeans.py): planted-cluster
+recovery, monotone inertia, driver-reference agreement, assignment API."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_model_ray.stages.kmeans import kmeans_assign, kmeans_fit
+from data_model_ray.stages.knn import _normalize
+
+
+def _blobs(n_per: int = 120, k: int = 4, dim: int = 16, seed: int = 3):
+    """Well-separated unit-norm blobs: k orthogonal axes + small noise."""
+    rng = np.random.default_rng(seed)
+    rows, labels = [], []
+    for c in range(k):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        pts = center + rng.normal(scale=0.05, size=(n_per, dim))
+        rows.append(pts)
+        labels.extend([c] * n_per)
+    m = _normalize(np.concatenate(rows))
+    return m, np.array(labels)
+
+
+def _ds_from(m: np.ndarray):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(m), dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in m],
+        }
+    )
+    return rd.from_pandas(df).repartition(6)
+
+
+def test_planted_blobs_recovered(ray_session):
+    m, truth = _blobs()
+    ds = _ds_from(m)
+    cents, inertia = kmeans_fit(ds, 4, n_iters=8)
+    assert cents.shape == (4, 16)
+    # inertia monotone non-increasing (allow ULP slack)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    got = out["cluster"].to_numpy()
+    # cluster ids are arbitrary: check the PARTITION matches the planted one
+    for c in np.unique(truth):
+        ids = got[truth == c]
+        assert len(np.unique(ids)) == 1, f"planted blob {c} split"
+    assert len(np.unique(got)) == 4
+    # assignments are near-perfect cosine fits on separated blobs
+    assert out["sim"].min() > 0.8
+
+
+def test_matches_driver_reference(ray_session):
+    """Distributed E/M steps == single-process numpy Lloyd's (same init)."""
+    m, _ = _blobs(n_per=60, k=3, dim=8, seed=11)
+    ds = _ds_from(m)
+    cents, _ = kmeans_fit(ds, 3, n_iters=5, sample_size=64)
+
+    from data_model_ray.stages.kmeans import _farthest_point_init
+    from data_model_ray.stages.knn import kmeans_centroids
+
+    ref = kmeans_centroids(
+        m[:64], 3, n_iters=3, seed=7, init=_farthest_point_init(m[:64], 3)
+    )
+    for _ in range(5):
+        sims = m @ ref.T
+        assign = np.argmax(sims, axis=1)
+        new = ref.copy()
+        for c in range(3):
+            sel = assign == c
+            if sel.any():
+                v = m[sel].sum(axis=0) / sel.sum()
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[c] = v / n
+        if np.allclose(new, ref, atol=1e-12):
+            ref = new
+            break
+        ref = new
+    assert np.allclose(cents, ref, atol=1e-6)
+
+
+def test_assign_schema_and_determinism(ray_session):
+    m, _ = _blobs(n_per=30, k=2, dim=8, seed=5)
+    ds = _ds_from(m)
+    cents, _ = kmeans_fit(ds, 2, n_iters=3, sample_size=32)
+    a = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    b = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    assert list(a.columns) == ["vec_id", "cluster", "sim"]
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_empty_cluster_kept(ray_session):
+    """A centroid that captures no points keeps its previous position
+    instead of NaN-ing out."""
+    m, _ = _blobs(n_per=40, k=2, dim=8, seed=9)
+    ds = _ds_from(m)
+    # k=4 over 2 real blobs: at most 4, at least 2 distinct assignments,
+    # and centroids must stay finite unit vectors
+    cents, _ = kmeans_fit(ds, 4, n_iters=4, sample_size=16)
+    assert np.isfinite(cents).all()
+    norms = np.linalg.norm(cents, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9)
