@@ -394,6 +394,15 @@ def _dedup_near_docs(sf_dir: str):
     return keep_one_per_cluster(docs, comps)
 
 
+def _curate_docs(sf_dir: str):
+    """End-to-end curation composition: quality filter -> exact dedup ->
+    near-dup clustering -> keep-one-per-cluster. One DuckDB CTE chain
+    hash-checks the whole pipeline (pipelines/curate.py)."""
+    from data_model_ray.pipelines.curate import curate_docs
+
+    return curate_docs(sf_dir)
+
+
 def _kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: E-step
     scans the corpus as map_batches partials (k x dim sums + counts),
@@ -518,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _dup_clusters,
         "dedup_near_docs": _dedup_near_docs,
         "kmeans_clusters": _kmeans_clusters,
+        "curate_docs": _curate_docs,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
@@ -852,6 +862,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(comp) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "curate_docs": f"""
+            WITH RECURSIVE scored AS (
+                SELECT doc_id, text, lang,
+                       ROUND(LEAST(GREATEST((
+                           (1 - LEAST(ABS(STRLEN(text) * 1.0 / GREATEST(tok, 1) - 5) / 5, 1))
+                           + alpha * 1.0 / GREATEST(STRLEN(text), 1)
+                       ) / 2, 0), 1), 6) AS score
+                FROM (
+                    SELECT doc_id, text, lang,
+                           LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9_]+')) AS tok
+                    FROM documents
+                )
+            ),
+            curated AS (
+                SELECT doc_id, text, lang FROM scored WHERE score >= 0.86
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            ),
+            pr AS ({_JACCARD_PAIRS_SQL.replace("FROM documents", "FROM curated")}),
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION
+                SELECT doc_b, doc_a FROM pr
+            ),
+            walk(node, comp) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+            ),
+            lose AS (
+                SELECT node FROM walk GROUP BY node HAVING node <> MIN(comp)
+            )
+            SELECT doc_id, lang FROM curated
+            WHERE doc_id NOT IN (SELECT node FROM lose)
         """,
         "dedup_near_docs": f"""
             WITH RECURSIVE pr AS ({_JACCARD_PAIRS_SQL}),

@@ -1,0 +1,78 @@
+"""End-to-end training-data curation pipeline (composition showcase).
+
+``curate_docs`` chains the engine's LLM-data operators the way a real
+corpus-curation job runs them, each stage streaming into the next:
+
+1. quality filter       — single-pass byte kernel (stages/text.py), keep
+                          docs with score >= min_score
+2. exact dedup          — hash-bucket shuffle keeping min doc_id per
+                          identical text (stages/dedup.py)
+3. near-dup clustering  — exact shingle-Jaccard pairs (stages/neardup.py)
+                          -> connected components (stages/graph.py)
+4. cluster dedup        — keep the min-doc_id representative per
+                          component (broadcast anti-join)
+
+Every stage is individually oracled elsewhere; the composition has its
+own single DuckDB oracle (CTE chain in ``__ray_entry__.oracle_sql``) so
+the driver hash-checks the WHOLE pipeline end to end.
+
+Scale notes: the curated (id, text, lang) table is materialized once
+between stage 2 and the two stage-3/4 consumers (pair generation and the
+final filter) — object-store backed, spills under pressure; everything
+else is a streaming exchange. The only corpus-sized shuffles are the
+exact-dedup bucket exchange and the Jaccard block-pair exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_docs(
+    sf_dir: str,
+    *,
+    min_score: float = 0.86,
+    jaccard_threshold: float = 0.5,
+):
+    """documents -> curated (doc_id, lang) after quality filter, exact
+    dedup, and near-dup cluster dedup."""
+    from ..sources.fs import sized_read_parquet
+    from ..stages.dedup import dedup_exact
+    from ..stages.graph import connected_components, keep_one_per_cluster
+    from ..stages.neardup import jaccard_all_pairs
+    from ..stages.text import text_stats
+
+    ds = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        s = text_stats(t)
+        # identical rounding to doc_quality / its oracle, so the >= compare
+        # bites the same rows in both engines
+        score = pc.round(
+            s["score"], ndigits=6, round_mode="half_towards_infinity"
+        )
+        keep = pc.greater_equal(score, pa.scalar(min_score))
+        return t.filter(keep)
+
+    qual = ds.map_batches(quality_filter, batch_format="pyarrow")
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("__neg_id", pc.negate_checked(t["doc_id"]))
+
+    exact = dedup_exact(
+        qual.map_batches(neg, batch_format="pyarrow"),
+        key="text",
+        order_col="__neg_id",  # max(-id) == min(id)
+        num_buckets=16,
+    ).select_columns(["doc_id", "text", "lang"]).materialize()
+
+    pairs = jaccard_all_pairs(docs=exact, threshold=jaccard_threshold)
+    comps = connected_components(pairs)
+    return keep_one_per_cluster(
+        exact.select_columns(["doc_id", "lang"]), comps
+    )

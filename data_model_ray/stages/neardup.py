@@ -649,8 +649,9 @@ def embedding_near_dups(
 
 
 def jaccard_all_pairs(
-    docs_path: str,
+    docs_path: str | None = None,
     *,
+    docs=None,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -670,9 +671,12 @@ def jaccard_all_pairs(
     ``minhash_lsh_candidates`` above it at corpus scale.
     """
     B = num_blocks
-    from ..sources.fs import sized_read_parquet
+    if docs is not None:
+        ds = docs.select_columns([id_col, text_col])
+    else:
+        from ..sources.fs import sized_read_parquet
 
-    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
+        ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
