@@ -64,6 +64,26 @@ def test_empty_pairs(ray_session):
     assert len(got) == 0
 
 
+def test_methods_agree_random_graph(ray_session):
+    """contract == propagate == driver union-find on a 2k-node random
+    graph (many components, nontrivial diameters) — the method-equivalence
+    evidence at a size where block merging and bucketing actually engage."""
+    rng = np.random.default_rng(42)
+    pairs = [
+        tuple(map(int, rng.integers(0, 2000, 2))) for _ in range(1500)
+    ]
+    exp = _expected(pairs)
+    for method in ("contract", "propagate"):
+        got = (
+            connected_components(_pairs_ds(pairs), method=method)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got, exp, obj=method)
+
+
 def test_keep_one_per_cluster(ray_session):
     import ray.data as rd
 
