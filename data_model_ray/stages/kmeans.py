@@ -52,6 +52,7 @@ def kmeans_fit(
     n_iters: int = 10,
     seed: int = 7,
     sample_size: int = 2048,
+    checkpoint_dir: str | None = None,
 ):
     """Fit k spherical centroids over the full dataset.
 
@@ -65,8 +66,40 @@ def kmeans_fit(
     backed, spills under pressure) because Lloyd's re-scans it every
     iteration; re-reading parquet per iteration would work too but pays
     the decode k times.
+
+    ``checkpoint_dir``: if set, every completed iteration commits
+    ``centroids.npy`` + ``state.json`` atomically (temp + ``os.replace``,
+    same discipline as ``state/lineage.py``); a rerun resumes from the
+    last committed iteration instead of re-scanning the corpus for the
+    iterations already done — the north rule's resume-from-checkpoint
+    contract applied to the iterative family.
     """
+    import json
+    import os
+
     import ray
+
+    start_iter = 0
+    ckpt_state = None
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        sp = os.path.join(checkpoint_dir, "state.json")
+        cp = os.path.join(checkpoint_dir, "centroids.npy")
+        if os.path.exists(sp) and os.path.exists(cp):
+            with open(sp) as f:
+                ckpt_state = json.load(f)
+            if (
+                ckpt_state.get("k") == k
+                and ckpt_state.get("seed") == seed
+                and ckpt_state.get("n_iters") == n_iters
+            ):
+                start_iter = int(ckpt_state["next_iter"])
+            else:
+                ckpt_state = None
+        if start_iter >= n_iters or (
+            ckpt_state is not None and ckpt_state.get("converged")
+        ):
+            return np.load(cp), list(ckpt_state["inertia"])
 
     vecs = _vec_ds(ds, vec_col, id_col).materialize()
 
@@ -76,11 +109,36 @@ def kmeans_fit(
     sample = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in head[vec_col]])
     )
-    cents = _farthest_point_init(sample, k)
-    cents = kmeans_centroids(sample, k, n_iters=3, seed=seed, init=cents)
+    if ckpt_state is not None and start_iter > 0:
+        cents = np.load(os.path.join(checkpoint_dir, "centroids.npy"))
+        inertia = list(ckpt_state["inertia"])
+    else:
+        cents = _farthest_point_init(sample, k)
+        cents = kmeans_centroids(sample, k, n_iters=3, seed=seed, init=cents)
+        inertia = []
 
-    inertia = []
-    for _ in range(n_iters):
+    def _commit(it: int, converged: bool) -> None:
+        if checkpoint_dir is None:
+            return
+        cp = os.path.join(checkpoint_dir, "centroids.npy")
+        sp = os.path.join(checkpoint_dir, "state.json")
+        np.save(cp + ".tmp.npy", cents)
+        os.replace(cp + ".tmp.npy", cp)
+        with open(sp + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "k": k,
+                    "seed": seed,
+                    "n_iters": n_iters,
+                    "next_iter": it + 1,
+                    "converged": converged,
+                    "inertia": inertia,
+                },
+                f,
+            )
+        os.replace(sp + ".tmp", sp)
+
+    for it in range(start_iter, n_iters):
         ref = ray.put(cents)
 
         def estep(batch: pa.Table) -> pd.DataFrame:
@@ -123,10 +181,11 @@ def kmeans_fit(
         norms = np.linalg.norm(new, axis=1)
         pos = norms > 0
         new[pos] = new[pos] / norms[pos, None]
-        if np.allclose(new, cents, atol=1e-12):
-            cents = new
-            break
+        converged = bool(np.allclose(new, cents, atol=1e-12))
         cents = new
+        _commit(it, converged)
+        if converged:
+            break
     return cents, inertia
 
 

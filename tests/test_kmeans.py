@@ -95,6 +95,41 @@ def test_assign_schema_and_determinism(ray_session):
     )
 
 
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Interrupted fit resumes from the last committed iteration and
+    reproduces the uninterrupted trajectory exactly."""
+    import json
+
+    m, _ = _blobs(n_per=40, k=3, dim=8, seed=13)
+    ds = _ds_from(m)
+    ck = str(tmp_path / "ck")
+    full, inertia = kmeans_fit(ds, 3, n_iters=4, sample_size=32, checkpoint_dir=ck)
+
+    # completed run short-circuits: no corpus rescan, identical result
+    again, inertia2 = kmeans_fit(ds, 3, n_iters=4, sample_size=32, checkpoint_dir=ck)
+    assert np.array_equal(full, again) and inertia == inertia2
+
+    # simulate a crash after iteration 0: rewind the committed state
+    sp = str(tmp_path / "ck" / "state.json")
+    st = json.load(open(sp))
+    st["next_iter"], st["converged"] = 1, False
+    st["inertia"] = st["inertia"][:1]
+    json.dump(st, open(sp, "w"))
+    # ...but centroids.npy holds the final ones; rewrite to iteration-0 state
+    # by re-running a 1-iter fit into a fresh dir and copying its centroids
+    ck0 = str(tmp_path / "ck0")
+    c0, _ = kmeans_fit(ds, 3, n_iters=1, sample_size=32, checkpoint_dir=ck0)
+    np.save(str(tmp_path / "ck" / "centroids.tmp.npy"), c0)
+    import os
+
+    os.replace(
+        str(tmp_path / "ck" / "centroids.tmp.npy"),
+        str(tmp_path / "ck" / "centroids.npy"),
+    )
+    resumed, _ = kmeans_fit(ds, 3, n_iters=4, sample_size=32, checkpoint_dir=ck)
+    assert np.allclose(resumed, full, atol=1e-12)
+
+
 def test_empty_cluster_kept(ray_session):
     """A centroid that captures no points keeps its previous position
     instead of NaN-ing out."""
