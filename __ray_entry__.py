@@ -420,6 +420,22 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds, cents)
 
 
+def _diverse_sample(sf_dir: str):
+    """Cluster-quota diversity sampling: k-means assignment -> exact
+    n-per-cluster quota by Knuth-hash order (deterministic). Rows-only:
+    cluster ids come from the iterative fit (no SQL analogue); the quota,
+    determinism, and driver-reference equality are pytest-proven."""
+    import ray.data as rd
+
+    from data_model_ray.stages.kmeans import diversity_sample, kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, _ = kmeans_fit(ds, 8, n_iters=6)
+    return diversity_sample(ds, cents, per_cluster=10)
+
+
 def _approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT) over two columns (events
     user_id, documents text). Rows-only: the estimate is within ~1.6%
@@ -527,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _dup_clusters,
         "dedup_near_docs": _dedup_near_docs,
         "kmeans_clusters": _kmeans_clusters,
+        "diverse_sample": _diverse_sample,
         "curate_docs": _curate_docs,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,

@@ -220,3 +220,42 @@ def kmeans_assign(
     return ds.select_columns([id_col, vec_col]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def diversity_sample(
+    ds,
+    centroids: np.ndarray,
+    *,
+    per_cluster: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Cluster-quota diversity sampling — the curation move that keeps a
+    corpus from being dominated by its biggest mode: assign every row to
+    its nearest centroid, then take an exact ``per_cluster`` quota from
+    EACH cluster, ordered by a Knuth multiplicative hash of the id
+    (deterministic, partition- and engine-independent, unbiased within a
+    cluster).
+
+    Scale shape: per-block top-n-per-cluster partials bound the exchange
+    to ``per_cluster`` rows per (block, cluster); one small groupby
+    finishes — the same two-level pattern as grouped top-k.
+    """
+    KNUTH = np.uint64(2654435761)
+    U32 = np.uint64(0xFFFFFFFF)
+    assigned = kmeans_assign(
+        ds, centroids, vec_col=vec_col, id_col=id_col
+    )
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[id_col].to_numpy(np.uint64) * KNUTH) & U32
+        out = df.assign(__h=h.astype(np.int64))
+        out = out.sort_values(["cluster", "__h", id_col], kind="mergesort")
+        out = out.groupby("cluster", sort=False).head(per_cluster)
+        return out.drop(columns="__h")
+
+    partial = assigned.map_batches(topn, batch_format="pandas")
+    return (
+        partial.groupby("cluster")
+        .map_groups(topn, batch_format="pandas")
+    )

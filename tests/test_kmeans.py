@@ -130,6 +130,47 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert np.allclose(resumed, full, atol=1e-12)
 
 
+def test_diversity_sample_exact_quota(ray_session):
+    """Exact n-per-cluster quota, deterministic, matches a driver-side
+    reference (hash-order head per assigned cluster) on a skewed corpus."""
+    from data_model_ray.stages.kmeans import diversity_sample
+
+    rng = np.random.default_rng(21)
+    big = np.zeros((300, 8)); big[:, 0] = 1.0
+    small = np.zeros((40, 8)); small[:, 1] = 1.0
+    m = _normalize(
+        np.concatenate([big, small]) + rng.normal(scale=0.03, size=(340, 8))
+    )
+    ds = _ds_from(m)
+    cents, _ = kmeans_fit(ds, 2, n_iters=4, sample_size=64)
+    got = (
+        diversity_sample(ds, cents, per_cluster=15)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sizes = got.groupby("cluster").size()
+    assert (sizes == 15).all() and len(sizes) == 2
+
+    # driver reference
+    from data_model_ray.stages.kmeans import kmeans_assign
+
+    ass = kmeans_assign(ds, cents).to_pandas()
+    KNUTH, U32 = np.uint64(2654435761), np.uint64(0xFFFFFFFF)
+    ass["__h"] = ((ass["vec_id"].to_numpy(np.uint64) * KNUTH) & U32).astype(
+        np.int64
+    )
+    ref = (
+        ass.sort_values(["cluster", "__h", "vec_id"], kind="mergesort")
+        .groupby("cluster", sort=False)
+        .head(15)
+        .drop(columns="__h")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_empty_cluster_kept(ray_session):
     """A centroid that captures no points keeps its previous position
     instead of NaN-ing out."""
