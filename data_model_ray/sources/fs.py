@@ -170,17 +170,63 @@ def sized_read_parquet(
     import ray.data as rd
 
     total = 0
+    first_file = None
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    total += os.path.getsize(fp)
+                    if first_file is None:
+                        first_file = fp
     elif os.path.exists(path):
         total = os.path.getsize(path)
+        first_file = path
     if total > 0:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         blocks = max(min_blocks, min(total // target_block_bytes, cpus * 4))
         kwargs.setdefault("override_num_blocks", int(blocks))
+    if first_file is not None and "schema" not in kwargs:
+        cleaned = _clean_file_schema(first_file)
+        if cleaned is not None:
+            if columns is not None:
+                # Ray applies the projection before schema unification, so
+                # the supplied schema must already be the projected one
+                import pyarrow as pa
+
+                cleaned = pa.schema([cleaned.field(c) for c in columns])
+            kwargs["schema"] = cleaned
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _clean_file_schema(parquet_file: str):
+    """File schema with ALL metadata stripped, or None if already clean.
+
+    pyarrow ``Schema.__hash__`` raises ``TypeError: unhashable type:
+    'dict'`` whenever the schema carries key/value metadata (the ``pandas``
+    block pandas-written files attach, for example). Ray Data hashes block
+    schemas to dedup them (``transform_pyarrow.unify_schemas``) on EVERY
+    read-split and shuffle merge, so a metadata-bearing input defeats that
+    cache for the whole pipeline and spams ``Failed to hash the schemas``
+    warnings. Passing a metadata-free schema to ``read_parquet`` keeps
+    every downstream block hashable at the cost of one footer read here.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(parquet_file)
+    except Exception:
+        return None
+    return strip_schema_metadata(schema)
+
+
+def strip_schema_metadata(schema):
+    """Schema- AND field-level metadata removed; None if nothing to strip."""
+    import pyarrow as pa
+
+    dirty = schema.metadata is not None or any(
+        f.metadata is not None for f in schema
+    )
+    if not dirty:
+        return None
+    return pa.schema([f.remove_metadata() for f in schema])

@@ -90,3 +90,47 @@ class TestJsonMetadata:
         assert back["bbox"][2] == float("inf")
         assert back["bbox"][3] == float("-inf")
         assert path_exists(p) and not path_exists(p + ".missing")
+
+
+class TestSchemaMetadataStripping:
+    """pyarrow schemas with key/value metadata are UNHASHABLE, which defeats
+    Ray's block-schema dedup cache on every shuffle merge ('Failed to hash
+    the schemas' warning). The read boundary must emit clean schemas."""
+
+    def test_strip_schema_metadata(self):
+        import pyarrow as pa
+
+        from data_model_ray.sources.fs import strip_schema_metadata
+
+        dirty = pa.schema(
+            [pa.field("a", pa.int64(), metadata={b"f": b"1"})],
+            metadata={b"pandas": b"{}"},
+        )
+        with pytest.raises(TypeError):
+            hash(dirty)
+        clean = strip_schema_metadata(dirty)
+        assert clean.metadata is None and clean.field("a").metadata is None
+        hash(clean)  # must not raise
+        # already-clean schema -> None (caller skips the schema kwarg)
+        assert strip_schema_metadata(clean) is None
+
+    def test_sized_read_emits_hashable_schema(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from data_model_ray.sources.fs import sized_read_parquet
+
+        p = str(tmp_path / "dirty.parquet")
+        # pandas-written parquet carries the unhashable b'pandas' metadata
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(p)
+        assert pq.read_schema(p).metadata is not None
+        for cols in (None, ["b"]):
+            ds = sized_read_parquet(p, columns=cols)
+            sch = ds.schema().base_schema
+            assert sch.metadata is None
+            hash(sch)  # must not raise
+        assert sized_read_parquet(p, columns=["b"]).take_all() == [
+            {"b": "x"},
+            {"b": "y"},
+            {"b": "z"},
+        ]
