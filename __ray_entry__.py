@@ -364,29 +364,38 @@ def _jaccard_pairs(sf_dir: str):
 
 
 def _dup_clusters(sf_dir: str):
-    """Near-dup cluster formation: exact-Jaccard pairs -> connected
-    components via distributed min-label propagation (stages/graph.py).
-    The iterative-algorithm family; oracled by a DuckDB recursive CTE."""
+    """Near-dup cluster formation: MinHash-LSH verified pairs (the 100-TB
+    scale path — exact-Jaccard all-pairs stays available as the O(N^2)
+    verifier rung) -> connected components via distributed min-label
+    propagation (stages/graph.py). The iterative-algorithm family; oracled
+    by a DuckDB recursive CTE over the exact pair set, which the LSH
+    pipeline's verified output deterministically equals on these fixtures
+    (100% recall, pinned by tests/test_dedup_modes.py)."""
     from data_model_ray.stages.graph import connected_components
-    from data_model_ray.stages.neardup import jaccard_all_pairs
+    from data_model_ray.stages.neardup import minhash_lsh_candidates
 
-    pairs = jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+    pairs = minhash_lsh_candidates(
+        f"{sf_dir}/documents.parquet", threshold=0.5
+    )
     return connected_components(pairs)
 
 
 def _dedup_near_docs(sf_dir: str):
-    """End-to-end near-dup dedup: exact-Jaccard pairs -> connected
-    components -> keep the min-doc_id representative per cluster
-    (broadcast anti-join of the bounded loser set; the corpus streams)."""
+    """End-to-end near-dup dedup: MinHash-LSH verified pairs (scale path;
+    see _dup_clusters) -> connected components -> keep the min-doc_id
+    representative per cluster (broadcast anti-join of the bounded loser
+    set; the corpus streams)."""
     import ray.data as rd
 
     from data_model_ray.stages.graph import (
         connected_components,
         keep_one_per_cluster,
     )
-    from data_model_ray.stages.neardup import jaccard_all_pairs
+    from data_model_ray.stages.neardup import minhash_lsh_candidates
 
-    pairs = jaccard_all_pairs(f"{sf_dir}/documents.parquet", threshold=0.5)
+    pairs = minhash_lsh_candidates(
+        f"{sf_dir}/documents.parquet", threshold=0.5
+    )
     comps = connected_components(pairs)
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
@@ -396,8 +405,10 @@ def _dedup_near_docs(sf_dir: str):
 
 def _curate_docs(sf_dir: str):
     """End-to-end curation composition: quality filter -> exact dedup ->
-    near-dup clustering -> keep-one-per-cluster. One DuckDB CTE chain
-    hash-checks the whole pipeline (pipelines/curate.py)."""
+    near-dup clustering (MinHash-LSH scale path by default; exact
+    all-pairs Jaccard as the oracle mode, both producing the same verified
+    pair set on these fixtures) -> keep-one-per-cluster. One DuckDB CTE
+    chain hash-checks the whole pipeline (pipelines/curate.py)."""
     from data_model_ray.pipelines.curate import curate_docs
 
     return curate_docs(sf_dir)

@@ -36,13 +36,33 @@ def curate_docs(
     *,
     min_score: float = 0.86,
     jaccard_threshold: float = 0.5,
+    method: str = "lsh",
 ):
     """documents -> curated (doc_id, lang) after quality filter, exact
-    dedup, and near-dup cluster dedup."""
+    dedup, and near-dup cluster dedup.
+
+    ``method`` picks the near-dup pair generator for stage 3:
+
+    - ``"lsh"`` (default, the 100-TB path): MinHash-LSH candidates with
+      distributed exact-Jaccard verification — 3 bounded exchanges, text
+      never shuffles except one docs-table join
+      (``stages/neardup.minhash_lsh_candidates``).
+    - ``"exact"``: all-pairs shingle Jaccard — O(N^2) block-pair triangle
+      join; the SQL-expressible oracle/verifier rung
+      (``stages/neardup.jaccard_all_pairs``).
+
+    Both modes produce the SAME verified pair set whenever LSH recall is
+    100% (true on the test fixtures — pinned by
+    ``tests/test_dedup_modes.py``; mirrors the reference's
+    two-implementations-one-pinned-semantic discipline,
+    /root/reference/src/eopf_geozarr/conversion/s2_resampling.py:206-212),
+    so the driver hash-checks the LSH default against the exact-mode
+    DuckDB CTE oracle.
+    """
     from ..sources.fs import sized_read_parquet
     from ..stages.dedup import dedup_exact
     from ..stages.graph import connected_components, keep_one_per_cluster
-    from ..stages.neardup import jaccard_all_pairs
+    from ..stages.neardup import jaccard_all_pairs, minhash_lsh_candidates
     from ..stages.text import text_stats
 
     ds = sized_read_parquet(
@@ -71,7 +91,12 @@ def curate_docs(
         num_buckets=16,
     ).select_columns(["doc_id", "text", "lang"]).materialize()
 
-    pairs = jaccard_all_pairs(docs=exact, threshold=jaccard_threshold)
+    if method == "lsh":
+        pairs = minhash_lsh_candidates(docs=exact, threshold=jaccard_threshold)
+    elif method == "exact":
+        pairs = jaccard_all_pairs(docs=exact, threshold=jaccard_threshold)
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
     comps = connected_components(pairs)
     return keep_one_per_cluster(
         exact.select_columns(["doc_id", "lang"]), comps

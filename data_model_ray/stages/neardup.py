@@ -206,8 +206,9 @@ def _bucket_pairs_frame(ids: np.ndarray) -> pd.DataFrame:
 
 
 def minhash_lsh_candidates(
-    docs_path: str,
+    docs_path: str | None = None,
     *,
+    docs=None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
@@ -230,7 +231,13 @@ def minhash_lsh_candidates(
 
     from ..sources.fs import sized_read_parquet
 
-    ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
+    if docs is not None:
+        # in-pipeline composition (e.g. curate_docs): the candidate stage
+        # and the text join both consume the SAME upstream Dataset —
+        # callers should pass a materialized one to avoid re-execution
+        ds = docs.select_columns([id_col, text_col])
+    else:
+        ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
     def to_bands(batch: pa.Table) -> pd.DataFrame:
         texts = batch[text_col].to_pylist()

@@ -83,3 +83,58 @@ class TestDedupModes:
             ).to_pandas()
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCurateMethodParity:
+    """curate_docs routes near-dup pair generation through MinHash-LSH by
+    default (the 100-TB path); exact all-pairs Jaccard is the oracle mode.
+    Both must produce identical curated output (LSH recall is 100% on the
+    fixtures — the invariant the shared DuckDB CTE oracle relies on)."""
+
+    def test_lsh_default_equals_exact_mode(self, ray_session):
+        from data_model_ray.pipelines.curate import curate_docs
+
+        sf = "/root/testdata/sf0.001"
+        lsh = _norm_ids(curate_docs(sf, method="lsh").to_pandas())
+        exact = _norm_ids(curate_docs(sf, method="exact").to_pandas())
+        pd.testing.assert_frame_equal(lsh, exact)
+        assert len(lsh) > 0
+
+    def test_unknown_method_raises(self, ray_session):
+        from data_model_ray.pipelines.curate import curate_docs
+
+        with pytest.raises(ValueError, match="unknown near-dup method"):
+            curate_docs("/root/testdata/sf0.001", method="bogus")
+
+    def test_lsh_pairs_equal_exact_pairs_on_dataset_input(self, ray_session):
+        """minhash_lsh_candidates(docs=ds) (the in-pipeline composition
+        path) must produce the exact verified pair set jaccard_all_pairs
+        computes over the same Dataset."""
+        from data_model_ray.sources.fs import sized_read_parquet
+        from data_model_ray.stages.neardup import (
+            jaccard_all_pairs,
+            minhash_lsh_candidates,
+        )
+
+        ds = sized_read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        ).materialize()
+        lsh = (
+            minhash_lsh_candidates(docs=ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        exact = (
+            jaccard_all_pairs(docs=ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        assert len(exact) > 0
+        pd.testing.assert_frame_equal(lsh, exact)
+
+
+def _norm_ids(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
