@@ -658,17 +658,24 @@ def token_df_topk(sf_dir: str, k: int = 50, num_buckets: int = 32):
 
 
 def spacesaving_topk(sf_dir: str, k: int = 10, capacity: int = 4096):
-    """Heavy hitters via the Space-Saving sketch: each block keeps at most
-    ``capacity`` counters (evicting the minimum and inheriting its count
-    when full), the per-block summaries merge by summed estimates, and
-    the global top-k is an ordered limit over the merged sketch.
+    """Heavy hitters via a capacity-bounded counter sketch (the batch
+    Misra-Gries / Space-Saving merge): each block exact-counts its keys,
+    keeps the top ``capacity`` counters and records its error floor
+    ``eps`` = the largest dropped count; summaries merge into per-key
+    UPPER-BOUND estimates ``n``.
 
-    Guarantee: per-block estimates overshoot true block counts by at most
-    the evicted minimum; when every block holds fewer than ``capacity``
-    distinct keys no eviction happens and the result is EXACT — which is
-    the regime the DuckDB oracle checks. The bounded-error regime
-    (capacity < distinct keys, planted skew) is tested in
-    tests/test_sketch.py.
+    Merge rule: a kept key ships ``n_block - eps_block``; the scalar
+    ``E = sum(eps_block)`` is added back to every merged estimate, so
+    ``n(key) = sum_present(n_block) + sum_absent(eps_block)``. A key
+    dropped from a block can have contributed at most that block's eps
+    there, hence ``true <= n <= true + E`` for every reported key, and a
+    key reported NOWHERE has true count <= E (the floor the old
+    max-inheritance variant failed to carry for always-evicted keys).
+
+    When every block holds fewer than ``capacity`` distinct keys, eps = 0
+    everywhere and the result is EXACT — the regime the DuckDB oracle
+    checks. The bounded-error regime (capacity < distinct keys, planted
+    skew) is tested in tests/test_sketch.py.
     """
     from ray.data.aggregate import Sum
 
@@ -676,28 +683,53 @@ def spacesaving_topk(sf_dir: str, k: int = 10, capacity: int = 4096):
 
     def block_sketch(t: pa.Table) -> pd.DataFrame:
         keys = t["user_id"].to_numpy(zero_copy_only=False)
-        counters: dict[int, int] = {}
-        # vectorized pre-count per block, then capacity-bound the summary:
-        # identical to item-at-a-time Space-Saving when each key's
-        # occurrences are contiguous after sorting — the standard
-        # batch-merge formulation
+        # vectorized exact pre-count per block, then capacity-bound the
+        # summary — the standard batch-merge formulation
         uniq, cnt = np.unique(keys, return_counts=True)
         if len(uniq) <= capacity:
-            return pd.DataFrame({"user_id": uniq.astype(np.int64),
-                                 "n": cnt.astype(np.int64)})
+            return pd.DataFrame(
+                {
+                    "user_id": uniq.astype(np.int64),
+                    "n": cnt.astype(np.int64),
+                    "is_eps": np.zeros(len(uniq), dtype=bool),
+                }
+            )
         order = np.argsort(cnt, kind="stable")[::-1]
         kept, dropped = order[:capacity], order[capacity:]
-        # evicted mass inherits onto the smallest kept counters (one per
-        # eviction), preserving sum(e) >= true count per kept key
-        inherit = int(cnt[dropped].max())
-        out_n = cnt[kept].astype(np.int64) + inherit
-        return pd.DataFrame({"user_id": uniq[kept].astype(np.int64), "n": out_n})
+        eps = int(cnt[dropped].max())  # >= any dropped key's block count
+        return pd.DataFrame(
+            {
+                "user_id": np.r_[uniq[kept].astype(np.int64), np.int64(-1)],
+                # kept counters ship n - eps; eps rides a sentinel row so
+                # E = sum(eps) falls out of the same tiny aggregation
+                "n": np.r_[cnt[kept].astype(np.int64) - eps, np.int64(eps)],
+                "is_eps": np.r_[np.zeros(capacity, dtype=bool), True],
+            }
+        )
 
+    # the sketch table is tiny (<= (capacity+1) rows per block) — safe to
+    # materialize once for the two consumers (E scalar + keyed merge)
+    sk = ds.map_batches(block_sketch, batch_format="pyarrow").materialize()
+    eps_total = int(
+        sk.map_batches(
+            lambda df: pd.DataFrame({"e": [df.loc[df["is_eps"], "n"].sum()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["e"]
+        .sum()
+    )
     merged = (
-        ds.map_batches(block_sketch, batch_format="pyarrow")
+        sk.map_batches(
+            lambda df: df.loc[~df["is_eps"], ["user_id", "n"]],
+            batch_format="pandas",
+        )
         .groupby("user_id")
         .aggregate(Sum("n", alias_name="n"))
     )
+    if eps_total:
+        merged = merged.map_batches(
+            lambda df: df.assign(n=df["n"] + eps_total), batch_format="pandas"
+        )
     return merged.sort(["n", "user_id"], descending=[True, False]).limit(k)
 
 

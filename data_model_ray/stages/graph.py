@@ -62,6 +62,7 @@ def connected_components(
     num_buckets: int = 32,
     max_iters: int = 64,
     fan_in: int = 4,
+    contract_row_budget: int = 5_000_000,
 ):
     """Pairs Dataset (a, b) -> Dataset (doc_id, cluster_id) where
     ``cluster_id`` is the minimum node id in the node's component.
@@ -75,11 +76,15 @@ def connected_components(
     the global mapping. Exact, O(log_fan_in(blocks)) rounds; the final
     merge sees one row per dup-involved node, so it assumes that mapping
     fits one worker (true whenever dup pairs are sparse relative to the
-    corpus — the normal web-dedup regime).
+    corpus — the normal web-dedup regime). If the contracted mapping
+    exceeds ``contract_row_budget`` rows, the final one-worker merge is
+    SKIPPED and the mapping finishes through bucketed propagation
+    automatically — callers never have to know the dup density up front.
 
     ``method="propagate"``: bucketed min-label propagation, two bounded
     hash exchanges per round, O(diameter) rounds — nothing ever needs to
-    fit in one place; the unbounded-scale fallback.
+    fit in one place; the unbounded-scale fallback (also the auto-chosen
+    finish when contract mode overflows its budget).
     """
     if method == "contract":
         m = pairs.map_batches(
@@ -91,9 +96,23 @@ def connected_components(
             ),
             batch_format="pyarrow",
         ).map_batches(_local_cc_frame, batch_format="pandas", batch_size=None)
-        m = m.repartition(fan_in).map_batches(
-            _local_cc_frame, batch_format="pandas", batch_size=None
+        m = (
+            m.repartition(fan_in)
+            .map_batches(_local_cc_frame, batch_format="pandas", batch_size=None)
+            .materialize()
         )
+        if m.count() > contract_row_budget:
+            # the contracted (node -> block-min) mapping is itself an edge
+            # list whose components equal the original graph's, so the
+            # bucketed propagation finishes it without any one-worker step
+            return connected_components(
+                m,
+                col_a="src",
+                col_b="dst",
+                method="propagate",
+                num_buckets=num_buckets,
+                max_iters=max_iters,
+            )
         m = m.repartition(1).map_batches(
             _local_cc_frame, batch_format="pandas", batch_size=None
         )

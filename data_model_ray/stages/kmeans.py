@@ -29,6 +29,42 @@ def _vec_ds(ds, vec_col: str, id_col: str):
     return ds.select_columns([id_col, vec_col])
 
 
+def _hash_sample(vecs, n: int, *, vec_col: str, id_col: str):
+    """Deterministic uniform sample: the ``n`` rows with the smallest
+    ``splitmix64(id)`` (a distributed bottom-k, the engine's hash-sampling
+    primitive). Unlike a ``limit()`` head — which on storage ordered or
+    clustered by content can miss whole modes — the selected set is a pure
+    function of the ids: stable under partitioning, block order, and
+    storage layout. Per-block bottom-k partials bound the exchange to
+    ``n`` rows per block. Returns ``(ids sorted by (hash, id), unit-norm
+    (n, dim) float64 matrix in that order)``.
+    """
+    from ..hashing import splitmix64
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
+        take = np.lexsort((ids, h))[: min(n, len(ids))]
+        return t.take(pa.array(take))
+
+    pooled = (
+        vecs.map_batches(bottomk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(bottomk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    ids = pooled[id_col].to_numpy(np.int64)
+    h = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
+    order = np.lexsort((ids, h))[: min(n, len(ids))]
+    ids = ids[order]
+    mat = _normalize(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pooled[vec_col].to_numpy()[order]]
+        )
+    )
+    return ids, mat
+
+
 def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
     """Deterministic k-means++-style seeding: start from row 0, then
     repeatedly take the sample point with the smallest max-cosine to the
@@ -72,12 +108,28 @@ def kmeans_fit(
     same discipline as ``state/lineage.py``); a rerun resumes from the
     last committed iteration instead of re-scanning the corpus for the
     iterations already done — the north rule's resume-from-checkpoint
-    contract applied to the iterative family.
+    contract applied to the iterative family. The state embeds a DATASET
+    fingerprint (row count + content hash of the deterministic init
+    sample), so a checkpoint from a different or changed dataset is
+    invalidated instead of silently resumed (matching the lineage
+    layer's fingerprint-in-every-commit discipline).
     """
+    import hashlib
     import json
     import os
 
     import ray
+
+    vecs = _vec_ds(ds, vec_col, id_col)
+    sample_ids, sample = _hash_sample(
+        vecs, max(sample_size, k), vec_col=vec_col, id_col=id_col
+    )
+    n_rows = vecs.count()
+    fp = hashlib.sha256()
+    fp.update(np.int64(n_rows).tobytes())
+    fp.update(sample_ids.tobytes())
+    fp.update(np.round(sample, 6).astype(np.float64).tobytes())
+    fingerprint = fp.hexdigest()
 
     start_iter = 0
     ckpt_state = None
@@ -92,6 +144,7 @@ def kmeans_fit(
                 ckpt_state.get("k") == k
                 and ckpt_state.get("seed") == seed
                 and ckpt_state.get("n_iters") == n_iters
+                and ckpt_state.get("fingerprint") == fingerprint
             ):
                 start_iter = int(ckpt_state["next_iter"])
             else:
@@ -101,14 +154,8 @@ def kmeans_fit(
         ):
             return np.load(cp), list(ckpt_state["inertia"])
 
-    vecs = _vec_ds(ds, vec_col, id_col).materialize()
+    vecs = vecs.materialize()
 
-    # deterministic init: seeded Lloyd's on a small head sample (the IVF
-    # quantizer path) gives well-spread unit seeds
-    head = vecs.limit(max(sample_size, k)).to_pandas()
-    sample = _normalize(
-        np.stack([np.asarray(v, dtype=np.float64) for v in head[vec_col]])
-    )
     if ckpt_state is not None and start_iter > 0:
         cents = np.load(os.path.join(checkpoint_dir, "centroids.npy"))
         inertia = list(ckpt_state["inertia"])
@@ -130,6 +177,7 @@ def kmeans_fit(
                     "k": k,
                     "seed": seed,
                     "n_iters": n_iters,
+                    "fingerprint": fingerprint,
                     "next_iter": it + 1,
                     "converged": converged,
                     "inertia": inertia,

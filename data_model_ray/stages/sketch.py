@@ -21,8 +21,6 @@ import pyarrow as pa
 
 from ..hashing import hash_stream
 
-_TWO32 = 2.0**32
-
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -77,15 +75,20 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Bias-corrected HLL cardinality estimate from a register vector."""
+    """Bias-corrected HLL cardinality estimate from a register vector.
+
+    No large-range correction: the original paper's ``-2^32 *
+    log(1 - E/2^32)`` term compensates 32-BIT hash collisions only. These
+    sketches hash with 64 bits, where collisions are negligible below
+    ~2^57 distinct keys — applying the 32-bit term would distort
+    estimates above ~143M and return NaN above 2^32 (log of a negative).
+    """
     m = len(regs)
     est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     if est <= 2.5 * m:
         zeros = int(np.count_nonzero(regs == 0))
         if zeros:
             est = m * np.log(m / zeros)  # linear counting for small n
-    elif est > _TWO32 / 30.0:
-        est = -_TWO32 * np.log(1.0 - est / _TWO32)
     return float(est)
 
 

@@ -114,3 +114,32 @@ def test_local_kernel_random_vs_reference():
     out = _local_cc_frame(df).rename(columns={"src": "doc_id", "dst": "cluster_id"})
     out = out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
     pd.testing.assert_frame_equal(out, _expected(pairs))
+
+
+def test_contract_auto_degrades_to_propagate(ray_session):
+    """contract mode must NOT funnel an oversized contracted mapping into
+    the one-worker final merge: with a tiny row budget it finishes through
+    bucketed propagation and still matches union-find exactly."""
+    rng = np.random.default_rng(17)
+    pairs = [tuple(map(int, rng.integers(0, 800, 2))) for _ in range(600)]
+    exp = _expected(pairs)
+    got = (
+        connected_components(
+            _pairs_ds(pairs), method="contract", contract_row_budget=10
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # sanity: the same graph under the default budget takes the one-worker
+    # path and agrees
+    direct = (
+        connected_components(_pairs_ds(pairs), method="contract")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(direct, exp)

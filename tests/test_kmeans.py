@@ -53,6 +53,15 @@ def test_planted_blobs_recovered(ray_session):
     assert out["sim"].min() > 0.8
 
 
+def _hash_sample_ref(m: np.ndarray, n: int) -> np.ndarray:
+    """Driver-side replica of kmeans._hash_sample over vec_id=arange."""
+    from data_model_ray.hashing import splitmix64
+
+    ids = np.arange(len(m), dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
+    return m[np.lexsort((ids, h))[:n]]
+
+
 def test_matches_driver_reference(ray_session):
     """Distributed E/M steps == single-process numpy Lloyd's (same init)."""
     m, _ = _blobs(n_per=60, k=3, dim=8, seed=11)
@@ -62,8 +71,9 @@ def test_matches_driver_reference(ray_session):
     from data_model_ray.stages.kmeans import _farthest_point_init
     from data_model_ray.stages.knn import kmeans_centroids
 
+    s = _hash_sample_ref(m, 64)
     ref = kmeans_centroids(
-        m[:64], 3, n_iters=3, seed=7, init=_farthest_point_init(m[:64], 3)
+        s, 3, n_iters=3, seed=7, init=_farthest_point_init(s, 3)
     )
     for _ in range(5):
         sims = m @ ref.T
@@ -182,3 +192,45 @@ def test_empty_cluster_kept(ray_session):
     assert np.isfinite(cents).all()
     norms = np.linalg.norm(cents, axis=1)
     assert np.allclose(norms, 1.0, atol=1e-9)
+
+
+def test_hash_sample_order_invariant(ray_session):
+    """The init sample is a pure function of the ids — identical whatever
+    the storage order or partitioning (a head-limit sample is neither)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.kmeans import _hash_sample
+
+    m, _ = _blobs(n_per=40, k=3, dim=8, seed=21)
+    ids = np.arange(len(m), dtype=np.int64)
+    perm = np.random.default_rng(0).permutation(len(m))
+    df_a = pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype(np.float32) for r in m]}
+    )
+    df_b = df_a.iloc[perm].reset_index(drop=True)
+    ds_a = rd.from_pandas(df_a).repartition(6)
+    ds_b = rd.from_pandas(df_b).repartition(3)
+    ids_a, mat_a = _hash_sample(ds_a, 32, vec_col="embedding", id_col="vec_id")
+    ids_b, mat_b = _hash_sample(ds_b, 32, vec_col="embedding", id_col="vec_id")
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(mat_a, mat_b, atol=0)
+    assert len(ids_a) == 32
+    # and matches the driver-side replica
+    np.testing.assert_allclose(
+        mat_a, _normalize(_hash_sample_ref(m, 32)), atol=1e-7
+    )
+
+
+def test_checkpoint_invalidated_on_dataset_change(ray_session, tmp_path):
+    """A checkpoint carries a dataset fingerprint; pointing the same
+    checkpoint dir at DIFFERENT data must refit, not resume stale
+    centroids (round-2 advice: no silent cross-dataset resume)."""
+    ck = str(tmp_path / "ck")
+    m1, _ = _blobs(n_per=40, k=3, dim=8, seed=31)
+    c1, _ = kmeans_fit(_ds_from(m1), 3, n_iters=3, sample_size=32, checkpoint_dir=ck)
+
+    m2, _ = _blobs(n_per=40, k=3, dim=8, seed=77)  # different corpus
+    c2, _ = kmeans_fit(_ds_from(m2), 3, n_iters=3, sample_size=32, checkpoint_dir=ck)
+    fresh, _ = kmeans_fit(_ds_from(m2), 3, n_iters=3, sample_size=32)
+    assert np.allclose(c2, fresh, atol=1e-12)
+    assert not np.allclose(c1, c2, atol=1e-6)

@@ -47,6 +47,23 @@ class TestHllKernel:
         dup = np.tile(base, 50)
         np.testing.assert_array_equal(hll_partial(dup), hll_partial(base))
 
+    def test_no_32bit_large_range_correction(self):
+        """With 64-bit hashes the old 2^32 large-range correction is wrong:
+        it distorted estimates above ~143M and produced NaN above 2^32.
+        A register state implying a multi-billion cardinality must yield a
+        finite, monotone estimate."""
+        m = 4096
+        # raw estimate with all registers at r: alpha*m*2^r — register
+        # value 21 implies ~8.6e9 (> 2^32), 22 implies ~1.7e10
+        lo = hll_estimate(np.full(m, 21, dtype=np.uint8))
+        hi = hll_estimate(np.full(m, 22, dtype=np.uint8))
+        assert np.isfinite(lo) and np.isfinite(hi)
+        assert 2.0**32 < lo < hi
+        # and the 100M-1B band (formerly distorted) stays plausible:
+        # uniform registers at 17 -> alpha*m*2^17 ~ 5.4e8
+        mid = hll_estimate(np.full(m, 17, dtype=np.uint8))
+        assert 1e8 < mid < 1e9
+
 
 class TestApproxDistinctRay:
     def test_int_and_string_columns(self, ray_session):
@@ -133,7 +150,8 @@ class TestSpaceSaving:
         assert set(got["user_id"]) == set(range(5))
         true_n = 2000
         for n_est in got["n"]:
-            assert n_est >= true_n  # Space-Saving never undercounts
-            # per-block overshoot <= evicted min (1 or 2 for this tail),
-            # summed over 8 blocks stays small vs the true count
-            assert n_est <= true_n + 8 * 64
+            assert n_est >= true_n  # upper-bound estimates never undercount
+            # overshoot <= E = sum of per-block error floors (each block's
+            # largest DROPPED count — a small tail count here), NOT the
+            # old max-inherited value; 8 blocks x tiny tail counts
+            assert n_est <= true_n + 8 * 8
