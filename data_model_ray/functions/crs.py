@@ -221,6 +221,7 @@ def _validate_wkt2(wkt: str) -> list[str]:
     return problems
 
 
+#: CRS object types (the reference's `CRS` union, projjson.py:596-611)
 _CRS_TYPES = {
     "GeographicCRS",
     "GeodeticCRS",
@@ -232,7 +233,46 @@ _CRS_TYPES = {
     "ParametricCRS",
     "DerivedGeodeticCRS",
     "DerivedProjectedCRS",
+    "DerivedVerticalCRS",
+    "DerivedTemporalCRS",
+    "DerivedParametricCRS",
+    "DerivedEngineeringCRS",
     "BoundCRS",
+}
+
+#: datum object types (the reference's `Datum` union, projjson.py:340-349)
+_DATUM_TYPES = {
+    "GeodeticReferenceFrame",
+    "DynamicGeodeticReferenceFrame",
+    "VerticalReferenceFrame",
+    "DynamicVerticalReferenceFrame",
+    "TemporalDatum",
+    "ParametricDatum",
+    "EngineeringDatum",
+}
+
+#: standalone non-CRS document types the top-level `ProjJSON` union accepts
+#: (projjson.py:660-669): datums, ensembles, primitives and operations
+_STANDALONE_TYPES = _DATUM_TYPES | {
+    "DatumEnsemble",
+    "Ellipsoid",
+    "PrimeMeridian",
+    "Transformation",
+    "Conversion",
+    "ConcatenatedOperation",
+    "CoordinateMetadata",
+    "PointMotionOperation",
+}
+
+_UNIT_TYPES = {
+    "Unit", "AngularUnit", "LinearUnit", "ScaleUnit", "ParametricUnit",
+    "TimeUnit",
+}
+
+_CS_SUBTYPES = {
+    "Cartesian", "spherical", "ellipsoidal", "vertical", "ordinal",
+    "parametric", "affine", "TemporalDateTime", "TemporalCount",
+    "TemporalMeasure",
 }
 
 _AXIS_DIRECTIONS = {
@@ -250,62 +290,287 @@ _AXIS_DIRECTIONS = {
 def validate_projjson(d: Any, path: str = "projjson") -> list[str]:
     """Structural PROJ JSON v0.7 check over plain dicts.
 
-    Mirrors what the reference's pydantic models enforce
-    (projjson.py: Id/Unit/Axis/CoordinateSystem/GeodeticCRS/ProjectedCRS):
-    known CRS `type`, `name` present, coordinate_system axes with legal
-    directions and units, datum XOR datum_ensemble on geodetic CRSs,
-    ProjectedCRS requiring base_crs + conversion, id authority/code shape,
-    and the id/ids mutual exclusion.
+    Behavioral analogue of the reference's full typed model tree
+    (projjson.py:1-690: Id/Unit/Axis/CoordinateSystem/Ellipsoid/
+    PrimeMeridian/reference frames/DatumEnsemble/Conversion/the CRS union/
+    BoundCRS/CompoundCRS/operations), exercised against the reference's
+    own fixture set (tests/_test_data/projjson_examples/*.json). Accepts
+    every document shape the top-level ``ProjJSON`` union accepts — CRSs,
+    standalone datums/ensembles/primitives, and operations — and recurses
+    through every typed sub-object. Returns problems (empty == valid).
     """
     problems: list[str] = []
     if not isinstance(d, dict):
         return [f"{path}: not an object"]
     t = d.get("type")
-    if t not in _CRS_TYPES:
-        problems.append(f"{path}: unknown or missing CRS type {t!r}")
+    if t in _CRS_TYPES:
+        return _check_crs(d, path)
+    if t in _DATUM_TYPES:
+        return _check_datum(d, path)
+    if t == "DatumEnsemble":
+        return _check_datum_ensemble(d, path)
+    if t == "Ellipsoid":
+        return _check_ellipsoid(d, path)
+    if t == "PrimeMeridian":
+        return _check_prime_meridian(d, path)
+    if t in ("Transformation", "Conversion"):
+        return _check_single_operation(d, path)
+    if t == "ConcatenatedOperation":
+        problems += _require_name(d, path) + _check_id_fields(d, path)
+        for side in ("source_crs", "target_crs"):
+            if side not in d:
+                problems.append(f"{path}: ConcatenatedOperation missing {side}")
+            else:
+                problems += _check_crs(d[side], f"{path}.{side}")
+        steps = d.get("steps")
+        if not isinstance(steps, list) or not steps:
+            problems.append(f"{path}: ConcatenatedOperation missing steps")
+        else:
+            for i, s in enumerate(steps):
+                problems += _check_single_operation(s, f"{path}.steps[{i}]")
         return problems
-    if not d.get("name"):
-        problems.append(f"{path}: missing name")
+    if t == "CoordinateMetadata":
+        if "crs" not in d:
+            return [f"{path}: CoordinateMetadata missing crs"]
+        return _check_crs(d["crs"], f"{path}.crs")
+    if t == "PointMotionOperation":
+        problems += _require_name(d, path) + _check_id_fields(d, path)
+        if "source_crs" not in d:
+            problems.append(f"{path}: PointMotionOperation missing source_crs")
+        else:
+            problems += _check_crs(d["source_crs"], f"{path}.source_crs")
+        problems += _check_method(d.get("method"), f"{path}.method")
+        problems += _check_parameters(d.get("parameters"), path, required=True)
+        return problems
+    return [f"{path}: unknown or missing type {t!r}"]
+
+
+def _require_name(d: dict, path: str) -> list[str]:
+    return [] if d.get("name") else [f"{path}: missing name"]
+
+
+def _check_crs(d: Any, path: str) -> list[str]:
+    if not isinstance(d, dict):
+        return [f"{path}: not an object"]
+    t = d.get("type")
+    if t not in _CRS_TYPES:
+        return [f"{path}: unknown or missing CRS type {t!r}"]
+    problems: list[str] = []
     problems += _check_id_fields(d, path)
 
-    if t in ("GeographicCRS", "GeodeticCRS"):
+    if t == "BoundCRS":
+        # BoundCRS has no name field of its own (projjson.py:579-596)
+        for side in ("source_crs", "target_crs"):
+            if side not in d:
+                problems.append(f"{path}: BoundCRS missing {side}")
+            else:
+                problems += _check_crs(d[side], f"{path}.{side}")
+        tr = d.get("transformation")
+        if not isinstance(tr, dict):
+            problems.append(f"{path}: BoundCRS missing transformation")
+        else:
+            tp = f"{path}.transformation"
+            problems += _require_name(tr, tp) + _check_id_fields(tr, tp)
+            problems += _check_method(tr.get("method"), f"{tp}.method")
+            problems += _check_parameters(tr.get("parameters"), tp, required=True)
+        return problems
+
+    problems += _require_name(d, path)
+    if t == "CompoundCRS":
+        comps = d.get("components")
+        if not isinstance(comps, list) or not comps:
+            problems.append(f"{path}: CompoundCRS missing components")
+        else:
+            for i, c in enumerate(comps):
+                problems += _check_crs(c, f"{path}.components[{i}]")
+    elif t in ("GeographicCRS", "GeodeticCRS"):
         has_datum = "datum" in d
         has_ens = "datum_ensemble" in d
         if has_datum == has_ens:
             problems.append(
                 f"{path}: geodetic CRS needs exactly one of datum / datum_ensemble"
             )
+        if has_datum:
+            problems += _check_datum(d["datum"], f"{path}.datum")
         if has_ens:
-            ens = d["datum_ensemble"]
-            if not isinstance(ens, dict) or "members" not in ens or "ellipsoid" not in ens:
-                problems.append(f"{path}.datum_ensemble: needs members + ellipsoid")
-        problems += _check_cs(d.get("coordinate_system"), f"{path}.coordinate_system")
-    elif t == "ProjectedCRS":
+            problems += _check_datum_ensemble(
+                d["datum_ensemble"], f"{path}.datum_ensemble"
+            )
+    elif t in ("VerticalCRS", "ParametricCRS", "EngineeringCRS", "TemporalCRS"):
+        if "datum" in d:
+            problems += _check_datum(d["datum"], f"{path}.datum")
+        elif "datum_ensemble" in d:
+            problems += _check_datum_ensemble(
+                d["datum_ensemble"], f"{path}.datum_ensemble"
+            )
+        elif t == "TemporalCRS":
+            problems.append(f"{path}: TemporalCRS missing datum")
+    elif t == "ProjectedCRS" or t.startswith("Derived"):
         if "base_crs" not in d:
-            problems.append(f"{path}: ProjectedCRS missing base_crs")
+            problems.append(f"{path}: {t} missing base_crs")
         else:
-            problems += validate_projjson(d["base_crs"], f"{path}.base_crs")
+            problems += _check_crs(d["base_crs"], f"{path}.base_crs")
         conv = d.get("conversion")
         if not isinstance(conv, dict):
-            problems.append(f"{path}: ProjectedCRS missing conversion")
+            problems.append(f"{path}: {t} missing conversion")
         else:
-            if not isinstance(conv.get("method"), dict) or not conv["method"].get("name"):
-                problems.append(f"{path}.conversion: missing method.name")
-            for i, p in enumerate(conv.get("parameters", [])):
-                if not isinstance(p, dict) or "name" not in p or "value" not in p:
-                    problems.append(f"{path}.conversion.parameters[{i}]: needs name+value")
-        problems += _check_cs(d.get("coordinate_system"), f"{path}.coordinate_system")
+            cp = f"{path}.conversion"
+            problems += _require_name(conv, cp) + _check_id_fields(conv, cp)
+            problems += _check_method(conv.get("method"), f"{cp}.method")
+            problems += _check_parameters(conv.get("parameters"), cp, required=False)
+    # coordinate_system is optional on every CRS (reference models:
+    # CoordinateSystem | None); validated only when present
+    if "coordinate_system" in d:
+        problems += _check_cs(d["coordinate_system"], f"{path}.coordinate_system")
     return problems
+
+
+def _check_single_operation(d: Any, path: str) -> list[str]:
+    if not isinstance(d, dict):
+        return [f"{path}: not an object"]
+    problems = _require_name(d, path) + _check_id_fields(d, path)
+    problems += _check_method(d.get("method"), f"{path}.method")
+    for side in ("source_crs", "target_crs"):
+        if side in d:
+            problems += _check_crs(d[side], f"{path}.{side}")
+    problems += _check_parameters(d.get("parameters"), path, required=False)
+    return problems
+
+
+def _check_method(m: Any, path: str) -> list[str]:
+    if not isinstance(m, dict) or not m.get("name"):
+        return [f"{path}: missing method name"]
+    return _check_id_fields(m, path)
+
+
+def _check_parameters(params: Any, path: str, *, required: bool) -> list[str]:
+    if params is None:
+        return [f"{path}: missing parameters"] if required else []
+    if not isinstance(params, list):
+        return [f"{path}.parameters: not a list"]
+    problems = []
+    for i, p in enumerate(params):
+        pp = f"{path}.parameters[{i}]"
+        if not isinstance(p, dict) or "name" not in p or "value" not in p:
+            problems.append(f"{pp}: needs name+value")
+            continue
+        if "unit" in p and p["unit"] is not None:
+            problems += _check_unit(p["unit"], f"{pp}.unit")
+    return problems
+
+
+def _check_datum(d: Any, path: str) -> list[str]:
+    if not isinstance(d, dict):
+        return [f"{path}: not an object"]
+    t = d.get("type")
+    if t not in _DATUM_TYPES:
+        return [f"{path}: unknown datum type {t!r}"]
+    problems = _require_name(d, path) + _check_id_fields(d, path)
+    if t in ("GeodeticReferenceFrame", "DynamicGeodeticReferenceFrame"):
+        if "ellipsoid" not in d:
+            problems.append(f"{path}: {t} missing ellipsoid")
+        else:
+            problems += _check_ellipsoid(d["ellipsoid"], f"{path}.ellipsoid")
+        if "prime_meridian" in d:
+            problems += _check_prime_meridian(
+                d["prime_meridian"], f"{path}.prime_meridian"
+            )
+    if t.startswith("Dynamic") and "frame_reference_epoch" not in d:
+        problems.append(f"{path}: {t} missing frame_reference_epoch")
+    if t == "TemporalDatum" and not d.get("origin"):
+        problems.append(f"{path}: TemporalDatum missing origin")
+    return problems
+
+
+def _check_datum_ensemble(d: Any, path: str) -> list[str]:
+    if not isinstance(d, dict):
+        return [f"{path}: not an object"]
+    problems = _require_name(d, path) + _check_id_fields(d, path)
+    members = d.get("members")
+    if not isinstance(members, list) or not members:
+        problems.append(f"{path}: needs a non-empty members list")
+    else:
+        for i, m in enumerate(members):
+            if not isinstance(m, dict) or not m.get("name"):
+                problems.append(f"{path}.members[{i}]: missing name")
+            else:
+                problems += _check_id_fields(m, f"{path}.members[{i}]")
+    if "accuracy" not in d:
+        problems.append(f"{path}: missing accuracy")
+    if "ellipsoid" in d:
+        problems += _check_ellipsoid(d["ellipsoid"], f"{path}.ellipsoid")
+    return problems
+
+
+def _check_ellipsoid(e: Any, path: str) -> list[str]:
+    if not isinstance(e, dict):
+        return [f"{path}: not an object"]
+    problems = _require_name(e, path) + _check_id_fields(e, path)
+    has_major = "semi_major_axis" in e
+    has_shape = "semi_minor_axis" in e or "inverse_flattening" in e
+    has_radius = "radius" in e
+    if not ((has_major and has_shape) or has_radius):
+        problems.append(
+            f"{path}: needs semi_major_axis + (semi_minor_axis | "
+            "inverse_flattening), or radius (sphere)"
+        )
+    for k in ("semi_major_axis", "semi_minor_axis", "radius"):
+        if k in e:
+            problems += _check_value_maybe_unit(e[k], f"{path}.{k}")
+    return problems
+
+
+def _check_prime_meridian(p: Any, path: str) -> list[str]:
+    if not isinstance(p, dict):
+        return [f"{path}: not an object"]
+    problems = _require_name(p, path) + _check_id_fields(p, path)
+    if "longitude" not in p:
+        problems.append(f"{path}: missing longitude")
+    else:
+        problems += _check_value_maybe_unit(p["longitude"], f"{path}.longitude")
+    return problems
+
+
+def _check_value_maybe_unit(v: Any, path: str) -> list[str]:
+    """float | ValueAndUnit (projjson.py:46-49)."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return []
+    if isinstance(v, dict):
+        problems = []
+        if "value" not in v:
+            problems.append(f"{path}: ValueAndUnit missing value")
+        problems += _check_unit(v.get("unit"), f"{path}.unit")
+        return problems
+    return [f"{path}: not a number or ValueAndUnit"]
+
+
+def _check_unit(u: Any, path: str) -> list[str]:
+    if isinstance(u, str):
+        return []
+    if not isinstance(u, dict):
+        return [f"{path}: missing unit"]
+    problems = []
+    if "name" not in u or "conversion_factor" not in u:
+        problems.append(f"{path}: needs name+conversion_factor")
+    if "type" in u and u["type"] not in _UNIT_TYPES:
+        problems.append(f"{path}: unknown unit type {u['type']!r}")
+    return problems + _check_id_fields(u, path)
 
 
 def _check_id_fields(d: dict, path: str) -> list[str]:
     problems = []
-    if "id" in d and "ids" in d:
+    if d.get("id") is not None and d.get("ids") is not None:
         problems.append(f"{path}: cannot specify both 'id' and 'ids'")
-    if "id" in d:
+    if isinstance(d.get("id"), dict):
         i = d["id"]
-        if not isinstance(i, dict) or "authority" not in i or "code" not in i:
+        if "authority" not in i or "code" not in i:
             problems.append(f"{path}.id: needs authority + code")
+    elif d.get("id") is not None:
+        problems.append(f"{path}.id: not an object")
+    if isinstance(d.get("ids"), list):
+        for j, i in enumerate(d["ids"]):
+            if not isinstance(i, dict) or "authority" not in i or "code" not in i:
+                problems.append(f"{path}.ids[{j}]: needs authority + code")
     return problems
 
 
@@ -315,9 +580,12 @@ def _check_cs(cs: Any, path: str) -> list[str]:
     if not isinstance(cs, dict):
         return [f"{path}: not an object"]
     problems = []
+    if "subtype" in cs and cs["subtype"] not in _CS_SUBTYPES:
+        problems.append(f"{path}: unknown subtype {cs['subtype']!r}")
+    problems += _check_id_fields(cs, path)
     axes = cs.get("axis")
     if not isinstance(axes, list) or not axes:
-        return [f"{path}: missing axis list"]
+        return problems + [f"{path}: missing axis list"]
     for i, ax in enumerate(axes):
         if not isinstance(ax, dict):
             problems.append(f"{path}.axis[{i}]: not an object")
@@ -329,10 +597,7 @@ def _check_cs(cs: Any, path: str) -> list[str]:
             problems.append(
                 f"{path}.axis[{i}]: illegal direction {ax.get('direction')!r}"
             )
-        unit = ax.get("unit")
-        if isinstance(unit, dict):
-            if "name" not in unit or "conversion_factor" not in unit:
-                problems.append(f"{path}.axis[{i}].unit: needs name+conversion_factor")
-        elif not isinstance(unit, str):
-            problems.append(f"{path}.axis[{i}]: missing unit")
+        problems += _check_unit(ax.get("unit"), f"{path}.axis[{i}].unit")
+        if isinstance(ax.get("meridian"), dict) and "longitude" not in ax["meridian"]:
+            problems.append(f"{path}.axis[{i}].meridian: missing longitude")
     return problems

@@ -22,6 +22,8 @@ are emitted with doc_a < doc_b and sorted output.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -190,7 +192,17 @@ def simhash64(texts: list[str]) -> np.ndarray:
 #: LSH buckets larger than this emit star pairs (doc -> bucket-min) instead
 #: of all O(n^2) pairs: near-identical floods stay linear; connectivity to
 #: the bucket representative is preserved for clustering downstream.
+#:
+#: RECALL CONTRACT above the cap: pairs between two NON-representative
+#: members of a flood bucket are not emitted, and a star edge can still be
+#: filtered by the downstream jaccard/hamming verify — so in the flood
+#: regime the emitted pair set is a connectivity skeleton, NOT the complete
+#: >=threshold pair set (completeness holds exactly when every collision
+#: bucket is <= the cap, which is the tested fixture regime). Each capped
+#: bucket logs a warning so a run can tell which regime it was in.
 MAX_BUCKET_PAIRS_FANOUT = 256
+
+_logger = logging.getLogger(__name__)
 
 
 def _bucket_pairs_frame(ids: np.ndarray) -> pd.DataFrame:
@@ -200,6 +212,13 @@ def _bucket_pairs_frame(ids: np.ndarray) -> pd.DataFrame:
             {"doc_a": pd.Series(dtype=ids.dtype), "doc_b": pd.Series(dtype=ids.dtype)}
         )
     if len(ids) > MAX_BUCKET_PAIRS_FANOUT:
+        _logger.warning(
+            "LSH bucket of %d docs exceeds MAX_BUCKET_PAIRS_FANOUT=%d: "
+            "emitting star pairs to the bucket representative only "
+            "(connectivity preserved, pair completeness not)",
+            len(ids),
+            MAX_BUCKET_PAIRS_FANOUT,
+        )
         return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]), "doc_b": ids[1:]})
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
@@ -217,7 +236,12 @@ def minhash_lsh_candidates(
     """MinHash-LSH near-dup pairs with DISTRIBUTED exact-Jaccard verification.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) for verified pairs
-    (doc_a < doc_b). THREE exchanges total: (1) the band shuffle moves
+    (doc_a < doc_b). Completeness caveat: collision buckets larger than
+    ``MAX_BUCKET_PAIRS_FANOUT`` emit star pairs only (see the constant's
+    recall contract — each occurrence is logged); below the cap the
+    verified pair set equals the exact >=threshold set whenever every true
+    pair collides in >=1 band (deterministically true on the test
+    fixtures). THREE exchanges total: (1) the band shuffle moves
     (band, hash, doc_id) triples only; (2) each candidate pair (possibly
     duplicated across bands — deduped later, not with its own exchange)
     explodes into two keyed rows so ONE union+bucket hash join against the
@@ -488,6 +512,10 @@ def simhash_pairs(
     with the band rows, so verification needs no second join and no text
     ever shuffles. Completes the round-1 gap (only distance-0 pairs were
     findable via identical-simhash buckets).
+
+    Completeness caveat: the pigeonhole guarantee holds per bucket only up
+    to ``MAX_BUCKET_PAIRS_FANOUT`` members; a flood bucket degrades to
+    star pairs (logged — see the constant's recall contract).
     """
     import ray.data as rd
 
@@ -525,6 +553,13 @@ def simhash_pairs(
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
         if len(ids) > MAX_BUCKET_PAIRS_FANOUT:
+            _logger.warning(
+                "SimHash piece bucket of %d docs exceeds "
+                "MAX_BUCKET_PAIRS_FANOUT=%d: star pairs only — pigeonhole "
+                "completeness does not hold for this bucket",
+                len(ids),
+                MAX_BUCKET_PAIRS_FANOUT,
+            )
             ia = np.zeros(len(ids) - 1, dtype=np.int64)
             ib = np.arange(1, len(ids))
         else:

@@ -191,3 +191,92 @@ class TestReferentialInvariants:
         bad = t.set_column(i, "mgrs", pa.array(["T99XXX"] * t.num_rows))
         with pytest.raises(SchemaViolation, match="granule"):
             ENRICHED_CONTRACT.validate(bad)
+
+
+class TestProjjsonReferenceFixtures:
+    """The deepened validator must accept every PROJJSON document shape the
+    reference's typed model tree accepts — proven against the reference's
+    own example fixtures (tests/_test_data/projjson_examples/*.json,
+    exercised by its 748-line test_projjson.py) — and reject the same
+    malformed shapes its models reject."""
+
+    FIXTURE_DIR = "/root/reference/tests/_test_data/projjson_examples"
+
+    def _load(self, name):
+        import json
+
+        with open(f"{self.FIXTURE_DIR}/{name}.json") as f:
+            return json.load(f)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "bound_crs",
+            "compound_crs",
+            "datum_ensemble",
+            "explicit_prime_meridian",
+            "implicit_prime_meridian",
+            "projected_crs",
+            "transformation",
+        ],
+    )
+    def test_fixture_validates_and_roundtrips(self, name):
+        import json
+
+        d = self._load(name)
+        assert validate_projjson(d) == []
+        # validation is read-only: a serialize/parse round-trip yields an
+        # identical document that still validates
+        back = json.loads(json.dumps(d))
+        assert back == d and validate_projjson(back) == []
+
+    def test_tampered_ellipsoid_rejected(self):
+        d = self._load("projected_crs")
+        del d["base_crs"]["datum"]["ellipsoid"]["semi_major_axis"]
+        assert any("ellipsoid" in p for p in validate_projjson(d))
+
+    def test_tampered_axis_direction_rejected(self):
+        d = self._load("projected_crs")
+        d["coordinate_system"]["axis"][0]["direction"] = "sideways"
+        assert any("illegal direction" in p for p in validate_projjson(d))
+
+    def test_tampered_datum_ensemble_rejected(self):
+        d = self._load("datum_ensemble")
+        del d["datum_ensemble"]["accuracy"]
+        assert any("accuracy" in p for p in validate_projjson(d))
+        d2 = self._load("datum_ensemble")
+        d2["datum_ensemble"]["members"] = []
+        assert any("members" in p for p in validate_projjson(d2))
+
+    def test_tampered_bound_crs_rejected(self):
+        d = self._load("bound_crs")
+        del d["transformation"]["parameters"]
+        assert any("parameters" in p for p in validate_projjson(d))
+        d2 = self._load("bound_crs")
+        del d2["source_crs"]
+        assert any("source_crs" in p for p in validate_projjson(d2))
+
+    def test_id_ids_mutual_exclusion(self):
+        d = self._load("compound_crs")
+        d["ids"] = [dict(d["id"])]
+        assert any("both 'id' and 'ids'" in p for p in validate_projjson(d))
+
+    def test_datum_xor_ensemble(self):
+        d = self._load("explicit_prime_meridian")
+        d["datum_ensemble"] = self._load("datum_ensemble")["datum_ensemble"]
+        assert any("exactly one" in p for p in validate_projjson(d))
+
+    def test_unknown_unit_type_rejected(self):
+        d = self._load("projected_crs")
+        d["coordinate_system"]["axis"][0]["unit"] = {
+            "type": "FrobnicationUnit",
+            "name": "frob",
+            "conversion_factor": 1,
+        }
+        assert any("unknown unit type" in p for p in validate_projjson(d))
+
+    def test_standalone_transformation_accepted(self):
+        # Transformation is a top-level ProjJSON document type, not a CRS
+        d = self._load("transformation")
+        assert d["type"] == "Transformation"
+        assert validate_projjson(d) == []
