@@ -91,69 +91,18 @@ def cmd_info(args) -> int:
 
 def cmd_validate(args) -> int:
     """Read-side compliance checks (validate_command analogue,
-    /root/reference/src/eopf_geozarr/cli.py:962-1054): manifest present,
-    every level's parquet readable, cell counts match, bbox ordered."""
-    import pyarrow.parquet as pq
+    /root/reference/src/eopf_geozarr/cli.py:962-1054) through the closed
+    store contract (functions/store.py): union-classify the directory,
+    then run the matched model's full validation — level schemas equal to
+    base, unbroken derived_from chain, bbox ordering, proj encodings,
+    Spatial-convention attrs."""
+    from data_model_ray.functions.store import validate_store
 
-    from data_model_ray.functions.crs import validate_proj_attrs
-
-    path = os.path.join(args.out, "manifest.json")
-    tms_path = os.path.join(args.out, "tms_manifest.json")
-    problems = []
-    if not os.path.exists(path) and not os.path.exists(tms_path):
-        print(json.dumps({"is_valid": False, "problems": ["manifest missing"]}))
+    kind, problems = validate_store(args.out)
+    if kind is None:
+        print(json.dumps({"is_valid": False, "kind": None, "problems": problems}))
         return 1
-    if os.path.exists(path):
-        with open(path) as f:
-            manifest = json.load(f)
-        for lv in manifest.get("levels", []):
-            asset_dir = os.path.join(args.out, lv["asset"])
-            try:
-                t = pq.read_table(asset_dir)
-                if t.num_rows != lv["cells"]:
-                    problems.append(
-                        f"{lv['asset']}: rows {t.num_rows} != manifest {lv['cells']}"
-                    )
-            except Exception as e:
-                problems.append(f"{lv['asset']}: unreadable ({e})")
-        bbox = manifest.get("spatial:bbox", [])
-        if len(bbox) == 4 and not (bbox[0] <= bbox[2] and bbox[1] <= bbox[3]):
-            problems.append("bbox not ordered (xmin<=xmax, ymin<=ymax)")
-        # level-graph referential integrity (the check_grid_mapping analogue,
-        # reference common.py:251-264): every derived_from must name an
-        # existing level asset
-        assets = {lv["asset"] for lv in manifest.get("levels", [])}
-        for lv in manifest.get("levels", []):
-            src = lv.get("derived_from")
-            if src is not None and src not in assets:
-                problems.append(
-                    f"{lv['asset']}: derived_from {src!r} names no level asset"
-                )
-        # CRS compliance: the Proj convention requires >=1 of
-        # code/wkt2/projjson (reference geoproj.py:27-34); validate
-        # whichever encodings are present.
-        problems += [
-            f"proj: {p}" for p in validate_proj_attrs(manifest.get("proj", {}))
-        ]
-    # TMS manifest (rasterize output) cross-checks, when present
-    if os.path.exists(tms_path):
-        with open(tms_path) as f:
-            tms = json.load(f)
-        problems += [f"tms proj: {p}" for p in validate_proj_attrs(tms.get("proj", {}))]
-        matrices = {
-            m["id"]: m for m in tms.get("tile_matrix_set", {}).get("tileMatrices", [])
-        }
-        for mid, lim in (tms.get("tile_matrix_limits") or {}).items():
-            if mid not in matrices:
-                problems.append(f"tms: limits for unknown tileMatrix {mid!r}")
-                continue
-            m = matrices[mid]
-            if not (
-                0 <= lim["minTileCol"] <= lim["maxTileCol"] < m["matrixWidth"]
-                and 0 <= lim["minTileRow"] <= lim["maxTileRow"] < m["matrixHeight"]
-            ):
-                problems.append(f"tms: limits for {mid!r} outside matrix dims")
-    print(json.dumps({"is_valid": not problems, "problems": problems}))
+    print(json.dumps({"is_valid": not problems, "kind": kind, "problems": problems}))
     return 0 if not problems else 1
 
 

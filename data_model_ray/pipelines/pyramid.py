@@ -421,6 +421,22 @@ def build_pyramid(
             log.append(rec)
         return table
 
+    def _level_spatial(r: int) -> dict[str, Any]:
+        """Spatial layout attrs for the global GeoCell grid at res ``r``
+        (GeoZarrScaleLevel analogue — mandatory transform+shape per
+        layout entry, reference store.py:81-92): pixel-registered affine
+        over the full [-180,180]x[-90,90] grid."""
+        from ..functions.affine import affine_from_bounds
+        from ..grid import _geocell_dims
+
+        n_lat, n_lon = _geocell_dims(r)
+        return {
+            "spatial:shape": [n_lat, n_lon],  # (rows, cols)
+            "spatial:transform": list(
+                affine_from_bounds(-180.0, -90.0, 180.0, 90.0, n_lon, n_lat)
+            ),
+        }
+
     current = emit_level(current, res, None)
     levels_meta.append(
         {
@@ -430,6 +446,7 @@ def build_pyramid(
             "derived_from": None,
             "scale": 1,
             "encoding": level_plans[res],
+            **_level_spatial(res),
         }
     )
     for r in plan_levels(base_res, current.num_rows, min_cells=min_cells):
@@ -445,6 +462,7 @@ def build_pyramid(
                 "derived_from": f"part=level{r + 1}",
                 "scale": 2,  # per-axis /2, as the reference's COG ladder
                 "encoding": level_plans[r],
+                **_level_spatial(r),
             }
         )
 
@@ -461,6 +479,12 @@ def build_pyramid(
             _json_safe(base_df["lon_max"].max()),
             _json_safe(base_df["lat_max"].max()),
         ],
+        # Spatial-convention root attrs (reference spatial.py:19-33:
+        # dimensions required non-empty; registration/transform_type
+        # pinned so readers need no guessing)
+        "spatial:dimensions": ["lon", "lat"],
+        "spatial:transform_type": "affine",
+        "spatial:registration": "pixel",
         "crs": "EPSG:4326",
         # multi-encoding CRS attrs — the Proj convention object
         # (reference geoproj.py:20-34: >=1 of code/wkt2/projjson required)
