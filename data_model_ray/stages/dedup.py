@@ -52,15 +52,31 @@ _PAIR_DT = np.dtype([("h1", "<u8"), ("h2", "<u8")])
 _TB_COL = "__tb"
 
 
-def _row_tiebreak(df: pd.DataFrame) -> np.ndarray:
+def _canon_frame(obj):
+    """Canonical polars frame for row hashing: the same logical rows hash
+    identically whether the block arrived as pandas (datetime64[ns]) or
+    Arrow (timestamp[us]) — temporal columns are normalized to int64
+    nanoseconds before hashing."""
+    import polars as pl
+
+    d = pl.from_arrow(obj) if isinstance(obj, pa.Table) else pl.from_pandas(obj)
+    casts = [
+        pl.col(c).dt.timestamp("ns").alias(c)
+        for c, dt in d.schema.items()
+        if isinstance(dt, pl.Datetime)
+    ]
+    return d.with_columns(casts) if casts else d
+
+
+def _row_tiebreak(frame) -> np.ndarray:
     """uint64 content hash of every full row (vectorized, batch-invariant).
 
     polars ``hash_rows`` hashes row content only, so the same row hashes
     identically in any batch/partition — the distribution-safe tiebreak.
+    Accepts a pandas DataFrame or an Arrow Table (hashes agree across the
+    two block formats; pinned by tests/test_dedup_modes.py).
     """
-    import polars as pl
-
-    return pl.from_pandas(df).hash_rows(seed=23).to_numpy().astype(np.uint64)
+    return _canon_frame(frame).hash_rows(seed=23).to_numpy().astype(np.uint64)
 
 
 def _local_latest(
@@ -76,6 +92,36 @@ def _local_latest(
     return df[~df.duplicated(subset=[key], keep="last")]
 
 
+def _last_per_key_arrow(t: pa.Table, key: str, sort_keys) -> pa.Table:
+    """Arrow-native max-(order, tiebreak) per key: one sort + one adjacent
+    compare — no pandas round-trip of the (string-heavy) block. The __tb
+    column is part of ``sort_keys``, so every row has a unique total order
+    and sort stability is irrelevant to the output."""
+    import pyarrow.compute as pc
+
+    if t.num_rows <= 1:
+        return t
+    st = t.sort_by(sort_keys)
+    k = st[key].combine_chunks()
+    n = len(k)
+    # last-of-each-key mask; dictionary codes make null keys compare equal
+    # to each other (pandas duplicated() semantics)
+    codes = pc.fill_null(k.dictionary_encode().indices, -1)
+    c = codes.to_numpy(zero_copy_only=False)
+    mask = np.empty(n, dtype=bool)
+    mask[-1] = True
+    np.not_equal(c[1:], c[:-1], out=mask[:-1])
+    return st.filter(pa.array(mask))
+
+
+def _key_bucket(k: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic int32 bucket per key (polars hash — no pandas)."""
+    import polars as pl
+
+    h = pl.from_arrow(k).hash(seed=41).to_numpy().astype(np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def dedup_exact(
     ds,
     *,
@@ -88,31 +134,36 @@ def dedup_exact(
     The kept row is the max of `order_col` (a column name or list of names,
     compared lexicographically; ties broken by the row content hash) —
     multi-column ordering avoids packing compound keys into one integer
-    (overflow-prone).
+    (overflow-prone). Both exchange kernels are Arrow-native (sort_by +
+    adjacent-compare): string-heavy web blocks never round-trip through
+    pandas, and every block keeps a hashable (metadata-free) schema for
+    Ray's shuffle-side schema dedup.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    sort_keys = [(c, "ascending") for c in (key, *order_cols, _TB_COL)]
 
-    def local(batch: pd.DataFrame) -> pd.DataFrame:
+    def local(batch: pa.Table) -> pa.Table:
         # local pre-dedup + bucket assignment in one kernel (fewer operator
         # boundaries = less block churn)
-        batch = batch.assign(**{_TB_COL: _row_tiebreak(batch)})
-        out = _local_latest(batch, key, order_cols)
-        out = out.assign(
-            __bucket=(pd.util.hash_array(out[key].to_numpy()) % num_buckets).astype(
-                "int32"
-            )
+        t = batch.append_column(
+            _TB_COL, pa.array(_row_tiebreak(batch), pa.uint64())
         )
-        return out
+        out = _last_per_key_arrow(t, key, sort_keys)
+        return out.append_column(
+            "__bucket", pa.array(_key_bucket(out[key], num_buckets))
+        )
 
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return _local_latest(group, key, order_cols).drop(
-            columns=["__bucket", _TB_COL]
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group  # map_groups can emit schema-less empty blocks
+        return _last_per_key_arrow(group, key, sort_keys).drop_columns(
+            ["__bucket", _TB_COL]
         )
 
     return (
-        ds.map_batches(local, batch_format="pandas")
+        ds.map_batches(local, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 

@@ -263,7 +263,7 @@ def minhash_lsh_candidates(
     else:
         ds = sized_read_parquet(docs_path, columns=[id_col, text_col])
 
-    def to_bands(batch: pa.Table) -> pd.DataFrame:
+    def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts)
@@ -271,16 +271,19 @@ def minhash_lsh_candidates(
         n = len(ids)
         band_id = np.repeat(np.arange(N_BANDS, dtype=np.int32), n)
         band_hash = bands.T.reshape(-1)
-        return pd.DataFrame(
+        # Arrow out (not pandas): band rows are the highest-volume exchange
+        # in this pipeline, and pandas blocks would re-enter Arrow through
+        # from_pandas with unhashable schema metadata on every shuffle merge
+        return pa.table(
             {
-                "band_id": band_id,
-                "band_hash": band_hash,
-                id_col: np.tile(ids, N_BANDS),
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(band_hash),
+                id_col: pa.array(np.tile(ids, N_BANDS)),
                 # coarse exchange key: one groupby over ~num_partitions*8
                 # groups instead of one PER (band, hash) bucket (~1 group
                 # per doc-band) — per-group Python overhead dominated the
                 # candidate stage before this
-                "__bkt": (band_hash % np.uint64(64)).astype(np.int32),
+                "__bkt": pa.array((band_hash % np.uint64(64)).astype(np.int32)),
             }
         )
 
@@ -416,7 +419,19 @@ def minhash_lsh_candidates(
             pk = splitmix64(
                 (a.astype(U64) << U64(20)) ^ b.astype(U64)
             ) % U64(64)
-        return t.append_column("__pk", pa.array(pk.astype(np.int32)))
+        # fresh table, not append_column: the input block arrived through a
+        # pandas map_groups stage, so doc_a/doc_b are float64 (nullable-int
+        # conversion) and the schema carries unhashable pandas metadata —
+        # both would otherwise poison the __pk exchange
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "slot": t["slot"].cast(pa.int8()),
+                "text": t["text"].cast(pa.string()),
+                "__pk": pa.array(pk.astype(np.int32)),
+            }
+        )
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         # dedup band-duplicate pair rows, pivot slots side by side, then ONE

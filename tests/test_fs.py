@@ -134,3 +134,29 @@ class TestSchemaMetadataStripping:
             {"b": "y"},
             {"b": "z"},
         ]
+
+    def test_pipeline_blocks_emit_hashable_schemas(self, ray_session):
+        """Every materialized block of the exchange-heavy pipelines must
+        carry a hashable (metadata-free) Arrow schema, or Ray's shuffle
+        schema-dedup cache is defeated on every merge task."""
+        import ray
+
+        from data_model_ray.sources.fs import sized_read_parquet
+        from data_model_ray.stages.dedup import dedup_exact
+        from data_model_ray.stages.neardup import minhash_lsh_candidates
+
+        sf = "/root/testdata/sf0.001"
+        for ds in (
+            minhash_lsh_candidates(f"{sf}/documents.parquet", threshold=0.5),
+            dedup_exact(
+                sized_read_parquet(f"{sf}/events.parquet"),
+                key="user_id",
+                order_col="ts",
+                num_buckets=4,
+            ),
+        ):
+            mat = ds.materialize()
+            for ref in mat.to_arrow_refs():
+                sch = ray.get(ref).schema
+                hash(sch)  # raises TypeError if any metadata survived
+                assert sch.metadata is None
