@@ -106,6 +106,18 @@ def cmd_validate(args) -> int:
     return 0 if not problems else 1
 
 
+def cmd_consolidate(args) -> int:
+    """Structure reorganization planner (S2DataConsolidator analogue,
+    reference s2_optimization/s2_data_consolidator.py:10-217): classify
+    scattered inputs and print the per-(category, native-resolution)
+    grouping. Exits nonzero if anything stayed unclassified."""
+    from data_model_ray.pipelines.consolidate import consolidate_inputs
+
+    plan = consolidate_inputs(list(args.paths))
+    print(json.dumps(plan.summary(), indent=2))
+    return 0 if not plan.unclassified else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_model_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -131,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="validate a pyramid output dir")
     v.add_argument("--out", required=True)
     v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser(
+        "consolidate",
+        help="regroup scattered inputs by declared native resolution",
+    )
+    c.add_argument("paths", nargs="+", help="parquet tables / store dirs")
+    c.set_defaults(fn=cmd_consolidate)
 
     args = p.parse_args(argv)
     return args.fn(args)
