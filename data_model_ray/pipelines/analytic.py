@@ -498,12 +498,23 @@ def bigram_topk(sf_dir: str, k: int = 20, num_buckets: int = 32):
 # --- correlated filter via broadcast-back exact medians ----------------------
 
 
-def above_user_median(sf_dir: str):
-    """Events strictly above their user's median value. Two passes:
-    (1) per-user exact median (order statistic — identical across
-    engines, unlike a float mean) via groupby+map_groups; (2) the
-    dimension-sized (user, median) table broadcast back with ``ray.put``
-    and applied as a vectorized filter — the fact table never shuffles."""
+def above_user_median(sf_dir: str, *, method: str = "broadcast", num_buckets: int = 32):
+    """Events strictly above their user's median value.
+
+    ``method="broadcast"`` (default): (1) per-user exact median (order
+    statistic — identical across engines, unlike a float mean) via
+    groupby+map_groups; (2) the dimension-sized (user, median) table
+    broadcast back with ``ray.put`` and applied as a vectorized filter —
+    the fact table never shuffles. Right whenever the user dimension fits
+    a worker heap (10^6-10^8 users).
+
+    ``method="join"``: the 10^9-user escape hatch — medians stay a
+    Dataset; events and medians flat-union into ONE hash-bucket exchange
+    keyed by user and the filter runs per bucket (the engine's
+    partitioned-join shape, relational.hash_join_revenue). Nothing
+    user-dimension-sized ever lands on the driver or a single worker.
+    Both methods produce identical rows (pytest-pinned).
+    """
     import ray
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
@@ -514,12 +525,78 @@ def above_user_median(sf_dir: str):
              "med": [float(np.median(df["value"].to_numpy()))]}
         )
 
-    medians = (
+    medians_ds = (
         ds.select_columns(["user_id", "value"])
         .groupby("user_id")
         .map_groups(med, batch_format="pandas")
-        .to_pandas()
     )
+
+    if method == "join":
+        def tag_events(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            return pa.table(
+                {
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "event_id": t["event_id"].cast(pa.int64()),
+                    "value": t["value"].cast(pa.float64()),
+                    "med": pa.nulls(n, pa.float64()),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "__bkt": pa.array(
+                        (uid.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                            np.int32
+                        )
+                    ),
+                }
+            )
+
+        def tag_medians(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "event_id": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64()),
+                        "med": pa.array([], pa.float64()),
+                        "side": pa.array([], pa.int8()),
+                        "__bkt": pa.array([], pa.int32()),
+                    }
+                )
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            return pa.table(
+                {
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "event_id": pa.nulls(n, pa.int64()),
+                    "value": pa.nulls(n, pa.float64()),
+                    "med": t["med"].cast(pa.float64()),
+                    "side": pa.array(np.ones(n, dtype=np.int8)),
+                    "__bkt": pa.array(
+                        (uid.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                            np.int32
+                        )
+                    ),
+                }
+            )
+
+        def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ev = g[g["side"] == 0][["user_id", "event_id", "value"]]
+            md = g[g["side"] == 1][["user_id", "med"]]
+            m = ev.merge(md, on="user_id", how="inner")
+            keep = m["value"].to_numpy() > m["med"].to_numpy()
+            return pd.DataFrame(
+                {"event_id": m["event_id"].to_numpy()[keep].astype(np.int64)}
+            )
+
+        u = ds.map_batches(tag_events, batch_format="pyarrow").union(
+            medians_ds.map_batches(tag_medians, batch_format="pyarrow")
+        )
+        return u.groupby("__bkt").map_groups(filter_bucket, batch_format="pandas")
+
+    if method != "broadcast":
+        raise ValueError(f"unknown method: {method!r}")
+
+    medians = medians_ds.to_pandas()
     med_ref = ray.put(
         pd.Series(medians["med"].to_numpy(), index=medians["user_id"].to_numpy())
     )

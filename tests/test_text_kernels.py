@@ -42,3 +42,36 @@ class TestAntimeridianDistance:
         )
         want = (EARTH_DEG * np.cos(np.radians(10.0))) ** 2
         assert abs(d2[0] - want) < 1e-9
+
+
+class TestAboveUserMedianModes:
+    def test_join_mode_equals_broadcast_mode(self, ray_session):
+        """The co-partitioned join escape hatch (10^9-user path) must
+        produce exactly the broadcast path's rows."""
+        import pandas as pd
+
+        from data_model_ray.pipelines.analytic import above_user_median
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            above_user_median(sf, method="broadcast")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            above_user_median(sf, method="join")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_unknown_method(self, ray_session):
+        import pytest as _pytest
+
+        from data_model_ray.pipelines.analytic import above_user_median
+
+        with _pytest.raises(ValueError):
+            above_user_median("/root/testdata/sf0.001", method="x")
