@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": olap.distinct_users_per_type,
         "pivot_status_priority": olap.pivot_status_priority,
         "dense_rank_orders": olap.dense_rank_orders,
+        "percent_rank_orders": olap.percent_rank_orders,
+        "argmax_order_per_priority": olap.argmax_order_per_priority,
         "ntile_orders": olap.ntile_orders,
         "lead_event_ts": olap.lead_event_ts,
         "first_last_user_value": olap.first_last_user_value,
@@ -638,6 +640,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS drank
             FROM orders
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey,
+                   ROUND(PERCENT_RANK() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   ), 6) AS pr,
+                   ROUND(CUME_DIST() OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   ), 6) AS cd
+            FROM orders
+        """,
+        "argmax_order_per_priority": """
+            SELECT o_orderpriority, o_orderkey AS best_key,
+                   o_totalprice AS max_price
+            FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey DESC
+            ) = 1
         """,
         "ntile_orders": """
             SELECT o_orderkey,

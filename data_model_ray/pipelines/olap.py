@@ -144,6 +144,73 @@ def dense_rank_orders(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
 
 
+# --- PERCENT_RANK / CUME_DIST per partition ----------------------------------
+
+
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY o_orderpriority
+    ORDER BY o_totalprice) — one hash exchange on the partition key, then
+    both rank normalizations fall out of two vectorized searchsorted
+    passes per group (rank-with-ties=min for percent_rank, rows<=v for
+    cume_dist); no per-row Python."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def per_pri(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy(np.float64)
+        n = len(v)
+        sv = np.sort(v, kind="mergesort")
+        rank_min = np.searchsorted(sv, v, side="left") + 1
+        le = np.searchsorted(sv, v, side="right")
+        pr = (rank_min - 1) / (n - 1) if n > 1 else np.zeros(n)
+        cd = le / n
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "pr": np.round(pr, 6),
+                "cd": np.round(cd, 6),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(per_pri, batch_format="pandas")
+
+
+# --- deterministic per-group arg-max ------------------------------------------
+
+
+def argmax_order_per_priority(sf_dir: str):
+    """Per-priority arg-max: the order carrying the max o_totalprice
+    (ties broken by max o_orderkey — deterministic, unlike SQL MAX_BY).
+    Per-batch argmax partials (<=5 rows each) + one bounded combine — the
+    fact table never shuffles."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        return s.groupby("o_orderpriority", sort=False).tail(1)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "best_key": df["o_orderkey"].to_numpy(np.int64),
+                "max_price": df["o_totalprice"].to_numpy(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(top1, batch_format="pandas")
+        .repartition(1)
+        .map_batches(top1, batch_format="pandas", batch_size=None)
+        .map_batches(rename, batch_format="pandas")
+    )
+
+
 # --- global NTILE via range-partitioned ranking ------------------------------
 
 
