@@ -19,16 +19,32 @@ import sys
 
 
 def _init_ray(cpus: int) -> None:
+    """Own the Ray session for CLI runs.
+
+    Under ``ray job submit`` the job runner exports RAY_ADDRESS pointing
+    at the cluster — attach to it (num_cpus is a local-mode knob and must
+    not be passed to an existing cluster). With no cluster address (or
+    the sandbox's preset ``local``), start a local session sized by
+    ``--cpus``.
+    """
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
