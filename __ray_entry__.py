@@ -471,10 +471,35 @@ def _pages_host_counts(sf_dir: str):
     return pages_host_counts(_pages_path(sf_dir))
 
 
+def _pii_scan(sf_dir: str):
+    from data_model_ray.pipelines.webtext import pii_scan
+
+    return pii_scan(_pages_path(sf_dir))
+
+
+def _incremental_dedup(sf_dir: str):
+    from data_model_ray.pipelines.webtext import incremental_dedup
+
+    return incremental_dedup(_pages_path(sf_dir))
+
+
+def _pages_zonal_stats(sf_dir: str):
+    from data_model_ray.pipelines.webtext import zonal_stats
+
+    return zonal_stats(_pages_path(sf_dir))
+
+
+def _pack_sequences(sf_dir: str):
+    from data_model_ray.pipelines.webtext import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import analytic as ana
     from data_model_ray.pipelines import olap
     from data_model_ray.pipelines import relational as rel
+    from data_model_ray.pipelines import webtext as wtx
 
     return {
         # round-2 third batch: windows, grouping sets, distinct aggs,
@@ -509,6 +534,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df": ana.token_df_topk,
         "spacesaving_topk": ana.spacesaving_topk,
         "tfidf_top_term": ana.tfidf_top_term,
+        # web-corpus curation family (pipelines/webtext.py): repetition
+        # quality metrics, contamination screening, PII scan, mixture
+        # sampling, sequence packing, cross-snapshot dedup, zonal stats
+        "doc_repetition": wtx.doc_repetition,
+        "contamination_check": wtx.contamination_check,
+        "mixture_sample": wtx.mixture_sample,
+        "pack_sequences": _pack_sequences,
+        "pii_scan": _pii_scan,
+        "incremental_dedup": _incremental_dedup,
+        "pages_zonal_stats": _pages_zonal_stats,
         "grouped_median": ana.grouped_median_prices,
         "mode_per_type": ana.mode_user_per_type,
         "corr_group": ana.corr_qty_price,
@@ -884,6 +919,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n
             FROM events GROUP BY 1
         """,
+        # web-corpus curation family (webtext.py). Shingle/token identity
+        # matches stages/neardup tokenization (single-space split); the
+        # recursive CTE replays pack_sequences' greedy walk exactly.
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       len(string_split(text, ' ')) AS ntok
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, ANY_VALUE(ntok) AS ntok,
+                       COUNT(DISTINCT tok) AS nd
+                FROM toks GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS b, COUNT(*) AS c
+                FROM toks t1
+                JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY 1, 2
+            ),
+            bmax AS (SELECT doc_id, MAX(c) AS mc FROM bg GROUP BY doc_id)
+            SELECT d.doc_id, CAST(d.ntok AS BIGINT) AS n_tokens,
+                   ROUND(1.0 - nd / CAST(GREATEST(ntok, 1) AS DOUBLE), 6)
+                       AS dup_token_frac,
+                   ROUND(COALESCE(mc, 0)
+                         / CAST(GREATEST(ntok - 1, 1) AS DOUBLE), 6)
+                       AS top_bigram_frac
+            FROM d LEFT JOIN bmax USING (doc_id)
+        """,
+        "contamination_check": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       len(string_split(text, ' ')) AS ntok
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT t1.doc_id,
+                       t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+                FROM toks t1
+                JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+                WHERE t1.ntok >= 3
+                UNION
+                SELECT DISTINCT doc_id, tok AS s FROM toks WHERE ntok < 3
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            cnt AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       COUNT(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS ns
+                FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_shingles,
+                   CAST(ns AS BIGINT) AS n_shared,
+                   ROUND(ns / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS contam_frac
+            FROM cnt
+        """,
+        "mixture_sample": """
+            WITH q AS (
+                SELECT source, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k
+                FROM documents GROUP BY source
+            )
+            SELECT doc_id, source FROM (
+                SELECT d.doc_id, d.source, q.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.source
+                           ORDER BY (d.doc_id * 2654435761) % 4294967296,
+                                    d.doc_id
+                       ) AS rn
+                FROM documents d JOIN q USING (source)
+            ) WHERE rn <= k
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, doc_id // 64 AS rng,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id // 64 ORDER BY doc_id
+                       ) AS pos
+                FROM documents
+            ),
+            rec AS (
+                SELECT rng, pos, doc_id, t, CAST(0 AS BIGINT) AS bin, t AS fill
+                FROM d WHERE pos = 1
+                UNION ALL
+                SELECT d.rng, d.pos, d.doc_id, d.t,
+                       CASE WHEN r.fill + d.t > 256 THEN r.bin + 1
+                            ELSE r.bin END,
+                       CASE WHEN r.fill + d.t > 256 THEN d.t
+                            ELSE r.fill + d.t END
+                FROM rec r JOIN d ON d.rng = r.rng AND d.pos = r.pos + 1
+            )
+            SELECT doc_id, t AS n_tokens,
+                   rng * 100000 + bin AS bin_id,
+                   fill - t AS bin_pos
+            FROM rec
+        """,
+        "pii_scan": oracles.pii_scan_sql(_ORACLE_N),
+        "incremental_dedup": oracles.incremental_dedup_sql(_ORACLE_N),
+        "pages_zonal_stats": oracles.pages_zonal_stats_sql(_ORACLE_N),
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
         "pages_raster": oracles.pages_raster_sql(_ORACLE_N),

@@ -262,3 +262,54 @@ FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
 WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                              CAST(c.embedding AS DOUBLE[])) >= {threshold}
 """
+
+
+def pages_zonal_stats_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-admin-l1-polygon zonal aggregate over the deduped pages
+    (mirrors pipelines.webtext.zonal_stats: COALESCE(admin_l1, -1) zones,
+    exact integer sums, one int/int double division for the mean)."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_admin_ctes(root)},
+{_TEXT_STATS_CTES}
+SELECT CAST(COALESCE(a1.admin_l1, -1) AS BIGINT) AS zone,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(d.text_len) AS BIGINT) AS text_bytes,
+       CAST(SUM(d.nt) AS BIGINT) AS token_sum,
+       CAST(SUM(d.text_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_text_len
+FROM stats d
+LEFT JOIN admin1 a1 USING (url)
+GROUP BY 1
+"""
+
+
+def incremental_dedup_sql(
+    n_rows: int, root: str = GRAFT_ROOT, cutoff: str = "2024-07-01 00:00:00"
+) -> str:
+    """Recrawl dedup: new-snapshot rows whose url never appeared in the
+    old snapshot (webtext.incremental_dedup's NOT EXISTS semantics; the
+    engine's bloom filter is a prefilter only, so the output is exact)."""
+    pages_glob = f"{root}/n{n_rows}/*.parquet"
+    return f"""
+WITH p AS (SELECT url, warc_ts FROM read_parquet('{pages_glob}'))
+SELECT url, warc_ts FROM p n
+WHERE n.warc_ts >= TIMESTAMP '{cutoff}'
+  AND NOT EXISTS (
+      SELECT 1 FROM p o
+      WHERE o.warc_ts < TIMESTAMP '{cutoff}' AND o.url = n.url
+  )
+"""
+
+
+def pii_scan_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Regex PII scan over distinct urls (RE2 on both sides: DuckDB
+    regexp_* and Arrow count/replace_substring_regex agree match-for-match)."""
+    pages_glob = f"{root}/n{n_rows}/*.parquet"
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    return f"""
+SELECT DISTINCT url,
+       CAST(len(regexp_extract_all(url, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(url, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       regexp_replace(url, '[0-9]+', '#', 'g') AS redacted_url
+FROM read_parquet('{pages_glob}')
+"""

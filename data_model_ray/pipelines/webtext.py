@@ -1,0 +1,452 @@
+"""Web-corpus curation operators for large-scale training-data pipelines.
+
+The task-brief "training-data pipeline" family beyond dedup/ANN: per-doc
+repetition quality metrics (Gopher-style), benchmark-contamination
+screening, regex PII scanning/redaction, cross-snapshot incremental dedup
+(Bloom prefilter + exact verify), temperature mixture sampling, and
+greedy sequence packing. Every SQL-expressible operator here is
+DuckDB-oracled expression-for-expression (see ``__ray_entry__.oracle_sql``).
+
+Reference analogues: the quality metrics extend the variable-type
+classifier + probability-type scoring dispatch
+(/root/reference/src/eopf_geozarr/s2_optimization/s2_resampling.py:156-203);
+incremental dedup is the skip-if-already-ingested set difference
+(/root/reference/src/eopf_geozarr/conversion/geozarr.py:1044-1057) done at
+corpus scale; packing mirrors the aligned-chunk planner's bin-fill search
+(/root/reference/src/eopf_geozarr/conversion/utils.py:161-189).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import splitmix64
+from ..sources.fs import sized_read_parquet
+
+U64 = np.uint64
+
+#: RE2 pattern pair used by the PII scan (email + digit-run); DuckDB's
+#: regexp functions are RE2 too, so oracle parity is exact.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = r"[0-9]+"
+
+#: incremental-dedup snapshot boundary (pages fixture spans 2024)
+SNAPSHOT_CUTOFF = "2024-07-01 00:00:00"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _col_token_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Flat token-hash array + row offsets for a string column (vectorized).
+
+    Same tokenization + hash chain as ``stages.neardup._token_hashes``
+    (single-space split, polars xxhash seed 7, splitmix64 mix) so token
+    identity agrees across the near-dup and quality-metric families.
+    """
+    import polars as pl
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+    offsets = np.asarray(lists.offsets).astype(np.int64)
+    flat = lists.flatten()
+    if len(flat) == 0:
+        return np.array([], dtype=U64), offsets
+    hashed = (
+        pl.from_arrow(flat.cast(pa.large_string()))
+        .hash(seed=7)
+        .to_numpy()
+        .astype(U64)
+    )
+    return splitmix64(hashed), offsets
+
+
+# --- Gopher-style repetition metrics ----------------------------------------
+
+
+def doc_repetition(sf_dir: str):
+    """Per-doc repetition quality metrics: duplicate-token fraction and
+    top-bigram fraction (the Gopher repetition filters' two cheapest
+    signals). One stateless vectorized kernel, no shuffle: distinct-token
+    counts via one lexsort over (row, token-hash), top-bigram counts via
+    run-length stats over (row, bigram-hash)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_repetition_kernel, batch_format="pyarrow")
+
+
+def _repetition_kernel(t: pa.Table) -> pa.Table:
+    flat, offs = _col_token_hashes(t["text"])
+    ntok = np.diff(offs)
+    n = len(ntok)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+
+    # distinct tokens per row (set semantics == SQL COUNT(DISTINCT tok))
+    order = np.lexsort((flat, row_of))
+    r, h = row_of[order], flat[order]
+    first = np.ones(len(r), dtype=bool)
+    if len(r) > 1:
+        first[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+    nd = np.bincount(r[first], minlength=n).astype(np.int64)
+
+    # most-frequent-bigram count per row: adjacent-pair mix hashes,
+    # grouped run lengths after one lexsort
+    mc = np.zeros(n, dtype=np.int64)
+    if len(flat) > 1:
+        with np.errstate(over="ignore"):
+            bg = splitmix64(flat[:-1] * U64(0x100000001B3) ^ flat[1:])
+        ok = row_of[:-1] == row_of[1:]
+        br, bh = row_of[:-1][ok], bg[ok]
+        if len(br):
+            o2 = np.lexsort((bh, br))
+            br, bh = br[o2], bh[o2]
+            newrun = np.ones(len(br), dtype=bool)
+            newrun[1:] = (br[1:] != br[:-1]) | (bh[1:] != bh[:-1])
+            run_idx = np.flatnonzero(newrun)
+            run_len = np.diff(np.append(run_idx, len(br)))
+            np.maximum.at(mc, br[run_idx], run_len)
+
+    ntok_f = np.maximum(ntok, 1).astype(np.float64)
+    dup = 1.0 - nd / ntok_f
+    top = mc / np.maximum(ntok - 1, 1).astype(np.float64)
+    # DuckDB ROUND is half-away-from-zero
+    rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(ntok),
+            "dup_token_frac": pc.round(pa.array(dup), **rnd),
+            "top_bigram_frac": pc.round(pa.array(top), **rnd),
+        }
+    )
+
+
+# --- benchmark contamination screening --------------------------------------
+
+
+def contamination_check(sf_dir: str, *, bench_mod: int = 97):
+    """Per-doc overlap with a benchmark shingle set (train/eval
+    contamination screening). Benchmark docs = ``doc_id % bench_mod == 0``
+    (stand-in for an eval suite); their distinct word-3-gram shingle
+    hashes are collected once (benchmarks are ~MBs even when the corpus
+    is 100 TB) and broadcast via ``ray.put``; every corpus doc then counts
+    shared shingles in one stateless ``map_batches`` pass — no shuffle
+    touches the corpus. Shingles come from ``stages.neardup.shingle_hashes``
+    (same w=3 + short-doc fallback as the near-dup family)."""
+    import ray
+
+    from ..stages.neardup import shingle_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        if len(sub) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        sh, _ = shingle_hashes(sub["text"].to_pylist())
+        return pa.table({"h": pa.array(np.unique(sh))})
+
+    bench_parts = ds.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    bench_sorted = np.unique(bench_parts["h"].to_numpy(dtype=U64))
+    ref = ray.put(bench_sorted)
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % bench_mod != 0))
+        sh, offs = shingle_hashes(sub["text"].to_pylist())
+        bench = ray.get(ref)  # zero-copy shared-memory view per worker
+        idx = np.searchsorted(bench, sh)
+        hit = np.zeros(len(sh), dtype=np.int64)
+        if len(bench):
+            inb = idx < len(bench)
+            hit[inb] = (bench[idx[inb]] == sh[inb]).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(hit)])
+        shared = c[offs[1:]] - c[offs[:-1]]
+        n_sh = np.diff(offs)
+        frac = shared / np.maximum(n_sh, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_shingles": pa.array(n_sh),
+                "n_shared": pa.array(shared),
+                "contam_frac": pc.round(
+                    pa.array(frac), ndigits=6, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# --- PII scan / redaction ----------------------------------------------------
+
+
+def pii_scan(pages_path: str):
+    """Regex PII pass over distinct urls: match counts (emails,
+    digit runs) + the digit-redacted form. Vectorized RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``); the only
+    exchange is the url distinct (scan output is a pure function of url,
+    so dedup-then-scan == SQL ``SELECT DISTINCT``)."""
+    from ..stages.dedup import dedup_exact
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+    distinct = dedup_exact(ds, key="url", order_col="warc_ts", num_buckets=16)
+
+    def scan(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        return pa.table(
+            {
+                "url": url,
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(url, EMAIL_RE), pa.int64()
+                ),
+                "n_digit_runs": pc.cast(
+                    pc.count_substring_regex(url, DIGIT_RUN_RE), pa.int64()
+                ),
+                "redacted_url": pc.replace_substring_regex(
+                    url, DIGIT_RUN_RE, replacement="#"
+                ),
+            }
+        )
+
+    return distinct.map_batches(scan, batch_format="pyarrow")
+
+
+# --- incremental (cross-snapshot) dedup --------------------------------------
+
+
+def incremental_dedup(
+    pages_path: str,
+    *,
+    cutoff: str = SNAPSHOT_CUTOFF,
+    n_bits: int = 1 << 23,
+    num_buckets: int = 32,
+):
+    """New-snapshot rows (``warc_ts >= cutoff``) whose url was never seen
+    in the old snapshot (``warc_ts < cutoff``) — recrawl dedup against an
+    already-ingested corpus.
+
+    Scale shape (see ``stages.bloom``): a Bloom filter over the seen urls
+    is OR-reduced from per-block partials and broadcast once; new rows
+    missing the bloom are provably unseen and stream straight to the
+    output with NO exchange; only bloom hits (true dups + small FP
+    residue) cross one bucketed anti-join against the seen keys, so the
+    exchange is sized by the overlap, not the snapshot."""
+    import ray
+
+    from ..stages.bloom import BloomFilter, build_bloom
+    from ..stages.text import fingerprint64
+
+    cut = pa.scalar(pd.Timestamp(cutoff), type=pa.timestamp("us"))
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["warc_ts"], cut))
+
+    seen = ds.map_batches(old_side, batch_format="pyarrow")
+    bloom = build_bloom(seen, lambda t: fingerprint64(t["url"]), n_bits=n_bits)
+    bits_ref = ray.put(bloom.bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["warc_ts"], cut))
+        bf = BloomFilter(n_bits=n_bits, bits=ray.get(bits_ref))
+        return t.append_column(
+            "bloom_hit", pa.array(bf.contains(fingerprint64(t["url"])))
+        )
+
+    probed = ds.map_batches(probe, batch_format="pyarrow")
+    sure_new = probed.map_batches(
+        lambda t: t.filter(pc.invert(t["bloom_hit"])).drop_columns(["bloom_hit"]),
+        batch_format="pyarrow",
+    )
+    candidates = probed.map_batches(
+        lambda t: t.filter(t["bloom_hit"]).drop_columns(["bloom_hit"]),
+        batch_format="pyarrow",
+    )
+
+    # exact verify: ONE bucketed exchange carrying only candidates + the
+    # per-block pre-distincted seen keys (the _exists_join discipline)
+    def tag_seen(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["url"])
+        b = (fingerprint64(u) % U64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "url": u,
+                "warc_ts": pa.nulls(len(u), pa.timestamp("us")),
+                "side": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "bucket": pa.array(b),
+            }
+        )
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        b = (fingerprint64(t["url"]) % U64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+                "bucket": pa.array(b),
+            }
+        )
+
+    tagged = seen.map_batches(tag_seen, batch_format="pyarrow").union(
+        candidates.map_batches(tag_cand, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        seen_urls = df.loc[df["side"] == 0, "url"]
+        new_rows = df[df["side"] == 1]
+        keep = new_rows[~new_rows["url"].isin(set(seen_urls))]
+        return keep[["url", "warc_ts"]]
+
+    verified = tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
+    # pandas blocks carry ns timestamps; restore us so the union schemas agree
+    verified = verified.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"], "warc_ts": pc.cast(t["warc_ts"], pa.timestamp("us"))}
+        ),
+        batch_format="pyarrow",
+    )
+    return sure_new.union(verified)
+
+
+# --- temperature mixture sampling -------------------------------------------
+
+
+def mixture_sample(sf_dir: str):
+    """Square-root temperature sampling across sources: each source
+    contributes ``ceil(sqrt(count_s))`` docs (the T=2 mixture-flattening
+    rule, normalization-free so it is engine-reproducible), selected by
+    Knuth-hash order of doc_id — deterministic across cluster sizes,
+    retries and resumes. Two bounded exchanges: a per-source count
+    (#sources rows) and one per-source top-quota cut whose input is
+    pre-cut to quota rows per (block, source)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    counts_df = (
+        ds.map_batches(
+            lambda t: t.group_by("source").aggregate([("doc_id", "count")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("source", sort=False)["doc_id_count"]
+        .sum()
+    )
+    quotas = {s: int(math.ceil(math.sqrt(c))) for s, c in counts_df.items()}
+    max_q = max(quotas.values(), default=0)
+    qref = ray.put(quotas)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(block, source) pre-cut to the max quota bounds the exchange
+        df = df.copy()
+        df["h"] = (df["doc_id"].to_numpy() * np.int64(2654435761)) % np.int64(
+            4294967296
+        )
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(max_q)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)[df["source"].iloc[0]]
+        df = df.sort_values(["h", "doc_id"], kind="mergesort").head(q)
+        return df[["doc_id", "source"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- greedy sequence packing -------------------------------------------------
+
+
+def pack_sequences(sf_dir: str, *, budget: int = 256, range_size: int = 64):
+    """Greedy sequence packing: walk docs in doc_id order, appending each
+    to the current bin unless its token count would overflow ``budget``,
+    then start a new bin. Packing is inherently sequential, so the
+    parallel unit is a doc_id range of ``range_size`` docs (bins never
+    span ranges — the documented partitioning assumption; at corpus scale
+    range == input shard). One groupby exchange on the range key; the
+    in-group walk touches at most ``range_size`` rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(arr, " ")), pa.int64()
+        )
+        rng = pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": ntok, "rng": rng})
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        toks = df["n_tokens"].to_numpy()
+        bins = np.zeros(len(df), dtype=np.int64)
+        pos = np.zeros(len(df), dtype=np.int64)
+        b, fill = 0, 0
+        for i, tc in enumerate(toks):
+            if i > 0 and fill + tc > budget:
+                b += 1
+                fill = 0
+            bins[i] = b
+            pos[i] = fill
+            fill += tc
+        rng = df["rng"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["n_tokens"],
+                "bin_id": rng * 100_000 + bins,
+                "bin_pos": pos,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+# --- zonal statistics (polygon-zone aggregate) -------------------------------
+
+
+def zonal_stats(pages_path: str):
+    """Per-admin-polygon zonal statistics over the deduped, geoindexed
+    pages (the raster-analysis "zonal stats" operator: aggregate all
+    cells/points falling in each polygon zone). Rides the flagship
+    enrich + dedup stages, then reduces per-batch (zone, count, sums)
+    partials — the final combine is bounded by the polygon count, so
+    nothing corpus-sized leaves the map stage."""
+    from .flagship import FlagshipConfig, pages_to_cells
+
+    ds = sized_read_parquet(pages_path)
+    deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "zone": t["admin_l1"].to_numpy(zero_copy_only=False),
+                "n_pages": 1,
+                "text_bytes": t["text_len"].to_numpy(zero_copy_only=False),
+                "token_sum": t["token_count"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("zone", as_index=False, sort=False).sum()
+
+    parts = deduped.map_batches(part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("zone", as_index=False, sort=True).sum()
+    out["mean_text_len"] = out["text_bytes"].astype(np.float64) / out[
+        "n_pages"
+    ].astype(np.float64)
+    for c in ("zone", "n_pages", "text_bytes", "token_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out
