@@ -465,6 +465,20 @@ def _approx_distinct_users(sf_dir: str):
     )
 
 
+def _approx_quantile_value(sf_dir: str):
+    """KLL-sketch quantiles of events.value (rows-only: approximate by
+    design; error-band- and determinism-tested in tests/test_sketch.py,
+    exact path = quantile_disc/quantile_cont)."""
+    import pandas as pd
+
+    from data_model_ray.pipelines.relational import _read
+    from data_model_ray.stages.sketch import approx_quantiles
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = approx_quantiles(_read(sf_dir, "events", ["value"]), "value", qs)
+    return pd.DataFrame({"q": qs, "value_est": [est[q] for q in qs]})
+
+
 def _pages_host_counts(sf_dir: str):
     from data_model_ray.pipelines.analytic import pages_host_counts
 
@@ -579,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stddev_group": rel.stddev_prices,               # algebraic variance
         "quantile_disc": rel.quantile_prices,            # exact order statistics
         "approx_distinct": _approx_distinct_users,       # HLL sketch (rows-only)
+        "approx_quantile": _approx_quantile_value,       # KLL sketch (rows-only)
         # pages-based spatial pipelines — the north-star operators. All but
         # the hash-based ones (minhash/simhash LSH, s2 Hilbert ids, LSH ANN)
         # are DuckDB-oracled via data_model_ray.oracles at sf0.01 scale.

@@ -111,3 +111,147 @@ def approx_distinct(ds, col: str, *, p: int = 12, seed: int = 11) -> float:
     for r in parts["regs"]:
         np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# --- KLL-style mergeable quantile sketch ------------------------------------
+
+
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty 2016 family, public
+    algorithm) with DETERMINISTIC compaction — the scale path for
+    percentiles over 10^12 rows, next to the exact distributed order
+    statistics in ``relational.quantile_prices``.
+
+    Structure: geometric level buffers; an item at level h carries weight
+    2**h. When a level overflows its capacity (k at the top, shrinking by
+    2/3 per level down), the sorted buffer promotes every other item to
+    the level above. The classic algorithm flips a random coin for the
+    promotion offset; here the offset alternates through a counter, so a
+    given insertion order always yields the same sketch (retry/resume
+    reproducibility — the engine's determinism contract), while merges
+    stay associative in the error bound.
+
+    Size is O(k) floats regardless of n; merging concatenates level
+    buffers and recompacts. Rank error is O(n / k) in the worst case and
+    ~1/k-scale in practice (empirically bounded in tests/test_sketch.py).
+    """
+
+    __slots__ = ("k", "levels", "n", "_coin")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._coin = 0
+
+    def _cap(self, h: int) -> int:
+        top = len(self.levels) - 1
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** (top - h))))
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._cap(h):
+                buf = np.sort(self.levels[h], kind="stable")
+                if len(buf) % 2:
+                    # odd size: the largest item stays behind (deterministic)
+                    self.levels[h] = buf[-1:]
+                    buf = buf[:-1]
+                else:
+                    self.levels[h] = buf[:0]
+                off = self._coin & 1
+                self._coin += 1
+                promoted = buf[off::2]
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], promoted]
+                )
+            h += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for h, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._coin += other._coin
+        self._compress()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([b for b in self.levels]) if self.n else np.empty(0)
+        wts = (
+            np.concatenate(
+                [np.full(len(b), 1 << h, dtype=np.int64)
+                 for h, b in enumerate(self.levels)]
+            )
+            if self.n
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        vals, wts = self._weighted()
+        cw = np.cumsum(wts)
+        target = min(max(q, 0.0), 1.0) * (cw[-1] - 1)
+        idx = int(np.searchsorted(cw, target, side="right"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<qqq", self.n, self._coin, len(self.levels))
+        sizes = struct.pack(f"<{len(self.levels)}q", *[len(b) for b in self.levels])
+        return head + sizes + b"".join(b.tobytes() for b in self.levels)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int = 256) -> "KLLSketch":
+        import struct
+
+        s = cls(k)
+        s.n, s._coin, nlev = struct.unpack_from("<qqq", data, 0)
+        sizes = struct.unpack_from(f"<{nlev}q", data, 24)
+        off = 24 + 8 * nlev
+        s.levels = []
+        for sz in sizes:
+            s.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=sz, offset=off).copy()
+            )
+            off += 8 * sz
+        return s
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *, k: int = 256) -> dict[float, float]:
+    """Distributed approximate quantiles in ONE streaming pass.
+
+    Each block ships one O(k)-float KLL partial; the driver merges the
+    tiny sketches (at cluster scale the same merge tree-reduces). Nothing
+    data-sized moves — compare the exact path (relational.quantile_prices)
+    which needs a histogram exchange per refinement round."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KLLSketch(k)
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s.add(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = KLLSketch(k)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        merged.merge(KLLSketch.from_bytes(row["sk"], k))
+    return {q: merged.quantile(q) for q in qs}

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from data_model_ray.hashing import hash_stream
 from data_model_ray.stages.sketch import (
@@ -155,3 +156,86 @@ class TestSpaceSaving:
             # largest DROPPED count — a small tail count here), NOT the
             # old max-inherited value; 8 blocks x tiny tail counts
             assert n_est <= true_n + 8 * 8
+
+
+class TestKLLQuantiles:
+    def _rank_err(self, x, est, q):
+        return abs(np.searchsorted(np.sort(x), est) / len(x) - q)
+
+    @pytest.mark.parametrize("dist", ["normal", "zipfish", "sorted"])
+    def test_error_bands(self, dist):
+        from data_model_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(5)
+        if dist == "normal":
+            x = rng.normal(size=80_000)
+        elif dist == "zipfish":
+            x = 1.0 / rng.uniform(1e-4, 1.0, size=80_000)
+        else:
+            x = np.arange(80_000, dtype=np.float64)
+        s = KLLSketch(256)
+        for chunk in np.array_split(x, 23):
+            s.add(chunk)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            assert self._rank_err(x, s.quantile(q), q) < 0.02
+
+    def test_deterministic_same_split(self):
+        from data_model_ray.stages.sketch import KLLSketch
+
+        x = np.random.default_rng(9).normal(size=50_000)
+        outs = []
+        for _ in range(2):
+            s = KLLSketch(128)
+            for chunk in np.array_split(x, 17):
+                s.add(chunk)
+            outs.append([s.quantile(q) for q in (0.1, 0.5, 0.9)])
+        assert outs[0] == outs[1]
+
+    def test_merge_error_bounded(self):
+        from data_model_ray.stages.sketch import KLLSketch
+
+        x = np.random.default_rng(13).normal(size=60_000)
+        parts = []
+        for chunk in np.array_split(x, 8):
+            s = KLLSketch(256)
+            s.add(chunk)
+            parts.append(s)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        assert merged.n == len(x)
+        for q in (0.1, 0.5, 0.9):
+            assert self._rank_err(x, merged.quantile(q), q) < 0.02
+
+    def test_serialization_roundtrip(self):
+        from data_model_ray.stages.sketch import KLLSketch
+
+        s = KLLSketch(64)
+        s.add(np.arange(10_000, dtype=np.float64))
+        s2 = KLLSketch.from_bytes(s.to_bytes(), 64)
+        assert s2.n == s.n
+        assert all((a == b).all() for a, b in zip(s.levels, s2.levels))
+        assert s.quantile(0.5) == s2.quantile(0.5)
+
+    def test_nan_ignored_and_empty(self):
+        from data_model_ray.stages.sketch import KLLSketch
+
+        s = KLLSketch(64)
+        assert np.isnan(s.quantile(0.5))
+        s.add(np.array([np.nan, 1.0, np.nan, 2.0]))
+        assert s.n == 2
+
+    def test_ray_e2e_vs_exact(self, ray_session):
+        from data_model_ray.pipelines.relational import _read
+        from data_model_ray.stages.sketch import approx_quantiles
+
+        sf = "/root/testdata/sf0.01"
+        est = approx_quantiles(_read(sf, "events", ["value"]), "value",
+                               [0.1, 0.5, 0.9], k=256)
+        vals = np.sort(
+            pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"]
+            .dropna()
+            .to_numpy()
+        )
+        for q, e in est.items():
+            assert abs(np.searchsorted(vals, e) / len(vals) - q) < 0.02
