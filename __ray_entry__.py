@@ -555,8 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
-        "pii_scan": _pii_scan,
-        "incremental_dedup": _incremental_dedup,
+        "pages_pii_scan": _pii_scan,
+        "pages_incremental_dedup": _incremental_dedup,
         "pages_zonal_stats": _pages_zonal_stats,
         "grouped_median": ana.grouped_median_prices,
         "mode_per_type": ana.mode_user_per_type,
@@ -1032,8 +1032,8 @@ def oracle_sql() -> dict[str, str]:
                    fill - t AS bin_pos
             FROM rec
         """,
-        "pii_scan": oracles.pii_scan_sql(_ORACLE_N),
-        "incremental_dedup": oracles.incremental_dedup_sql(_ORACLE_N),
+        "pages_pii_scan": oracles.pii_scan_sql(_ORACLE_N),
+        "pages_incremental_dedup": oracles.incremental_dedup_sql(_ORACLE_N),
         "pages_zonal_stats": oracles.pages_zonal_stats_sql(_ORACLE_N),
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),

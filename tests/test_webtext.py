@@ -58,8 +58,8 @@ def test_doc_query_matches_oracle(con, name):
 
 
 PAGES_CASES = [
-    ("pii_scan", lambda: oracles.pii_scan_sql(N)),
-    ("incremental_dedup", lambda: oracles.incremental_dedup_sql(N)),
+    ("pages_pii_scan", lambda: oracles.pii_scan_sql(N)),
+    ("pages_incremental_dedup", lambda: oracles.incremental_dedup_sql(N)),
     ("pages_zonal_stats", lambda: oracles.pages_zonal_stats_sql(N)),
 ]
 
