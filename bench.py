@@ -102,7 +102,24 @@ def run_queries() -> dict[str, float]:
         "minhash_near_dups",
         lambda: minhash_lsh_candidates(f"{SF_DIR}/documents.parquet"),
     )
+    # web-corpus curation family (round 3): repetition metrics over the
+    # documents table; bloom-prefiltered cross-snapshot dedup over the
+    # full pages table (the flagship-scale input)
+    from data_model_ray.pipelines import webtext
+
+    timed("doc_repetition", lambda: webtext.doc_repetition(SF_DIR))
+    timed(
+        "incremental_dedup",
+        lambda: webtext.incremental_dedup(pages_path_for_queries()),
+    )
     return out
+
+
+def pages_path_for_queries() -> str:
+    """Pages table at the bench scale (already synthesized by the headline)."""
+    from data_model_ray import fixtures
+
+    return fixtures.ensure_pages_parquet(fixtures.rows_for_sf(_sf()) * BENCH_SCALE)
 
 
 def main() -> None:

@@ -237,7 +237,11 @@ def incremental_dedup(
     missing the bloom are provably unseen and stream straight to the
     output with NO exchange; only bloom hits (true dups + small FP
     residue) cross one bucketed anti-join against the seen keys, so the
-    exchange is sized by the overlap, not the snapshot."""
+    exchange is sized by the overlap, not the snapshot.
+
+    The miss/hit branches are two lazy consumers of the probe stage, so
+    the (cheap) read+probe runs once per branch; a production sink would
+    write the miss branch directly while the hit branch verifies."""
     import ray
 
     from ..stages.bloom import BloomFilter, build_bloom
