@@ -60,7 +60,7 @@ def run_headline(pages_path: str, n_rows: int) -> dict:
 
     cfg = FlagshipConfig(
         geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
-        batch_size=8192,
+        batch_size=16384,
         # cluster-canonical hash-bucket groupby dedup is the DEFAULT (the
         # exchange a multi-node deployment actually runs); override with
         # GRAFT_DEDUP_MODE=index for the single-node shared-index fast path

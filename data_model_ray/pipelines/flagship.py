@@ -35,7 +35,7 @@ from .pyramid import build_pyramid, cell_aggregate
 class FlagshipConfig:
     geoindex_concurrency: int | tuple[int, int] = (1, 8)
     geoindex_actors: bool = False
-    batch_size: int = 8192
+    batch_size: int = 16384  # ~33 MB of html+text per task batch; 25% faster than 8192 at 1M rows (interleaved A/B mins 7.9 vs 10.2 s)
     #: "shuffle" = hash-bucket groupby (cluster-canonical all-to-all,
     #: the DEFAULT — winners never concentrate on the driver);
     #: "index" = shared-index actor dedup (single-node / low-dup-rate
