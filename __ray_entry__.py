@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality metrics, contamination screening, PII scan, mixture
         # sampling, sequence packing, cross-snapshot dedup, zonal stats
         "doc_repetition": wtx.doc_repetition,
+        "doc_chunks": wtx.doc_chunks,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
@@ -963,6 +964,22 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(GREATEST(ntok - 1, 1) AS DOUBLE), 6)
                        AS top_bigram_frac
             FROM d LEFT JOIN bmax USING (doc_id)
+        """,
+        "doc_chunks": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, toks, n, UNNEST(range(0, n, 24)) AS start FROM d
+            )
+            SELECT doc_id, start // 24 AS chunk_id,
+                   LEAST(start + 32, n) - start AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, start + 1, LEAST(start + 32, n)), ' '
+                   ) AS chunk_text
+            FROM idx
         """,
         "contamination_check": """
             WITH toks AS (

@@ -420,6 +420,75 @@ def pack_sequences(sf_dir: str, *, budget: int = 256, range_size: int = 64):
     )
 
 
+# --- sliding token-window chunking --------------------------------------------
+
+
+def doc_chunks(sf_dir: str, *, window: int = 32, stride: int = 24):
+    """Split each doc into overlapping token windows (embedding/RAG prep):
+    chunk c covers tokens [c*stride, min(c*stride + window, n)). A pure
+    flat-map — rows out > rows in, no shuffle. Fully vectorized: one
+    ragged gather over the flat token array builds every chunk's token
+    list, one ``binary_join`` materializes the texts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        row_offs = np.asarray(lists.offsets).astype(np.int64)
+        flat = lists.values
+        n = np.diff(row_offs)
+        n_rows = len(n)
+        n_chunks = (n + stride - 1) // stride  # == len(range(0, n, stride))
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+        # chunk_id within its doc = position since the doc's first chunk
+        chunk_first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_id = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+            chunk_first, n_chunks
+        )
+        start = chunk_id * stride
+        end = np.minimum(start + window, n[doc_of])
+        counts = end - start
+        # ragged gather: flat token indices of every chunk, concatenated
+        base = row_offs[doc_of] + start
+        tok_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total_toks = int(counts.sum())
+        idx = np.repeat(base, counts) + (
+            np.arange(total_toks, dtype=np.int64) - np.repeat(tok_first, counts)
+        )
+        chunk_toks = flat.take(pa.array(idx))
+        offs = np.zeros(total_chunks + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        chunk_lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), chunk_toks
+        )
+        text_out = pc.binary_join(chunk_lists, pa.scalar(" ", pa.large_string()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of]),
+                "chunk_id": pa.array(chunk_id),
+                "n_tokens": pa.array(counts),
+                "chunk_text": pc.cast(text_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
 # --- zonal statistics (polygon-zone aggregate) -------------------------------
 
 

@@ -46,7 +46,7 @@ def _assert_parity(got, want: pd.DataFrame):
 
 # --- oracle parity (documents-table queries use the exact shipped SQL) ------
 
-DOC_CASES = ["doc_repetition", "contamination_check", "mixture_sample", "pack_sequences"]
+DOC_CASES = ["doc_repetition", "doc_chunks", "contamination_check", "mixture_sample", "pack_sequences"]
 
 
 @pytest.mark.parametrize("name", DOC_CASES)
