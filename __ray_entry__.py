@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling, sequence packing, cross-snapshot dedup, zonal stats
         "doc_repetition": wtx.doc_repetition,
         "doc_chunks": wtx.doc_chunks,
+        "substring_dedup": wtx.substring_dedup,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
@@ -980,6 +981,65 @@ def oracle_sql() -> dict[str, str]:
                        list_slice(toks, start + 1, LEAST(start + 32, n)), ' '
                    ) AS chunk_text
             FROM idx
+        """,
+        "substring_dedup": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, UNNEST(range(0, GREATEST(n - 8 + 1, 0))) AS pos,
+                       toks
+                FROM d
+            ),
+            g3 AS (
+                SELECT doc_id, pos,
+                       array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')
+                           AS gram
+                FROM g2
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY gram) AS c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                FROM g3
+            ),
+            rm AS (SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
+            cov AS (
+                SELECT DISTINCT doc_id, pos + t.u AS ti
+                FROM rm, (SELECT UNNEST(range(0, 8)) AS u) t
+            ),
+            spans AS (
+                SELECT doc_id, COUNT(DISTINCT grp) AS n_spans FROM (
+                    SELECT doc_id, ti - ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY ti) AS grp
+                    FROM cov
+                ) GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id, UNNEST(toks) AS tok,
+                       generate_subscripts(toks, 1) - 1 AS p
+                FROM d
+            ),
+            kept AS (
+                SELECT t.doc_id,
+                       COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.p)
+                                FILTER (WHERE c.ti IS NULL), '') AS kept_text,
+                       COUNT(c.ti) AS removed_tokens
+                FROM toks t
+                LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.ti = t.p
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(k.removed_tokens, 0) AS BIGINT)
+                       AS removed_tokens,
+                   CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+                   COALESCE(k.kept_text, '') AS kept_text
+            FROM d
+            LEFT JOIN kept k USING (doc_id)
+            LEFT JOIN spans s USING (doc_id)
         """,
         "contamination_check": """
             WITH toks AS (

@@ -523,3 +523,177 @@ def zonal_stats(pages_path: str):
     for c in ("zone", "n_pages", "text_bytes", "token_sum"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# --- exact substring-level dedup (duplicated k-gram span removal) ------------
+
+
+def _gram_occurrences(
+    flat: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Positional k-gram rolling hashes over a flat token-hash array.
+
+    Returns ``(gram_hash u64, row index, token position within row)`` for
+    every window that does not cross a row boundary — the positional
+    sibling of ``stages.neardup.shingle_hashes`` (same FNV-mix chain, so
+    gram identity agrees with the near-dup family; no set-dedup, no
+    short-row fallback: rows with < k tokens emit nothing).
+    """
+    n_rows = len(offsets) - 1
+    counts = np.diff(offsets)
+    n_tok = len(flat)
+    n_win = max(0, n_tok - k + 1)
+    if n_win == 0:
+        e = np.array([], dtype=np.int64)
+        return np.array([], dtype=U64), e, e
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    with np.errstate(over="ignore"):
+        acc = flat[:n_win].copy()
+        for j in range(1, k):
+            acc = acc * U64(0x100000001B3) ^ flat[j : n_win + j]
+    gram = splitmix64(acc)
+    valid = row_of[:n_win] == row_of[k - 1 :]
+    idx = np.flatnonzero(valid)
+    rows = row_of[idx]
+    return gram[idx], rows, idx - offsets[rows]
+
+
+def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
+    """Exact duplicated-substring removal (the ExactSubstr discipline of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): any k-token window whose exact token sequence occurs >= 2
+    times in the corpus (any doc, any position — self-repetition counts)
+    is removed from every occurrence EXCEPT the globally first one
+    (min (doc_id, pos)); overlapping removal windows merge into maximal
+    spans and the surviving tokens re-join into ``kept_text``.
+
+    Scale shape: pass 1 ships one row per DISTINCT (block, gram) — a
+    ``(gram u64, cnt, minkey u64)`` partial — through one bucketed
+    exchange (text never shuffles; both ``cnt`` and ``minkey`` are
+    commutative combiners, so the per-block pre-aggregation is lossless).
+    The duplicated-gram table (global cnt >= 2) is bounded by the corpus'
+    duplicated-span volume — orders of magnitude below token count for a
+    web corpus — and is broadcast once via ``ray.put``; at extreme dup
+    volume swap the broadcast for the bucketed anti-join shape used by
+    ``incremental_dedup``. Pass 2 is a stateless vectorized map: rolling
+    gram hashes, searchsorted membership, coverage via diff+cumsum, one
+    ragged ``take`` + ``binary_join`` rebuilds the kept text. Keeper keys
+    pack as ``doc_id << 32 | pos`` (valid for doc_id < 2^31 and docs
+    < 2^32 tokens; ordering matches SQL ``ORDER BY doc_id, pos``).
+
+    Reference analogue: the dedup-merge skip-if-present set discipline
+    (/root/reference/src/eopf_geozarr/conversion/geozarr.py:1044-1057) at
+    token-span granularity.
+    """
+    import polars as pl
+    import ray
+
+    kk = int(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offs = _col_token_hashes(t["text"])
+        gram, rows, pos = _gram_occurrences(flat, offs, kk)
+        key = (ids[rows].astype(U64) << U64(32)) | pos.astype(U64)
+        order = np.lexsort((key, gram))
+        g, kv = gram[order], key[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(g)))
+        gu = g[starts]
+        return pa.table(
+            {
+                "bucket": pa.array((gu % U64(num_buckets)).astype(np.int32)),
+                "gram": pa.array(gu),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "minkey": pa.array(kv[starts]),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["gram"].to_numpy().astype(U64)
+        cnt = df["cnt"].to_numpy()
+        kv = df["minkey"].to_numpy().astype(U64)
+        order = np.lexsort((kv, g))
+        g, cnt, kv = g[order], cnt[order], kv[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=cnt).astype(np.int64)
+        starts = np.flatnonzero(new)
+        keep = tot >= 2
+        return pd.DataFrame({"gram": g[starts][keep], "minkey": kv[starts][keep]})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dup = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if "gram" not in dup.columns:  # zero duplicated grams -> empty frame
+        dup = pd.DataFrame({"gram": np.array([], U64), "minkey": np.array([], U64)})
+    g_dup = dup["gram"].to_numpy().astype(U64)
+    mk_dup = dup["minkey"].to_numpy().astype(U64)
+    order = np.argsort(g_dup)
+    dup_ref = ray.put((g_dup[order], mk_dup[order]))
+
+    def cut(t: pa.Table) -> pa.Table:
+        g_dup, mk_dup = ray.get(dup_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        flat_tok = lists.flatten()
+        n = np.diff(offs)
+        n_rows = len(n)
+        if len(flat_tok):
+            flat = splitmix64(
+                pl.from_arrow(flat_tok.cast(pa.large_string()))
+                .hash(seed=7)
+                .to_numpy()
+                .astype(U64)
+            )
+        else:
+            flat = np.array([], dtype=U64)
+        gram, rows, pos = _gram_occurrences(flat, offs, kk)
+        if len(g_dup) and len(gram):
+            j = np.minimum(np.searchsorted(g_dup, gram), len(g_dup) - 1)
+            hit = g_dup[j] == gram
+            key = (ids[rows].astype(U64) << U64(32)) | pos.astype(U64)
+            rm = hit & (key != mk_dup[j])
+        else:
+            rm = np.zeros(len(gram), dtype=bool)
+        start_flat = offs[rows[rm]] + pos[rm]
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.add.at(delta, start_flat, 1)
+        np.add.at(delta, start_flat + kk, -1)
+        cov = np.cumsum(delta[:-1]) > 0
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n)
+        removed = np.bincount(row_of[cov], minlength=n_rows).astype(np.int64)
+        doc_start = np.zeros(len(flat), dtype=bool)
+        doc_start[offs[:-1][n > 0]] = True
+        prev = np.zeros(len(flat), dtype=bool)
+        prev[1:] = cov[:-1]
+        span_start = cov & (doc_start | ~prev)
+        n_spans = np.bincount(row_of[span_start], minlength=n_rows).astype(np.int64)
+        kept_idx = np.flatnonzero(~cov)
+        new_offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(n - removed, out=new_offs[1:])
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), flat_tok.take(pa.array(kept_idx))
+        )
+        text_out = pc.binary_join(kept_lists, pa.scalar(" ", pa.large_string()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "removed_tokens": pa.array(removed),
+                "n_spans": pa.array(n_spans),
+                "kept_text": pc.cast(text_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow")

@@ -46,7 +46,7 @@ def _assert_parity(got, want: pd.DataFrame):
 
 # --- oracle parity (documents-table queries use the exact shipped SQL) ------
 
-DOC_CASES = ["doc_repetition", "doc_chunks", "contamination_check", "mixture_sample", "pack_sequences"]
+DOC_CASES = ["doc_repetition", "doc_chunks", "substring_dedup", "contamination_check", "mixture_sample", "pack_sequences"]
 
 
 @pytest.mark.parametrize("name", DOC_CASES)
@@ -217,3 +217,60 @@ def test_mixture_sample_quotas(ray_session, con):
     # deterministic: same call returns the same sample
     again = entry.queries()["mixture_sample"](SF).to_pandas()
     assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+# --- exact substring dedup behavioral cases ----------------------------------
+
+
+def _substr_run(tmp_path, texts, k=8):
+    from data_model_ray.pipelines.webtext import substring_dedup
+
+    tab = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = substring_dedup(str(tmp_path), k=k).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_substring_dedup_keeps_first_occurrence(ray_session, tmp_path):
+    shared = " ".join(f"w{i}" for i in range(10))
+    out = _substr_run(
+        tmp_path, [f"alpha {shared} omega", f"beta {shared} gamma zz"]
+    )
+    # doc 0 (globally first occurrence) is untouched
+    assert out.loc[0, "removed_tokens"] == 0
+    assert out.loc[0, "kept_text"] == f"alpha {shared} omega"
+    # doc 1 loses exactly the shared 10-token run, one merged span
+    assert out.loc[1, "removed_tokens"] == 10
+    assert out.loc[1, "n_spans"] == 1
+    assert out.loc[1, "kept_text"] == "beta gamma zz"
+
+
+def test_substring_dedup_within_doc_repetition(ray_session, tmp_path):
+    phrase = " ".join(f"p{i}" for i in range(8))
+    out = _substr_run(tmp_path, [f"{phrase} mid {phrase}"])
+    # second occurrence of the 8-gram removed, first kept
+    assert out.loc[0, "removed_tokens"] == 8
+    assert out.loc[0, "n_spans"] == 1
+    assert out.loc[0, "kept_text"] == f"{phrase} mid"
+
+
+def test_substring_dedup_short_docs_untouched(ray_session, tmp_path):
+    short = "a b c d e f g"  # 7 tokens < k=8: no windows, even if identical
+    out = _substr_run(tmp_path, [short, short])
+    assert (out["removed_tokens"] == 0).all()
+    assert (out["kept_text"] == short).all()
+
+
+def test_substring_dedup_disjoint_spans_counted(ray_session, tmp_path):
+    s1 = " ".join(f"x{i}" for i in range(8))
+    s2 = " ".join(f"y{i}" for i in range(8))
+    sep = " ".join(f"u{i}" for i in range(5))
+    out = _substr_run(
+        tmp_path, [f"{s1} q {s2}", f"{s1} {sep} {s2} tail"]
+    )
+    # doc 1 loses both shared 8-gram runs as two disjoint spans
+    assert out.loc[1, "removed_tokens"] == 16
+    assert out.loc[1, "n_spans"] == 2
+    assert out.loc[1, "kept_text"] == f"{sep} tail"
