@@ -237,6 +237,22 @@ def _knn_lsh(sf_dir: str):
     return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
 
 
+def _knn_pq(sf_dir: str):
+    """PQ ANN (ADC prune + exact refine) — rows-only entry (approximate by
+    design; recall floor + full-refine==brute-force pinned in test_knn)."""
+    import numpy as np
+
+    from data_model_ray.sources.fs import sized_read_parquet
+    from data_model_ray.stages.knn import knn_embeddings_pq
+
+    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qm = np.stack(head["embedding"].to_numpy())
+    return knn_embeddings_pq(
+        ds, qm, head["vec_id"].to_numpy(), k=3, refine=4, train_size=256
+    )
+
+
 def _knn_ivf(sf_dir: str):
     """IVF ANN with every list probed -> exact search, so the brute-force
     DuckDB kNN oracle applies (rank-identical output contract)."""
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
         "knn_embeddings_ivf": _knn_ivf,
+        "knn_embeddings_pq": _knn_pq,
         "gcp_reproject": _gcp_reproject,
         "media_decode": _media_decode,
         "media_near_dups": _media_near_dups,

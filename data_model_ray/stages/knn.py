@@ -600,3 +600,172 @@ def standardize_embeddings(ds, *, vec_col: str = "embedding"):
         return batch.set_column(batch.column_names.index(vec_col), vec_col, col)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+# --- product-quantization (PQ) ANN -------------------------------------------
+
+
+def pq_codebooks(
+    sample: np.ndarray, m: int = 8, ksub: int = 16, *, n_iters: int = 20, seed: int = 7
+) -> np.ndarray:
+    """Per-subspace Euclidean Lloyd codebooks, shape ``(m, ksub, dsub)``.
+
+    Standard public construction (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", IEEE TPAMI 2011): unit-normalize (cosine =
+    inner product downstream), split dims into m subspaces, quantize each
+    independently. Deterministic seeded init, stable argmin."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"need >= {ksub} training vectors, got {n}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(n, ksub, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = sub[msk].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode_matrix(m_norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode a normalized (n, d) matrix to (n, m) uint8 codes."""
+    mm, ksub, dsub = books.shape
+    codes = np.empty((len(m_norm), mm), dtype=np.uint8)
+    for s in range(mm):
+        sub = m_norm[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_decode_matrix(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) float vectors from (n, m) codes (centroid concat)."""
+    return np.concatenate(
+        [books[s][codes[:, s]] for s in range(books.shape[0])], axis=1
+    )
+
+
+def pq_encode(ds, books: np.ndarray, *, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Index build: compress each embedding to m uint8 codes inside
+    ``map_batches`` (here 8 bytes vs 256 bytes of float32-64d = 32x);
+    codebooks broadcast once via ``ray.put``. Output
+    ``(id, codes: fixed_size_list<uint8>[m])`` — the stored PQ index a
+    100-TB deployment scores instead of the raw vectors."""
+    import ray
+
+    b_ref = ray.put(np.asarray(books))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        mn = _normalize(_as_matrix(batch[vec_col]))
+        codes = pq_encode_matrix(mn, b)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1)), codes.shape[1]
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def knn_embeddings_pq(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    train_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    exclude_self: bool = True,
+):
+    """PQ ANN: ADC candidate scoring + exact refine — the memory-scale path
+    beside the LSH (bucket-pruned) and IVF (list-pruned) variants.
+
+    Train: bounded deterministic sample (``id < train_size``) fits the
+    per-subspace codebooks driver-side (same discipline as
+    ``knn_embeddings_ivf``); queries + codebooks + ADC lookup tables
+    broadcast once. Per batch: rows encode to uint8 codes, every query
+    ADC-scores the codes via its (m x ksub) inner-product LUT (m gathers +
+    sums — never a float row matrix), the top ``k*refine`` ADC candidates
+    per query are exact-rescored with one small matmul and emitted; the
+    final per-query combine is identical to ``knn_embeddings``, so output
+    ranks are exact cosine over the ADC-surviving candidate set.
+
+    At scale the ``pq_encode`` codes dataset IS the index (32x smaller than
+    the vectors); this operator fuses encode+score in one pass so the
+    fixture-scale query needs no stored index. Approximate by design
+    (rows-only queries() entry) — recall floor pinned in tests/test_knn.py.
+    """
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    train = (
+        ds.filter(expr=f"{id_col} < {int(train_size)}")
+        .select_columns([vec_col])
+        .to_pandas()
+    )
+    books = pq_codebooks(np.stack(train[vec_col].to_numpy()), m, ksub, seed=seed)
+    dsub = qm.shape[1] // m
+    # LUT[q, s, c] = q_s . C[s, c]
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, dsub), books)
+    ref = ray.put((qm, qids, books, lut))
+    n_cand = int(k * refine)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qm_, qids_, books_, lut_ = ray.get(ref)
+        mn = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = pq_encode_matrix(mn, books_)
+        adc = np.zeros((len(qids_), len(ids)))
+        for s in range(codes.shape[1]):
+            adc += lut_[:, s, codes[:, s]]
+        rows = []
+        for qi in range(len(qids_)):
+            mask = ids != qids_[qi] if exclude_self else np.ones(len(ids), bool)
+            cid, cs = ids[mask], adc[qi][mask]
+            order = np.lexsort((cid, -cs))[:n_cand]
+            cand = np.flatnonzero(mask)[order]
+            exact = mn[cand] @ qm_[qi]
+            keep = np.lexsort((ids[cand], -exact))[:k]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids_[qi],
+                        "neighbor_id": ids[cand][keep],
+                        "cos": exact[keep],
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cos"])
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

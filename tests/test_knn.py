@@ -205,3 +205,99 @@ class TestSaltedKnn:
         pd.testing.assert_frame_equal(
             base[["url", "neighbor", "rank"]], salted[["url", "neighbor", "rank"]]
         )
+
+
+class TestPQ:
+    """Product-quantization ANN: codebook quality, encode invariance,
+    recall floor, and the full-refine == brute-force exactness pin."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        df = ds.to_pandas()
+        return ds, df
+
+    def test_reconstruction_beats_global_mean(self, emb):
+        from data_model_ray.stages.knn import (
+            pq_codebooks,
+            pq_decode_matrix,
+            pq_encode_matrix,
+        )
+
+        _, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        books = pq_codebooks(mn, m=8, ksub=16)
+        rec = pq_decode_matrix(pq_encode_matrix(mn, books), books)
+        mse_pq = ((mn - rec) ** 2).mean()
+        mse_mean = ((mn - mn.mean(axis=0)) ** 2).mean()
+        # synthetic near-isotropic embeddings are a worst case for PQ;
+        # still must clearly beat the rank-0 (global mean) quantizer
+        assert mse_pq < 0.75 * mse_mean
+        # doubling subspaces must tighten reconstruction
+        books16 = pq_codebooks(mn, m=16, ksub=16)
+        rec16 = pq_decode_matrix(pq_encode_matrix(mn, books16), books16)
+        assert ((mn - rec16) ** 2).mean() < mse_pq
+
+    def test_encode_layout_invariant(self, emb):
+        import ray.data as rd
+
+        from data_model_ray.stages.knn import pq_codebooks, pq_encode
+
+        ds, df = emb
+        mn = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+        books = pq_codebooks(mn, m=8, ksub=16)
+        a = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+        b = (
+            pq_encode(ds.repartition(7), books)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert [list(x) for x in a["codes"]] == [list(x) for x in b["codes"]]
+
+    def test_pq_recall_beats_floor(self, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_pq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 20
+        brute = knn_embeddings(ds, m[:nq], ids[:nq], k=3).to_pandas()
+        approx = knn_embeddings_pq(
+            ds, m[:nq], ids[:nq], k=3, refine=4, train_size=256
+        ).to_pandas()
+        hits = total = 0
+        for qid in ids[:nq]:
+            want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            have = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(want & have)
+            total += len(want)
+        # ADC prune at 4x over-fetch + exact refine: strong recall expected
+        assert hits / total >= 0.6
+
+    def test_full_refine_matches_bruteforce(self, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_pq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 8
+        brute = (
+            knn_embeddings(ds, m[:nq], ids[:nq], k=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        # refine covering every row -> ADC prune is a no-op -> exact cosine
+        exact = (
+            knn_embeddings_pq(
+                ds, m[:nq], ids[:nq], k=3, refine=10_000, train_size=256
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(brute, exact)
