@@ -108,6 +108,7 @@ def run_queries() -> dict[str, float]:
     from data_model_ray.pipelines import webtext
 
     timed("doc_repetition", lambda: webtext.doc_repetition(SF_DIR))
+    timed("substring_dedup", lambda: webtext.substring_dedup(SF_DIR))
     timed(
         "incremental_dedup",
         lambda: webtext.incremental_dedup(pages_path_for_queries()),
