@@ -419,6 +419,15 @@ def _dedup_near_docs(sf_dir: str):
     return keep_one_per_cluster(docs, comps)
 
 
+def _curate_docs_substr(sf_dir: str):
+    """Full curation chain + a 5th exact-substring span-removal stage
+    (ExactSubstr) over the survivors — the complete RefinedWeb-style
+    composition, hash-checked end to end by one composed CTE oracle."""
+    from data_model_ray.pipelines.curate import curate_docs
+
+    return curate_docs(sf_dir, substring_k=8)
+
+
 def _curate_docs(sf_dir: str):
     """End-to-end curation composition: quality filter -> exact dedup ->
     near-dup clustering (MinHash-LSH scale path by default; exact
@@ -626,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "diverse_sample": _diverse_sample,
         "curate_docs": _curate_docs,
+        "curate_docs_substr": _curate_docs_substr,
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
@@ -642,6 +652,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 #: the driver's correctness gate runs at sf=0.01 -> this pages row count
 _ORACLE_N = 100_000
+
+def _substr_ctes(src: str) -> str:
+    """Exact-substring (k=8) span-removal CTE chain over relation ``src``
+    (must expose doc_id, text) — mirrors pipelines/webtext.substring_spans
+    expression-for-expression. Emits CTEs ss_d (doc_id, toks, n), ss_spans
+    (doc_id, n_spans) and ss_kept (doc_id, kept_text, removed_tokens);
+    the caller writes the final SELECT."""
+    return f"""
+            ss_d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM {src}
+            ),
+            ss_g2 AS (
+                SELECT doc_id, UNNEST(range(0, GREATEST(n - 8 + 1, 0))) AS pos,
+                       toks
+                FROM ss_d
+            ),
+            ss_g3 AS (
+                SELECT doc_id, pos,
+                       array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')
+                           AS gram
+                FROM ss_g2
+            ),
+            ss_marked AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY gram) AS c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                FROM ss_g3
+            ),
+            ss_rm AS (
+                SELECT doc_id, pos FROM ss_marked WHERE c >= 2 AND rn > 1
+            ),
+            ss_cov AS (
+                SELECT DISTINCT doc_id, pos + t.u AS ti
+                FROM ss_rm, (SELECT UNNEST(range(0, 8)) AS u) t
+            ),
+            ss_spans AS (
+                SELECT doc_id, COUNT(DISTINCT grp) AS n_spans FROM (
+                    SELECT doc_id, ti - ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY ti) AS grp
+                    FROM ss_cov
+                ) GROUP BY doc_id
+            ),
+            ss_toks AS (
+                SELECT doc_id, UNNEST(toks) AS tok,
+                       generate_subscripts(toks, 1) - 1 AS p
+                FROM ss_d
+            ),
+            ss_kept AS (
+                SELECT t.doc_id,
+                       COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.p)
+                                FILTER (WHERE c.ti IS NULL), '') AS kept_text,
+                       COUNT(c.ti) AS removed_tokens
+                FROM ss_toks t
+                LEFT JOIN ss_cov c ON c.doc_id = t.doc_id AND c.ti = t.p
+                GROUP BY t.doc_id
+            )"""
+
+
+_CURATE_CTES_TEMPLATE = """
+            scored AS (
+                SELECT doc_id, text, lang,
+                       ROUND(LEAST(GREATEST((
+                           (1 - LEAST(ABS(STRLEN(text) * 1.0 / GREATEST(tok, 1) - 5) / 5, 1))
+                           + alpha * 1.0 / GREATEST(STRLEN(text), 1)
+                       ) / 2, 0), 1), 6) AS score
+                FROM (
+                    SELECT doc_id, text, lang,
+                           LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9_]+')) AS tok
+                    FROM documents
+                )
+            ),
+            curated AS (
+                SELECT doc_id, text, lang FROM scored WHERE score >= 0.86
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            ),
+            pr AS ({pairs}),
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION
+                SELECT doc_b, doc_a FROM pr
+            ),
+            walk(node, comp) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
+            ),
+            lose AS (
+                SELECT node FROM walk GROUP BY node HAVING node <> MIN(comp)
+            )"""
+
 
 #: exact all-pairs word-3-gram-shingle Jaccard (matches
 #: stages/neardup.py shingle_hashes: w=3, per-token fallback for short
@@ -999,64 +1103,16 @@ def oracle_sql() -> dict[str, str]:
                    ) AS chunk_text
             FROM idx
         """,
-        "substring_dedup": """
-            WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS toks,
-                       len(string_split(text, ' ')) AS n
-                FROM documents
-            ),
-            g2 AS (
-                SELECT doc_id, UNNEST(range(0, GREATEST(n - 8 + 1, 0))) AS pos,
-                       toks
-                FROM d
-            ),
-            g3 AS (
-                SELECT doc_id, pos,
-                       array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')
-                           AS gram
-                FROM g2
-            ),
-            marked AS (
-                SELECT doc_id, pos,
-                       COUNT(*) OVER (PARTITION BY gram) AS c,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY gram ORDER BY doc_id, pos) AS rn
-                FROM g3
-            ),
-            rm AS (SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1),
-            cov AS (
-                SELECT DISTINCT doc_id, pos + t.u AS ti
-                FROM rm, (SELECT UNNEST(range(0, 8)) AS u) t
-            ),
-            spans AS (
-                SELECT doc_id, COUNT(DISTINCT grp) AS n_spans FROM (
-                    SELECT doc_id, ti - ROW_NUMBER() OVER (
-                        PARTITION BY doc_id ORDER BY ti) AS grp
-                    FROM cov
-                ) GROUP BY doc_id
-            ),
-            toks AS (
-                SELECT doc_id, UNNEST(toks) AS tok,
-                       generate_subscripts(toks, 1) - 1 AS p
-                FROM d
-            ),
-            kept AS (
-                SELECT t.doc_id,
-                       COALESCE(STRING_AGG(t.tok, ' ' ORDER BY t.p)
-                                FILTER (WHERE c.ti IS NULL), '') AS kept_text,
-                       COUNT(c.ti) AS removed_tokens
-                FROM toks t
-                LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.ti = t.p
-                GROUP BY t.doc_id
-            )
+        "substring_dedup": f"""
+            WITH {_substr_ctes("documents")}
             SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
                    CAST(COALESCE(k.removed_tokens, 0) AS BIGINT)
                        AS removed_tokens,
                    CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
                    COALESCE(k.kept_text, '') AS kept_text
-            FROM d
-            LEFT JOIN kept k USING (doc_id)
-            LEFT JOIN spans s USING (doc_id)
+            FROM ss_d d
+            LEFT JOIN ss_kept k USING (doc_id)
+            LEFT JOIN ss_spans s USING (doc_id)
         """,
         "contamination_check": """
             WITH toks AS (
@@ -1158,39 +1214,26 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "curate_docs": f"""
-            WITH RECURSIVE scored AS (
-                SELECT doc_id, text, lang,
-                       ROUND(LEAST(GREATEST((
-                           (1 - LEAST(ABS(STRLEN(text) * 1.0 / GREATEST(tok, 1) - 5) / 5, 1))
-                           + alpha * 1.0 / GREATEST(STRLEN(text), 1)
-                       ) / 2, 0), 1), 6) AS score
-                FROM (
-                    SELECT doc_id, text, lang,
-                           LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
-                           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9_]+')) AS tok
-                    FROM documents
-                )
-            ),
-            curated AS (
-                SELECT doc_id, text, lang FROM scored WHERE score >= 0.86
-                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
-            ),
-            pr AS ({_JACCARD_PAIRS_SQL.replace("FROM documents", "FROM curated")}),
-            und AS (
-                SELECT doc_a AS a, doc_b AS b FROM pr
-                UNION
-                SELECT doc_b, doc_a FROM pr
-            ),
-            walk(node, comp) AS (
-                SELECT a, a FROM und
-                UNION
-                SELECT u.b, w.comp FROM walk w JOIN und u ON u.a = w.node
-            ),
-            lose AS (
-                SELECT node FROM walk GROUP BY node HAVING node <> MIN(comp)
-            )
+            WITH RECURSIVE {_CURATE_CTES_TEMPLATE.format(
+                pairs=_JACCARD_PAIRS_SQL.replace("FROM documents", "FROM curated"))}
             SELECT doc_id, lang FROM curated
             WHERE doc_id NOT IN (SELECT node FROM lose)
+        """,
+        "curate_docs_substr": f"""
+            WITH RECURSIVE {_CURATE_CTES_TEMPLATE.format(
+                pairs=_JACCARD_PAIRS_SQL.replace("FROM documents", "FROM curated"))},
+            ss_src AS (
+                SELECT doc_id, text, lang FROM curated
+                WHERE doc_id NOT IN (SELECT node FROM lose)
+            ),
+            {_substr_ctes("ss_src")}
+            SELECT f.doc_id, f.lang, CAST(d.n AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(k.removed_tokens, 0) AS BIGINT)
+                       AS removed_tokens,
+                   COALESCE(k.kept_text, '') AS kept_text
+            FROM ss_src f
+            JOIN ss_d d USING (doc_id)
+            LEFT JOIN ss_kept k USING (doc_id)
         """,
         "dedup_near_docs": f"""
             WITH RECURSIVE pr AS ({_JACCARD_PAIRS_SQL}),

@@ -37,9 +37,15 @@ def curate_docs(
     min_score: float = 0.86,
     jaccard_threshold: float = 0.5,
     method: str = "lsh",
+    substring_k: int | None = None,
 ):
     """documents -> curated (doc_id, lang) after quality filter, exact
     dedup, and near-dup cluster dedup.
+
+    With ``substring_k`` set, a 5th stage runs exact duplicated-substring
+    span removal (``webtext.substring_spans``, ExactSubstr discipline)
+    over the surviving docs — the full RefinedWeb-style chain — and the
+    output becomes (doc_id, lang, n_tokens, removed_tokens, kept_text).
 
     ``method`` picks the near-dup pair generator for stage 3:
 
@@ -98,6 +104,16 @@ def curate_docs(
     else:
         raise ValueError(f"unknown near-dup method: {method!r}")
     comps = connected_components(pairs)
-    return keep_one_per_cluster(
-        exact.select_columns(["doc_id", "lang"]), comps
+    if substring_k is None:
+        return keep_one_per_cluster(
+            exact.select_columns(["doc_id", "lang"]), comps
+        )
+    from .webtext import substring_spans
+
+    survivors = keep_one_per_cluster(
+        exact.select_columns(["doc_id", "text", "lang"]), comps
+    )
+    out = substring_spans(survivors, k=substring_k)
+    return out.select_columns(
+        ["doc_id", "lang", "n_tokens", "removed_tokens", "kept_text"]
     )

@@ -559,6 +559,14 @@ def _gram_occurrences(
 
 
 def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
+    """Exact duplicated-substring removal over the documents table —
+    see ``substring_spans`` for semantics and the scale shape."""
+    return substring_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=k, num_buckets=num_buckets
+    )
+
+
+def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
     """Exact duplicated-substring removal (the ExactSubstr discipline of
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better"): any k-token window whose exact token sequence occurs >= 2
@@ -566,6 +574,11 @@ def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
     is removed from every occurrence EXCEPT the globally first one
     (min (doc_id, pos)); overlapping removal windows merge into maximal
     spans and the surviving tokens re-join into ``kept_text``.
+
+    ``docs`` is any Dataset with (doc_id, text, passthrough...); it is
+    consumed twice (gram-count pass + cut pass), so pass a materialized or
+    cheap-to-recompute dataset. Output columns: the input's minus ``text``,
+    plus (n_tokens, removed_tokens, n_spans, kept_text).
 
     Scale shape: pass 1 ships one row per DISTINCT (block, gram) — a
     ``(gram u64, cnt, minkey u64)`` partial — through one bucketed
@@ -625,7 +638,7 @@ def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
         keep = tot >= 2
         return pd.DataFrame({"gram": g[starts][keep], "minkey": kv[starts][keep]})
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = docs
     dup = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
@@ -686,14 +699,10 @@ def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
             pa.array(new_offs, pa.int64()), flat_tok.take(pa.array(kept_idx))
         )
         text_out = pc.binary_join(kept_lists, pa.scalar(" ", pa.large_string()))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tokens": pa.array(n),
-                "removed_tokens": pa.array(removed),
-                "n_spans": pa.array(n_spans),
-                "kept_text": pc.cast(text_out, pa.string()),
-            }
-        )
+        out = t.drop_columns(["text"])
+        out = out.append_column("n_tokens", pa.array(n))
+        out = out.append_column("removed_tokens", pa.array(removed))
+        out = out.append_column("n_spans", pa.array(n_spans))
+        return out.append_column("kept_text", pc.cast(text_out, pa.string()))
 
     return ds.map_batches(cut, batch_format="pyarrow")

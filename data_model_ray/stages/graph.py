@@ -280,8 +280,12 @@ def keep_one_per_cluster(docs, comps, *, id_col: str = "doc_id"):
         ).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    loser_ids = np.unique(
-        losers.to_pandas()["doc_id"].to_numpy(np.int64)
+    loser_df = losers.to_pandas()
+    # a dup-free corpus yields an empty, schema-less frame — no losers
+    loser_ids = (
+        np.unique(loser_df["doc_id"].to_numpy(np.int64))
+        if "doc_id" in loser_df.columns
+        else np.array([], dtype=np.int64)
     )  # bounded: dup-involved non-representatives only
     ref = ray.put(pa.array(loser_ids, type=pa.int64()))
 

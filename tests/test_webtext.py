@@ -274,3 +274,44 @@ def test_substring_dedup_disjoint_spans_counted(ray_session, tmp_path):
     assert out.loc[1, "removed_tokens"] == 16
     assert out.loc[1, "n_spans"] == 2
     assert out.loc[1, "kept_text"] == f"{sep} tail"
+
+
+def test_curate_substring_stage_bites(ray_session, tmp_path):
+    """Composition check: docs dissimilar enough to survive near-dup
+    clustering (low Jaccard) but sharing one long run get that run cut by
+    the substring stage; the earlier (keeper) doc is untouched."""
+    from data_model_ray.pipelines.curate import curate_docs
+
+    rng = np.random.default_rng(3)
+    # 4-letter alphabetic words -> quality score 0.9 >= 0.86 (passes stage 1)
+    def words(n, tag):
+        return [f"{tag}{chr(97 + int(c))}{chr(97 + int(d))}q"[:4]
+                for c, d in rng.integers(0, 26, size=(n, 2))]
+
+    shared = " ".join(f"st{chr(97 + i)}r"[:4] for i in range(12))
+    t0 = " ".join(words(40, "a")) + " " + shared
+    t1 = " ".join(words(40, "b")) + " " + shared
+    tab = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [t0, t1],
+        "lang": ["en", "en"],
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    plain = curate_docs(str(tmp_path)).to_pandas()
+    assert sorted(plain["doc_id"]) == [1, 2]  # Jaccard < 0.5: both survive
+
+    out = (
+        curate_docs(str(tmp_path), substring_k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == [
+        "doc_id", "lang", "n_tokens", "removed_tokens", "kept_text",
+    ]
+    assert out.loc[0, "removed_tokens"] == 0
+    assert out.loc[0, "kept_text"] == t0
+    assert out.loc[1, "removed_tokens"] == 12
+    assert out.loc[1, "kept_text"] == " ".join(words(0, "x")) or True
+    assert out.loc[1, "kept_text"] == t1[: -(len(shared) + 1)]
