@@ -223,52 +223,66 @@ def _embedding_near_dups(sf_dir: str):
     return embedding_near_dups(f"{sf_dir}/embeddings.parquet", threshold=0.4)
 
 
-def _knn_lsh(sf_dir: str):
+def _knn_queries(sf_dir: str):
+    """Embeddings dataset + the first-5 query matrix; (ds, None, None) when
+    the table is empty so ANN wrappers degrade to a well-formed empty
+    result instead of a KeyError."""
     import numpy as np
-    import ray.data as rd
 
+    from data_model_ray.sources.fs import sized_read_parquet, to_pandas_cols
+
+    ds = sized_read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = to_pandas_cols(
+        ds.filter(expr="vec_id < 5"), {"vec_id": "int64", "embedding": "object"}
+    ).sort_values("vec_id")
+    if head.empty:
+        return ds, None, None
+    return ds, np.stack(head["embedding"].to_numpy()), head["vec_id"].to_numpy()
+
+
+def _empty_knn_table():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _knn_lsh(sf_dir: str):
     from data_model_ray.stages.knn import knn_embeddings_lsh
 
-    from data_model_ray.sources.fs import sized_read_parquet
-
-    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
-    qm = np.stack(head["embedding"].to_numpy())
-    return knn_embeddings_lsh(ds, qm, head["vec_id"].to_numpy(), k=3)
+    ds, qm, qids = _knn_queries(sf_dir)
+    if qm is None:
+        return _empty_knn_table()
+    return knn_embeddings_lsh(ds, qm, qids, k=3)
 
 
 def _knn_pq(sf_dir: str):
     """PQ ANN (ADC prune + exact refine) — rows-only entry (approximate by
     design; recall floor + full-refine==brute-force pinned in test_knn)."""
-    import numpy as np
-
-    from data_model_ray.sources.fs import sized_read_parquet
     from data_model_ray.stages.knn import knn_embeddings_pq
 
-    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
-    qm = np.stack(head["embedding"].to_numpy())
-    return knn_embeddings_pq(
-        ds, qm, head["vec_id"].to_numpy(), k=3, refine=4, train_size=256
-    )
+    ds, qm, qids = _knn_queries(sf_dir)
+    if qm is None:
+        return _empty_knn_table()
+    return knn_embeddings_pq(ds, qm, qids, k=3, refine=4, train_size=256)
 
 
 def _knn_ivf(sf_dir: str):
     """IVF ANN with every list probed -> exact search, so the brute-force
     DuckDB kNN oracle applies (rank-identical output contract)."""
-    import numpy as np
-    import ray.data as rd
-
     from data_model_ray.stages.knn import knn_embeddings_ivf
 
-    from data_model_ray.sources.fs import sized_read_parquet
-
-    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
-    qm = np.stack(head["embedding"].to_numpy())
-    return knn_embeddings_ivf(
-        ds, qm, head["vec_id"].to_numpy(), k=3, n_lists=16, n_probe=16
-    )
+    ds, qm, qids = _knn_queries(sf_dir)
+    if qm is None:
+        return _empty_knn_table()
+    return knn_embeddings_ivf(ds, qm, qids, k=3, n_lists=16, n_probe=16)
 
 
 def _gcp_reproject(sf_dir: str):
@@ -452,6 +466,16 @@ def _kmeans_clusters(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if ds.count() == 0:  # iterative fit undefined on an empty corpus
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
     cents, _ = kmeans_fit(ds, 8, n_iters=6)
     return kmeans_assign(ds, cents)
 
@@ -468,6 +492,12 @@ def _diverse_sample(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if ds.count() == 0:  # iterative fit undefined on an empty corpus
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "cluster": pd.Series(dtype="int64")}
+        )
     cents, _ = kmeans_fit(ds, 8, n_iters=6)
     return diversity_sample(ds, cents, per_cluster=10)
 

@@ -78,11 +78,13 @@ def q3_top_orders(
 
     cut = pd.Timestamp(cutoff)
 
-    cust = (
+    from ..sources.fs import to_pandas_cols
+
+    cust = to_pandas_cols(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .filter(expr=f"c_mktsegment == {segment!r}")
-        .select_columns(["c_custkey"])
-        .to_pandas()
+        .select_columns(["c_custkey"]),
+        {"c_custkey": "int64"},
     )
     keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy()))
 
@@ -168,7 +170,12 @@ def promo_share_monthly(sf_dir: str):
     the exchange is |months| rows per block."""
     import ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    part = to_pandas_cols(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        {"p_partkey": "int64", "p_type": "object"},
+    )
     promo_ref = ray.put(
         pd.Series(
             (part["p_type"] == "PROMO").to_numpy(), index=part["p_partkey"].to_numpy()
@@ -273,8 +280,15 @@ def quantile_cont_prices(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 
              "hi": pa.array([float(x.max()) if len(x) else -np.inf])}
         )
 
-    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    mm = to_pandas_cols(
+        ds.map_batches(minmax_partial, batch_format="pyarrow"),
+        {"n": "int64", "lo": "float64", "hi": "float64"},
+    )
     n_total = int(mm["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"q": [float(q) for q in qs], "val": [np.nan] * len(qs)})
     lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
 
     ranks: set[int] = set()
@@ -596,7 +610,9 @@ def above_user_median(sf_dir: str, *, method: str = "broadcast", num_buckets: in
     if method != "broadcast":
         raise ValueError(f"unknown method: {method!r}")
 
-    medians = medians_ds.to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    medians = to_pandas_cols(medians_ds, {"user_id": "int64", "med": "float64"})
     med_ref = ray.put(
         pd.Series(medians["med"].to_numpy(), index=medians["user_id"].to_numpy())
     )
@@ -786,14 +802,17 @@ def spacesaving_topk(sf_dir: str, k: int = 10, capacity: int = 4096):
 
     # the sketch table is tiny (<= (capacity+1) rows per block) — safe to
     # materialize once for the two consumers (E scalar + keyed merge)
+    from ..sources.fs import to_pandas_cols
+
     sk = ds.map_batches(block_sketch, batch_format="pyarrow").materialize()
     eps_total = int(
-        sk.map_batches(
-            lambda df: pd.DataFrame({"e": [df.loc[df["is_eps"], "n"].sum()]}),
-            batch_format="pandas",
-        )
-        .to_pandas()["e"]
-        .sum()
+        to_pandas_cols(
+            sk.map_batches(
+                lambda df: pd.DataFrame({"e": [df.loc[df["is_eps"], "n"].sum()]}),
+                batch_format="pandas",
+            ),
+            {"e": "int64"},
+        )["e"].sum()
     )
     merged = (
         sk.map_batches(
@@ -840,6 +859,8 @@ def tfidf_top_term(sf_dir: str):
         .map_groups(df_combine, batch_format="pandas")
         .to_pandas()
     )
+    if "df" not in df_tbl.columns:  # empty corpus -> no tokens
+        df_tbl = pd.DataFrame({"token": pd.Series(dtype=object), "df": pd.Series(dtype="float64")})
     df_ser = pd.Series(
         df_tbl["df"].to_numpy(np.float64), index=df_tbl["token"].to_numpy(object)
     )

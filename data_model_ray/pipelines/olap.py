@@ -230,8 +230,18 @@ def ntile_orders(sf_dir: str, k: int = 4, num_ranges: int = 32):
         p = t["o_totalprice"].to_numpy(zero_copy_only=False)
         return pd.DataFrame({"mn": [p.min()], "mx": [p.max()], "n": [len(p)]})
 
-    mm = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
-    mn, mx, n_total = float(mm["mn"].min()), float(mm["mx"].max()), int(mm["n"].sum())
+    from ..sources.fs import to_pandas_cols
+
+    mm = to_pandas_cols(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        {"mn": "float64", "mx": "float64", "n": "int64"},
+    )
+    n_total = int(mm["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series(dtype="int64"), "tile": pd.Series(dtype="int64")}
+        )
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
     width = (mx - mn) or 1.0
 
     def range_of(p: np.ndarray) -> np.ndarray:
@@ -352,6 +362,15 @@ def cube_status_flag(sf_dir: str):
         .groupby("l_returnflag")
         .map_groups(final, batch_format="pandas")
     ).to_pandas()  # bounded: one row per (flag, status)
+    if "l_returnflag" not in finest.columns:  # empty fact table
+        finest = pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(dtype=object),
+                "l_linestatus": pd.Series(dtype=object),
+                "s": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
 
     by_flag = (
         finest.groupby("l_returnflag", sort=False)
@@ -415,7 +434,12 @@ def string_agg_nations(sf_dir: str):
     """Per-region comma-joined nation names in name order (ordered
     string aggregation over the broadcast-small dimension tables)."""
     nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    region = to_pandas_cols(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        {"r_regionkey": "int64", "r_name": "object"},
+    )
     rmap = dict(zip(region["r_regionkey"], region["r_name"]))
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:

@@ -142,7 +142,12 @@ def global_minmax(sf_dir: str):
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    partials = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {c: "float64" for c in ("min_price", "max_price", "min_qty", "max_qty")},
+    )
     out = pd.DataFrame(
         {
             "min_price": [round(partials["min_price"].min(), 6)],
@@ -256,8 +261,14 @@ def broadcast_join_counts(sf_dir: str):
     """customer -> nation -> region via broadcast dict lookup (no shuffle)."""
     import ray
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    nation = to_pandas_cols(
+        _read(sf_dir, "nation"), {"n_nationkey": "int64", "n_regionkey": "int64"}
+    )
+    region = to_pandas_cols(
+        _read(sf_dir, "region"), {"r_regionkey": "int64", "r_name": "object"}
+    )
     n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     lookup_ref = ray.put(dict(zip(n2r["n_nationkey"], n2r["r_name"])))
 
@@ -394,6 +405,23 @@ def backfill_join(sf_dir: str, num_partitions: int = 8):
     """
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    # Ray's hash-join aggregator raises ArrowInvalid when a side is fully
+    # empty (schema-less partition blocks); both degenerate cases reduce to
+    # a zero-filled passthrough of orders. count() here is the metadata
+    # fast path (untransformed parquet reads), so the hot path pays nothing.
+    if orders.count() == 0 or items.count() == 0:
+
+        def zero_fill(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderstatus": t["o_orderstatus"],
+                    "total_qty": pa.array(np.zeros(len(t)), pa.float64()),
+                }
+            )
+
+        return orders.map_batches(zero_fill, batch_format="pyarrow")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -743,12 +771,21 @@ def knn_embeddings_query(sf_dir: str, *, k: int = 3, n_queries: int = 5):
     """Brute-force cosine top-k for the first `n_queries` vectors."""
     from ..stages.knn import knn_embeddings
 
+    from ..sources.fs import to_pandas_cols
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    head = (
-        ds.filter(expr=f"vec_id < {int(n_queries)}")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
+    head = to_pandas_cols(
+        ds.filter(expr=f"vec_id < {int(n_queries)}"),
+        {"vec_id": "int64", "embedding": "object"},
+    ).sort_values("vec_id")
+    if head.empty:  # no query vectors -> well-formed empty result
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     qm = np.stack(head["embedding"].to_numpy())
     qids = head["vec_id"].to_numpy()
     return knn_embeddings(ds, qm, qids, k=k)
@@ -945,6 +982,15 @@ def rollup_lineitem(sf_dir: str):
         .groupby("l_returnflag")
         .map_groups(final, batch_format="pandas")
     ).to_pandas()  # bounded: one row per (flag, status) pair
+    if "l_returnflag" not in finest.columns:  # empty fact table
+        finest = pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(dtype=object),
+                "l_linestatus": pd.Series(dtype=object),
+                "s": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
 
     lvl1 = (
         finest.groupby("l_returnflag", sort=False)
@@ -1040,7 +1086,12 @@ def quantile_prices(
              "lo": pa.array([float(x.min())]), "hi": pa.array([float(x.max())])}
         )
 
-    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    from ..sources.fs import to_pandas_cols
+
+    mm = to_pandas_cols(
+        ds.map_batches(minmax_partial, batch_format="pyarrow"),
+        {"n": "int64", "lo": "float64", "hi": "float64"},
+    )
     n_total = int(mm["n"].sum())
     if n_total == 0:
         return pd.DataFrame({"q": list(qs), "val": [np.nan] * len(qs)})

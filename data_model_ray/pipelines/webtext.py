@@ -153,7 +153,11 @@ def contamination_check(sf_dir: str, *, bench_mod: int = 97):
         return pa.table({"h": pa.array(np.unique(sh))})
 
     bench_parts = ds.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
-    bench_sorted = np.unique(bench_parts["h"].to_numpy(dtype=U64))
+    bench_sorted = (
+        np.unique(bench_parts["h"].to_numpy(dtype=U64))
+        if "h" in bench_parts.columns  # empty corpus -> no benchmark side
+        else np.array([], dtype=U64)
+    )
     ref = ray.put(bench_sorted)
 
     def probe(t: pa.Table) -> pa.Table:
@@ -335,12 +339,16 @@ def mixture_sample(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
+    from ..sources.fs import to_pandas_cols
+
     counts_df = (
-        ds.map_batches(
-            lambda t: t.group_by("source").aggregate([("doc_id", "count")]),
-            batch_format="pyarrow",
+        to_pandas_cols(
+            ds.map_batches(
+                lambda t: t.group_by("source").aggregate([("doc_id", "count")]),
+                batch_format="pyarrow",
+            ),
+            {"source": "object", "doc_id_count": "int64"},
         )
-        .to_pandas()
         .groupby("source", sort=False)["doc_id_count"]
         .sum()
     )

@@ -230,3 +230,24 @@ def strip_schema_metadata(schema):
     if not dirty:
         return None
     return pa.schema([f.remove_metadata() for f in schema])
+
+
+def to_pandas_cols(ds, columns) -> "Any":
+    """``Dataset.to_pandas()`` that never loses the schema.
+
+    Ray returns a column-less frame for a zero-block dataset (e.g. when a
+    filter empties a side table), so downstream column access crashes on
+    the empty path — the realistic 100-TB failure mode where a pipeline
+    must degrade to an empty result, not a KeyError. ``columns`` is a list
+    of names (dtype object) or a ``{name: dtype}`` mapping used only when
+    the expected columns are missing.
+    """
+    import pandas as pd
+
+    df = ds.to_pandas()
+    want = list(columns)
+    if all(c in df.columns for c in want):
+        return df
+    if isinstance(columns, dict):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in columns.items()})
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in want})

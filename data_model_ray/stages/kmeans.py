@@ -53,6 +53,8 @@ def _hash_sample(vecs, n: int, *, vec_col: str, id_col: str):
         .map_batches(bottomk, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
+    if id_col not in pooled.columns or len(pooled) == 0:
+        raise ValueError("k-means: empty input dataset (no vectors to sample)")
     ids = pooled[id_col].to_numpy(np.int64)
     h = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
     order = np.lexsort((ids, h))[: min(n, len(ids))]

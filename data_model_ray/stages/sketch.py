@@ -108,6 +108,8 @@ def approx_distinct(ds, col: str, *, p: int = 12, seed: int = 11) -> float:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     merged = np.zeros(m, dtype=np.uint8)
+    if "regs" not in parts.columns:  # empty input -> all-zero registers
+        parts = parts.assign(regs=[])
     for r in parts["regs"]:
         np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
