@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": wtx.doc_repetition,
         "doc_chunks": wtx.doc_chunks,
         "substring_dedup": wtx.substring_dedup,
+        "weighted_sample": wtx.weighted_sample,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
@@ -1143,6 +1144,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ss_d d
             LEFT JOIN ss_kept k USING (doc_id)
             LEFT JOIN ss_spans s USING (doc_id)
+        """,
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                       ((doc_id * 2654435761) % 4294967296 + 1)
+                           / 4294967297.0 AS u
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM w
+            ORDER BY ROUND(POW(u, 1.0 / GREATEST(n_tokens, 1)), 12) DESC,
+                     doc_id
+            LIMIT 64
         """,
         "contamination_check": """
             WITH toks AS (

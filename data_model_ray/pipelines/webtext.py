@@ -714,3 +714,45 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
         return out.append_column("kept_text", pc.cast(text_out, pa.string()))
 
     return ds.map_batches(cut, batch_format="pyarrow")
+
+
+# --- weighted priority sampling (A-ES without replacement) --------------------
+
+
+def weighted_sample(sf_dir: str, *, k: int = 64):
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    priority rule (public algorithm, "Weighted random sampling with a
+    reservoir", IPL 2006): each doc draws priority ``u^(1/w)`` with weight
+    w = its token count, and the global top-k priorities win — longer
+    docs proportionally likelier, one pass, no shuffle of the corpus.
+
+    Determinism + oracle parity: u comes from the same Knuth
+    multiplicative hash of doc_id used by ``mixture_sample`` (exactly
+    expressible in SQL), and priorities are rounded to 12dp on BOTH
+    engines before ordering (ULP discipline; ties break by doc_id).
+    Scale shape: per-block top-k partial -> one bounded combine of
+    k rows/block — the distributed-reservoir merge property of A-ES.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"].combine_chunks().cast(pa.large_string()), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((ids * np.int64(2654435761)) % np.int64(4294967296) + 1) / 4294967297.0
+        key = np.round(u ** (1.0 / np.maximum(ntok, 1)), 12)
+        top = np.lexsort((ids, -key))[: min(k, len(ids))]
+        return pd.DataFrame(
+            {"doc_id": ids[top], "n_tokens": ntok[top], "key": key[top]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "key" not in parts.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_tokens": pd.Series(dtype="int64")}
+        )
+    out = parts.sort_values(
+        ["key", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return out[["doc_id", "n_tokens"]].reset_index(drop=True)

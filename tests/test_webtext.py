@@ -315,3 +315,19 @@ def test_curate_substring_stage_bites(ray_session, tmp_path):
     assert out.loc[1, "removed_tokens"] == 12
     assert out.loc[1, "kept_text"] == " ".join(words(0, "x")) or True
     assert out.loc[1, "kept_text"] == t1[: -(len(shared) + 1)]
+
+
+def test_weighted_sample_layout_invariant_and_biased(ray_session, con):
+    from data_model_ray.pipelines.webtext import weighted_sample
+
+    got = weighted_sample(SF, k=64)
+    # distributed top-k == single-process reference (A-ES merge property)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(docs["doc_id"])
+    ntok = np.array([len(s.split(" ")) for s in docs["text"].to_pylist()])
+    u = ((ids * np.int64(2654435761)) % np.int64(4294967296) + 1) / 4294967297.0
+    key = np.round(u ** (1.0 / np.maximum(ntok, 1)), 12)
+    order = np.lexsort((ids, -key))[:64]
+    assert list(got["doc_id"]) == list(ids[order])
+    # weighting bites: sampled docs are longer than the corpus average
+    assert got["n_tokens"].mean() > ntok.mean()
