@@ -433,6 +433,16 @@ def _dedup_near_docs(sf_dir: str):
     return keep_one_per_cluster(docs, comps)
 
 
+def _inverted_index(sf_dir: str):
+    """Sink-shaped text op: distinct (token, doc_id) postings hash-bucketed
+    by token and written through the lineage layer's resumable writer
+    (atomic per-bucket parquet + fingerprinted records; re-runs skip valid
+    buckets), then read back — pipelines/invindex.py."""
+    from data_model_ray.pipelines.invindex import inverted_index
+
+    return inverted_index(sf_dir)
+
+
 def _curate_docs_substr(sf_dir: str):
     """Full curation chain + a 5th exact-substring span-removal stage
     (ExactSubstr) over the survivors — the complete RefinedWeb-style
@@ -610,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": wtx.doc_chunks,
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
+        "inverted_index": _inverted_index,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
@@ -1144,6 +1155,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ss_d d
             LEFT JOIN ss_kept k USING (doc_id)
             LEFT JOIN ss_spans s USING (doc_id)
+        """,
+        "inverted_index": """
+            SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token, doc_id
+            FROM documents
         """,
         "weighted_sample": """
             WITH w AS (

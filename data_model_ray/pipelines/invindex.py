@@ -1,0 +1,97 @@
+"""Inverted-index build: documents -> bucket-partitioned postings parquet.
+
+The sink-shaped half of the text-statistics family (``analytic.token_df_topk``
+is the stats half): distinct (token, doc_id) postings are hash-bucketed by
+token and written through the lineage layer's resumable writer — one
+atomic parquet partition per bucket, each carrying a fingerprinted lineage
+record, so a re-run (or a crashed run) skips every already-valid bucket
+and rebuilds only the missing ones. This is the reference's
+skip-if-already-ingested + validated-group-write discipline
+(/root/reference/src/eopf_geozarr/conversion/geozarr.py:1011-1057) applied
+to a text index instead of a raster store.
+
+Scale shape: the only exchange is the bucket groupby, and rows entering it
+are per-block distinct (token, doc_id) pairs — token text crosses the wire
+once, no doc text ever does. Bucket count bounds both the write fan-in and
+the resume granularity; at 100 TB you raise ``num_buckets`` so each
+posting partition stays writeable by one task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.fs import sized_read_parquet
+from ..stages.text import fingerprint64
+from ..state.lineage import read_output, resumable_write
+
+
+def postings_dataset(sf_dir: str, *, num_buckets: int = 16):
+    """Lazy Dataset of distinct ``(bucket, token, doc_id)`` postings."""
+    ds = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        counts = np.diff(np.asarray(lists.offsets).astype(np.int64))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pa.table(
+            {
+                "token": pc.cast(lists.flatten(), pa.string()),
+                "doc_id": pa.array(np.repeat(ids, counts)),
+            }
+        )
+        # exact per-block distinct on the token STRING (Arrow group_by —
+        # no hash-collision exposure in the index itself)
+        dist = flat.group_by(["token", "doc_id"]).aggregate([])
+        b = (fingerprint64(dist["token"]) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return dist.append_column("bucket", pa.array(b))
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def build_inverted_index(
+    sf_dir: str, out_dir: str, *, num_buckets: int = 16
+) -> dict:
+    """Build (or resume) the postings index under ``out_dir``; returns the
+    resumable-write summary (partitions written/skipped, rows)."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    fp = f"invindex:v1:rows={n_rows}:buckets={num_buckets}"
+    return resumable_write(
+        postings_dataset(sf_dir, num_buckets=num_buckets),
+        out_dir,
+        partition_col="bucket",
+        fingerprint=fp,
+    )
+
+
+def inverted_index(sf_dir: str, out_dir: str | None = None):
+    """queries() entry: build the index (resuming if the same input was
+    already indexed), read the written partitions back, and return the
+    (token, doc_id) postings — what a consumer of the index sees."""
+    import hashlib
+    import os
+
+    if out_dir is None:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/data_model_ray_invindex/{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    summary = build_inverted_index(sf_dir, out_dir)
+    if summary["partitions_written"] + summary["partitions_skipped"] == 0:
+        # empty corpus -> nothing was (or ever will be) written
+        return pa.table(
+            {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+        )
+    return read_output(out_dir).select_columns(["token", "doc_id"])
