@@ -443,6 +443,15 @@ def _inverted_index(sf_dir: str):
     return inverted_index(sf_dir)
 
 
+def _index_lookup(sf_dir: str):
+    """Conjunctive term query against the bucketed postings index — only
+    the term-hash buckets' partitions are read (partition pruning); docs
+    containing ALL of ('data', 'query', 'fast')."""
+    from data_model_ray.pipelines.invindex import index_lookup
+
+    return index_lookup(sf_dir)
+
+
 def _curate_docs_substr(sf_dir: str):
     """Full curation chain + a 5th exact-substring span-removal stage
     (ExactSubstr) over the survivors — the complete RefinedWeb-style
@@ -621,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
         "inverted_index": _inverted_index,
+        "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
         "pack_sequences": _pack_sequences,
@@ -1159,6 +1169,16 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": """
             SELECT DISTINCT UNNEST(string_split(text, ' ')) AS token, doc_id
             FROM documents
+        """,
+        "index_lookup": """
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE token IN ('data', 'query', 'fast')
+            GROUP BY doc_id
+            HAVING COUNT(*) = 3
         """,
         "weighted_sample": """
             WITH w AS (

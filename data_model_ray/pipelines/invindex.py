@@ -95,3 +95,65 @@ def inverted_index(sf_dir: str, out_dir: str | None = None):
             {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
         )
     return read_output(out_dir).select_columns(["token", "doc_id"])
+
+
+def index_lookup(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("data", "query", "fast"),
+    out_dir: str | None = None,
+):
+    """Conjunctive (AND) term lookup against the built index — the read
+    half of the family, and the payoff of bucket partitioning: only the
+    partitions whose bucket matches a query term's hash are opened
+    (partition pruning at the read; with 16 buckets and 3 terms that is
+    <= 3/16 of the index regardless of corpus size). Returns the doc_ids
+    containing EVERY term.
+
+    Scale shape: postings for the probed buckets stream through one
+    ``is_in`` filter, then a per-block (doc_id, hits) partial and one
+    bounded combine — candidate docs only, never the corpus.
+    """
+    import glob
+    import hashlib
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    if out_dir is None:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/data_model_ray_invindex/{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    summary = build_inverted_index(sf_dir, out_dir)
+    n_parts = summary["partitions_written"] + summary["partitions_skipped"]
+    if n_parts == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+
+    terms = tuple(dict.fromkeys(terms))  # dedup, keep order
+    num_buckets = 16  # matches build_inverted_index default
+    want = np.unique(
+        (fingerprint64(pa.array(list(terms))) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+    )
+    paths = [
+        p
+        for b in want
+        for p in glob.glob(os.path.join(out_dir, f"part={b}", "data.parquet"))
+    ]
+    if not paths:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    postings = rd.read_parquet(sorted(paths), columns=["token", "doc_id"])
+    term_set = pa.array(list(terms), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["token"], value_set=term_set))
+        # postings are distinct by construction: count == distinct count
+        return hit.group_by("doc_id").aggregate([("token", "count")])
+
+    parts = postings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in parts.columns or parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    hits = parts.groupby("doc_id", sort=True)["token_count"].sum()
+    out = hits[hits == len(terms)].index.to_numpy(np.int64)
+    return pd.DataFrame({"doc_id": out})

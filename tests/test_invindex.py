@@ -44,3 +44,27 @@ def test_readback_matches_direct_dataset(ray_session, tmp_path):
         for tok in set(s.split(" "))
     }
     assert set(zip(got["token"], got["doc_id"])) == want
+
+
+def test_index_lookup_prunes_buckets(ray_session, tmp_path):
+    """The AND-lookup opens only the term-hash buckets' partitions and
+    still returns the exact conjunctive doc set."""
+    import pyarrow as pa
+
+    from data_model_ray.pipelines.invindex import index_lookup
+    from data_model_ray.stages.text import fingerprint64
+
+    out = str(tmp_path / "idx")
+    terms = ("data", "query", "fast")
+    got = index_lookup(SF, terms, out)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = sorted(
+        i
+        for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if set(terms) <= set(s.split(" "))
+    )
+    assert want, "fixture must contain conjunctive matches"
+    assert list(got["doc_id"]) == want
+    # pruning: the probed buckets are a strict subset of the 14+ written
+    buckets = {int(b) for b in fingerprint64(pa.array(list(terms))) % 16}
+    assert len(buckets) <= 3 < len(os.listdir(out)) - 1  # -1: lineage log
