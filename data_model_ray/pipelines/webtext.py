@@ -574,7 +574,49 @@ def substring_dedup(sf_dir: str, *, k: int = 8, num_buckets: int = 32):
     )
 
 
-def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
+def _split_text(col):
+    """(offsets, flat token array, per-row counts) for a string column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+    offs = np.asarray(lists.offsets).astype(np.int64)
+    return offs, lists.flatten(), np.diff(offs)
+
+
+def _apply_removals(
+    t: pa.Table, offs: np.ndarray, flat_tok, n: np.ndarray, start_flat: np.ndarray, kk: int
+) -> pa.Table:
+    """Shared span-cut kernel: removal-window starts (flat token indices)
+    -> merged coverage (diff+cumsum), span counts, and the rebuilt
+    kept_text via one ragged take + binary_join. Output = input columns
+    minus ``text`` plus (n_tokens, removed_tokens, n_spans, kept_text)."""
+    n_rows = len(n)
+    delta = np.zeros(len(flat_tok) + 1, dtype=np.int64)
+    np.add.at(delta, start_flat, 1)
+    np.add.at(delta, start_flat + kk, -1)
+    cov = np.cumsum(delta[:-1]) > 0
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n)
+    removed = np.bincount(row_of[cov], minlength=n_rows).astype(np.int64)
+    doc_start = np.zeros(len(flat_tok), dtype=bool)
+    doc_start[offs[:-1][n > 0]] = True
+    prev = np.zeros(len(flat_tok), dtype=bool)
+    prev[1:] = cov[:-1]
+    span_start = cov & (doc_start | ~prev)
+    n_spans = np.bincount(row_of[span_start], minlength=n_rows).astype(np.int64)
+    kept_idx = np.flatnonzero(~cov)
+    new_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n - removed, out=new_offs[1:])
+    kept_lists = pa.LargeListArray.from_arrays(
+        pa.array(new_offs, pa.int64()), flat_tok.take(pa.array(kept_idx))
+    )
+    text_out = pc.binary_join(kept_lists, pa.scalar(" ", pa.large_string()))
+    out = t.drop_columns(["text"])
+    out = out.append_column("n_tokens", pa.array(n))
+    out = out.append_column("removed_tokens", pa.array(removed))
+    out = out.append_column("n_spans", pa.array(n_spans))
+    return out.append_column("kept_text", pc.cast(text_out, pa.string()))
+
+
+def substring_spans(docs, *, k: int = 8, num_buckets: int = 32, method: str = "broadcast"):
     """Exact duplicated-substring removal (the ExactSubstr discipline of
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better"): any k-token window whose exact token sequence occurs >= 2
@@ -594,9 +636,10 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
     commutative combiners, so the per-block pre-aggregation is lossless).
     The duplicated-gram table (global cnt >= 2) is bounded by the corpus'
     duplicated-span volume — orders of magnitude below token count for a
-    web corpus — and is broadcast once via ``ray.put``; at extreme dup
-    volume swap the broadcast for the bucketed anti-join shape used by
-    ``incremental_dedup``. Pass 2 is a stateless vectorized map: rolling
+    web corpus — and is broadcast once via ``ray.put``; for extreme-dup
+    corpora where even that table is too large, ``method="join"`` replaces
+    the broadcast with bucketed exchanges (see ``_substring_join_path``;
+    parity-pinned in tests). Pass 2 is a stateless vectorized map: rolling
     gram hashes, searchsorted membership, coverage via diff+cumsum, one
     ragged ``take`` + ``binary_join`` rebuilds the kept text. Keeper keys
     pack as ``doc_id << 32 | pos`` (valid for doc_id < 2^31 and docs
@@ -647,6 +690,8 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
         return pd.DataFrame({"gram": g[starts][keep], "minkey": kv[starts][keep]})
 
     ds = docs
+    if method == "join":
+        return _substring_join_path(ds, partial, kk, num_buckets)
     dup = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
@@ -663,13 +708,7 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
     def cut(t: pa.Table) -> pa.Table:
         g_dup, mk_dup = ray.get(dup_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = t["text"]
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
-        offs = np.asarray(lists.offsets).astype(np.int64)
-        flat_tok = lists.flatten()
-        n = np.diff(offs)
-        n_rows = len(n)
+        offs, flat_tok, n = _split_text(t["text"])
         if len(flat_tok):
             flat = splitmix64(
                 pl.from_arrow(flat_tok.cast(pa.large_string()))
@@ -688,32 +727,173 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32):
         else:
             rm = np.zeros(len(gram), dtype=bool)
         start_flat = offs[rows[rm]] + pos[rm]
-        delta = np.zeros(len(flat) + 1, dtype=np.int64)
-        np.add.at(delta, start_flat, 1)
-        np.add.at(delta, start_flat + kk, -1)
-        cov = np.cumsum(delta[:-1]) > 0
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n)
-        removed = np.bincount(row_of[cov], minlength=n_rows).astype(np.int64)
-        doc_start = np.zeros(len(flat), dtype=bool)
-        doc_start[offs[:-1][n > 0]] = True
-        prev = np.zeros(len(flat), dtype=bool)
-        prev[1:] = cov[:-1]
-        span_start = cov & (doc_start | ~prev)
-        n_spans = np.bincount(row_of[span_start], minlength=n_rows).astype(np.int64)
-        kept_idx = np.flatnonzero(~cov)
-        new_offs = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(n - removed, out=new_offs[1:])
-        kept_lists = pa.LargeListArray.from_arrays(
-            pa.array(new_offs, pa.int64()), flat_tok.take(pa.array(kept_idx))
-        )
-        text_out = pc.binary_join(kept_lists, pa.scalar(" ", pa.large_string()))
-        out = t.drop_columns(["text"])
-        out = out.append_column("n_tokens", pa.array(n))
-        out = out.append_column("removed_tokens", pa.array(removed))
-        out = out.append_column("n_spans", pa.array(n_spans))
-        return out.append_column("kept_text", pc.cast(text_out, pa.string()))
+        return _apply_removals(t, offs, flat_tok, n, start_flat, kk)
 
     return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def _substring_join_path(ds, partial_fn, kk: int, num_buckets: int):
+    """``substring_spans(method="join")``: the no-driver-broadcast scale
+    path for extreme-dup corpora where the duplicated-gram table itself is
+    too large to broadcast. Three exchanges, none corpus-driver-sized:
+
+    1. the (gram, cnt, minkey) partials groupby (same as broadcast mode);
+       the combine KEEPS its bucket and stays distributed;
+    2. dup grams + all gram occurrences side-tagged into one gram-bucket
+       exchange; each bucket inner-joins locally and emits only the
+       removal occurrences ``(doc_id, pos)`` — sized by dup volume;
+    3. docs + removals co-partitioned on a doc_id bucket; each group cuts
+       its docs with the shared ``_apply_removals`` kernel. Text shuffles
+       exactly once (this exchange) — the price of dropping the broadcast.
+
+    Input must be exactly (doc_id, text); output matches broadcast mode
+    (parity pinned in tests/test_webtext.py).
+    """
+    import polars as pl
+
+    if set(ds.schema().names) != {"doc_id", "text"}:
+        raise ValueError("join mode requires exactly (doc_id, text) input")
+
+    def combine_b(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        g = df["gram"].to_numpy().astype(U64)
+        cnt = df["cnt"].to_numpy()
+        kv = df["minkey"].to_numpy().astype(U64)
+        order = np.lexsort((kv, g))
+        g, cnt, kv = g[order], cnt[order], kv[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=cnt).astype(np.int64)
+        starts = np.flatnonzero(new)
+        keep = tot >= 2
+        gk, kk_ = g[starts][keep], kv[starts][keep]
+        # Arrow out: the union with the occurrence stream needs one block type
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(len(gk), b, dtype=np.int32)),
+                "gram": pa.array(gk),
+                "key": pa.array(kk_),
+                "side": pa.array(np.zeros(len(gk), dtype=np.int8)),
+            }
+        )
+
+    dup_ds = (
+        ds.map_batches(partial_fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine_b, batch_format="pandas")
+    )
+
+    def emit_occ(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offs = _col_token_hashes(t["text"])
+        gram, rows, pos = _gram_occurrences(flat, offs, kk)
+        key = (ids[rows].astype(U64) << U64(32)) | pos.astype(U64)
+        return pa.table(
+            {
+                "bucket": pa.array((gram % U64(num_buckets)).astype(np.int32)),
+                "gram": pa.array(gram),
+                "key": pa.array(key),
+                "side": pa.array(np.ones(len(gram), dtype=np.int8)),
+            }
+        )
+
+    occ = ds.map_batches(emit_occ, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+        )
+        if d.empty or o.empty:
+            return empty
+        gd = d["gram"].to_numpy().astype(U64)
+        kd = d["key"].to_numpy().astype(U64)
+        order = np.argsort(gd)
+        gd, kd = gd[order], kd[order]
+        go = o["gram"].to_numpy().astype(U64)
+        ko = o["key"].to_numpy().astype(U64)
+        j = np.minimum(np.searchsorted(gd, go), len(gd) - 1)
+        rm = (gd[j] == go) & (ko != kd[j])
+        keys = ko[rm]
+        return pd.DataFrame(
+            {
+                "doc_id": (keys >> U64(32)).astype(np.int64),
+                "pos": (keys & U64(0xFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+    removals = (
+        dup_ds.union(occ)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+    dbuckets = num_buckets
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(ids.astype(U64)) % U64(dbuckets)).astype(np.int32)
+        return pa.table(
+            {
+                "dbucket": pa.array(b),
+                "doc_id": t["doc_id"],
+                "pos": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "text": pc.cast(t["text"], pa.string()),
+            }
+        )
+
+    def tag_removals(df: pd.DataFrame) -> pa.Table:
+        ids = (
+            df["doc_id"].to_numpy(np.int64)
+            if "doc_id" in df.columns
+            else np.array([], dtype=np.int64)
+        )
+        pos = (
+            df["pos"].to_numpy(np.int64) if len(ids) else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "dbucket": pa.array(
+                    (splitmix64(ids.astype(U64)) % U64(dbuckets)).astype(np.int32)
+                ),
+                "doc_id": pa.array(ids),
+                "pos": pa.array(pos),
+                "text": pa.array([""] * len(ids), pa.string()),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pandas")
+    )
+
+    def cut_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs_rows = g[g["pos"] < 0].sort_values("doc_id", kind="mergesort")
+        if docs_rows.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "removed_tokens": pd.Series(dtype="int64"),
+                    "n_spans": pd.Series(dtype="int64"),
+                    "kept_text": pd.Series(dtype=object),
+                }
+            )
+        ids = docs_rows["doc_id"].to_numpy(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array(docs_rows["text"].tolist(), pa.string()),
+            }
+        )
+        offs, flat_tok, n = _split_text(t["text"])
+        rms = g[g["pos"] >= 0]
+        ridx = np.searchsorted(ids, rms["doc_id"].to_numpy(np.int64))
+        start_flat = offs[ridx] + rms["pos"].to_numpy(np.int64)
+        return _apply_removals(t, offs, flat_tok, n, start_flat, kk).to_pandas()
+
+    return tagged.groupby("dbucket").map_groups(cut_group, batch_format="pandas")
 
 
 # --- weighted priority sampling (A-ES without replacement) --------------------

@@ -331,3 +331,25 @@ def test_weighted_sample_layout_invariant_and_biased(ray_session, con):
     assert list(got["doc_id"]) == list(ids[order])
     # weighting bites: sampled docs are longer than the corpus average
     assert got["n_tokens"].mean() > ntok.mean()
+
+
+def test_substring_join_mode_matches_broadcast(ray_session):
+    """method="join" (no driver broadcast; text shuffles once) must equal
+    the broadcast default row-for-row."""
+    from data_model_ray.pipelines.webtext import _read, substring_spans
+
+    a = (
+        substring_spans(_read(SF, "documents", ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        substring_spans(_read(SF, "documents", ["doc_id", "text"]), method="join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = b[a.columns.tolist()].astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["removed_tokens"] > 0).any()  # the fixture makes it bite
