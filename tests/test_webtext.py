@@ -353,3 +353,68 @@ def test_substring_join_mode_matches_broadcast(ray_session):
     b = b[a.columns.tolist()].astype(a.dtypes.to_dict())
     pd.testing.assert_frame_equal(a, b)
     assert (a["removed_tokens"] > 0).any()  # the fixture makes it bite
+
+
+# --- substring dedup property test vs pure-python reference -----------------
+
+
+def _ref_substring(texts, k):
+    """Brute-force ExactSubstr reference: same semantics, no vectorization."""
+    toks = [t.split(" ") for t in texts]
+    occ = {}
+    for i, tk in enumerate(toks):
+        for p in range(max(len(tk) - k + 1, 0)):
+            occ.setdefault(tuple(tk[p : p + k]), []).append((i, p))
+    cov = [set() for _ in toks]
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for i, p in lst[1:]:  # lst is in (doc, pos) order by construction
+                cov[i].update(range(p, p + k))
+    out = []
+    for i, tk in enumerate(toks):
+        c = sorted(cov[i])
+        spans = sum(
+            1 for j, ti in enumerate(c) if j == 0 or ti != c[j - 1] + 1
+        )
+        kept = " ".join(t for j, t in enumerate(tk) if j not in cov[i])
+        out.append((i, len(tk), len(c), spans, kept))
+    return out
+
+
+def test_substring_dedup_matches_reference_random(ray_session, tmp_path):
+    """Randomized corpora over a tiny vocabulary (forces dense gram
+    collisions, overlapping spans, within-doc repeats, k-boundary docs)
+    must match the brute-force reference in both execution modes."""
+    import ray.data as rd
+
+    from data_model_ray.pipelines.webtext import substring_spans
+
+    rng = np.random.default_rng(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(12):
+        n_docs = int(rng.integers(1, 9))
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(0, 14))))
+            for _ in range(n_docs)
+        ]
+        tab = pa.table(
+            {"doc_id": pa.array(range(n_docs), pa.int64()), "text": texts}
+        )
+        want = pd.DataFrame(
+            _ref_substring(texts, 3),
+            columns=["doc_id", "n_tokens", "removed_tokens", "n_spans", "kept_text"],
+        )
+        for method in ("broadcast", "join"):
+            ds = rd.from_arrow(tab).repartition(3)
+            got = (
+                substring_spans(ds, k=3, method=method)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            got = got[want.columns.tolist()].astype(
+                {c: "int64" for c in want.columns[:4]}
+            )
+            pd.testing.assert_frame_equal(
+                got, want.astype(got.dtypes.to_dict()), check_exact=True
+            ), (trial, method)
