@@ -616,7 +616,41 @@ def _apply_removals(
     return out.append_column("kept_text", pc.cast(text_out, pa.string()))
 
 
-def substring_spans(docs, *, k: int = 8, num_buckets: int = 32, method: str = "broadcast"):
+def _combine_dup_bucket(df: pd.DataFrame) -> pa.Table:
+    """Per-bucket combine of (gram, cnt, minkey) partials -> duplicated
+    grams only, side-tagged 0 for the join path's union (Arrow out so the
+    union with the occurrence stream keeps one block type)."""
+    b = int(df["bucket"].iloc[0])
+    g = df["gram"].to_numpy().astype(U64)
+    cnt = df["cnt"].to_numpy()
+    kv = df["minkey"].to_numpy().astype(U64)
+    order = np.lexsort((kv, g))
+    g, cnt, kv = g[order], cnt[order], kv[order]
+    new = np.ones(len(g), dtype=bool)
+    new[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(new) - 1
+    tot = np.bincount(gid, weights=cnt).astype(np.int64)
+    starts = np.flatnonzero(new)
+    keep = tot >= 2
+    gk, kk_ = g[starts][keep], kv[starts][keep]
+    return pa.table(
+        {
+            "bucket": pa.array(np.full(len(gk), b, dtype=np.int32)),
+            "gram": pa.array(gk),
+            "key": pa.array(kk_),
+            "side": pa.array(np.zeros(len(gk), dtype=np.int8)),
+        }
+    )
+
+
+def substring_spans(
+    docs,
+    *,
+    k: int = 8,
+    num_buckets: int = 32,
+    method: str = "broadcast",
+    broadcast_row_budget: int = 5_000_000,
+):
     """Exact duplicated-substring removal (the ExactSubstr discipline of
     Lee et al., "Deduplicating Training Data Makes Language Models
     Better"): any k-token window whose exact token sequence occurs >= 2
@@ -675,33 +709,28 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32, method: str = "b
             }
         )
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df["gram"].to_numpy().astype(U64)
-        cnt = df["cnt"].to_numpy()
-        kv = df["minkey"].to_numpy().astype(U64)
-        order = np.lexsort((kv, g))
-        g, cnt, kv = g[order], cnt[order], kv[order]
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = g[1:] != g[:-1]
-        gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=cnt).astype(np.int64)
-        starts = np.flatnonzero(new)
-        keep = tot >= 2
-        return pd.DataFrame({"gram": g[starts][keep], "minkey": kv[starts][keep]})
-
     ds = docs
-    if method == "join":
-        return _substring_join_path(ds, partial, kk, num_buckets)
-    dup = (
+    dup_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
-        .to_pandas()
+        .map_groups(_combine_dup_bucket, batch_format="pandas")
     )
+    if method == "join":
+        return _substring_join_path(ds, dup_ds, kk, num_buckets)
+    if method == "auto":
+        # the auto-degrading rule (same shape as connected_components'
+        # contract_row_budget): count the distributed dup-gram table and
+        # broadcast only when it fits the budget, else take the join path
+        dup_ds = dup_ds.materialize()
+        if dup_ds.count() > broadcast_row_budget:
+            return _substring_join_path(ds, dup_ds, kk, num_buckets)
+    elif method != "broadcast":
+        raise ValueError(f"unknown method: {method!r}")
+    dup = dup_ds.to_pandas()
     if "gram" not in dup.columns:  # zero duplicated grams -> empty frame
-        dup = pd.DataFrame({"gram": np.array([], U64), "minkey": np.array([], U64)})
+        dup = pd.DataFrame({"gram": np.array([], U64), "key": np.array([], U64)})
     g_dup = dup["gram"].to_numpy().astype(U64)
-    mk_dup = dup["minkey"].to_numpy().astype(U64)
+    mk_dup = dup["key"].to_numpy().astype(U64)
     order = np.argsort(g_dup)
     dup_ref = ray.put((g_dup[order], mk_dup[order]))
 
@@ -732,7 +761,7 @@ def substring_spans(docs, *, k: int = 8, num_buckets: int = 32, method: str = "b
     return ds.map_batches(cut, batch_format="pyarrow")
 
 
-def _substring_join_path(ds, partial_fn, kk: int, num_buckets: int):
+def _substring_join_path(ds, dup_ds, kk: int, num_buckets: int):
     """``substring_spans(method="join")``: the no-driver-broadcast scale
     path for extreme-dup corpora where the duplicated-gram table itself is
     too large to broadcast. Three exchanges, none corpus-driver-sized:
@@ -746,43 +775,13 @@ def _substring_join_path(ds, partial_fn, kk: int, num_buckets: int):
        its docs with the shared ``_apply_removals`` kernel. Text shuffles
        exactly once (this exchange) — the price of dropping the broadcast.
 
-    Input must be exactly (doc_id, text); output matches broadcast mode
-    (parity pinned in tests/test_webtext.py).
+    Input must be exactly (doc_id, text); ``dup_ds`` is the distributed
+    (bucket, gram, key, side=0) duplicated-gram table from
+    ``_combine_dup_bucket``. Output matches broadcast mode (parity pinned
+    in tests/test_webtext.py).
     """
-    import polars as pl
-
     if set(ds.schema().names) != {"doc_id", "text"}:
         raise ValueError("join mode requires exactly (doc_id, text) input")
-
-    def combine_b(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df["bucket"].iloc[0])
-        g = df["gram"].to_numpy().astype(U64)
-        cnt = df["cnt"].to_numpy()
-        kv = df["minkey"].to_numpy().astype(U64)
-        order = np.lexsort((kv, g))
-        g, cnt, kv = g[order], cnt[order], kv[order]
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = g[1:] != g[:-1]
-        gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=cnt).astype(np.int64)
-        starts = np.flatnonzero(new)
-        keep = tot >= 2
-        gk, kk_ = g[starts][keep], kv[starts][keep]
-        # Arrow out: the union with the occurrence stream needs one block type
-        return pa.table(
-            {
-                "bucket": pa.array(np.full(len(gk), b, dtype=np.int32)),
-                "gram": pa.array(gk),
-                "key": pa.array(kk_),
-                "side": pa.array(np.zeros(len(gk), dtype=np.int8)),
-            }
-        )
-
-    dup_ds = (
-        ds.map_batches(partial_fn, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(combine_b, batch_format="pandas")
-    )
 
     def emit_occ(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -418,3 +418,26 @@ def test_substring_dedup_matches_reference_random(ray_session, tmp_path):
             pd.testing.assert_frame_equal(
                 got, want.astype(got.dtypes.to_dict()), check_exact=True
             ), (trial, method)
+
+
+def test_substring_auto_mode_picks_both_branches(ray_session):
+    """method="auto" broadcasts under the budget and degrades to the join
+    path above it — identical results either way."""
+    from data_model_ray.pipelines.webtext import _read, substring_spans
+
+    def run(budget):
+        return (
+            substring_spans(
+                _read(SF, "documents", ["doc_id", "text"]),
+                method="auto",
+                broadcast_row_budget=budget,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run(10_000_000)  # dup table fits -> broadcast branch
+    b = run(0)  # budget 0 -> forced join branch
+    b = b[a.columns.tolist()].astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
