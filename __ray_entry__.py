@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": wtx.doc_chunks,
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
+        "doc_logprob": wtx.doc_logprob,
         "inverted_index": _inverted_index,
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
@@ -1179,6 +1180,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE token IN ('data', 'query', 'fast')
             GROUP BY doc_id
             HAVING COUNT(*) = 3
+        """,
+        "doc_logprob": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(c) AS n FROM freq)
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(LN(f.c / (SELECT n FROM tot))), 6)
+                       AS mean_logprob
+            FROM toks t JOIN freq f ON f.tok = t.tok
+            GROUP BY t.doc_id
         """,
         "weighted_sample": """
             WITH w AS (

@@ -935,3 +935,75 @@ def weighted_sample(sf_dir: str, *, k: int = 64):
         ["key", "doc_id"], ascending=[False, True], kind="mergesort"
     ).head(k)
     return out[["doc_id", "n_tokens"]].reset_index(drop=True)
+
+
+# --- unigram log-probability quality scoring (perplexity-filter proxy) -------
+
+
+def doc_logprob(sf_dir: str):
+    """Per-doc mean unigram log-probability — the CCNet-style perplexity
+    quality filter with a unigram proxy LM trained on the corpus itself:
+    docs whose tokens are globally rare score low (boilerplate/garbage),
+    high-probability prose scores high. Two passes:
+
+    1. global term frequencies: per-block Arrow group_by counts
+       (vocabulary-bounded rows per block), combined driver-side and
+       broadcast once as log-probs — the same vocabulary-bounded
+       broadcast discipline as ``analytic.tfidf_top_term``;
+    2. stateless scoring map: searchsorted token->logp lookup, per-doc
+       mean via one bincount, 6dp ULP rounding shared with the oracle.
+
+    No OOV handling is needed: the LM's support IS the corpus vocabulary.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        flat = pa.table({"token": pc.cast(lists.flatten(), pa.string())})
+        return flat.group_by("token").aggregate([("token", "count")])
+
+    parts = to_pandas_cols(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        {"token": "object", "token_count": "int64"},
+    )
+    freq = parts.groupby("token", sort=True)["token_count"].sum()
+    toks_sorted = freq.index.to_numpy(dtype=object)
+    total = float(freq.to_numpy().sum()) or 1.0
+    logp_sorted = np.log(freq.to_numpy(np.float64) / total)
+    ref = ray.put((toks_sorted.astype("U"), logp_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(ref)
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        flat = np.asarray(lists.flatten().to_pylist(), dtype="U")
+        n = np.diff(offs)
+        row_of = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        idx = np.searchsorted(vocab, flat)
+        doc_sum = np.bincount(row_of, weights=lp[idx], minlength=len(n))
+        mean = doc_sum / np.maximum(n, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "mean_logprob": pc.round(
+                    pa.array(mean), ndigits=6, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
