@@ -701,7 +701,11 @@ def hash_sample_events(sf_dir: str, pct: int = 10):
 
     def keep(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        h = (eid * np.int64(2654435761)) % np.int64(4294967296) % np.int64(100)
+        # uint64 so the wrap is well-defined for any event_id (DuckDB's
+        # BIGINT product overflows — errors — past event_id ~3.47e9).
+        h = (
+            (eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+        ) % np.uint64(100)
         return t.filter(pa.array(h < pct))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -165,11 +165,14 @@ def percent_rank_orders(sf_dir: str):
         le = np.searchsorted(sv, v, side="right")
         pr = (rank_min - 1) / (n - 1) if n > 1 else np.zeros(n)
         cd = le / n
+        # round half-away-from-zero (DuckDB ROUND semantics) — np.round is
+        # half-even and can flip exact midpoints like (rank-1)/(n-1).
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
         return pd.DataFrame(
             {
                 "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
-                "pr": np.round(pr, 6),
-                "cd": np.round(cd, 6),
+                "pr": pc.round(pa.array(pr), **rnd).to_numpy(),
+                "cd": pc.round(pa.array(cd), **rnd).to_numpy(),
             }
         )
 

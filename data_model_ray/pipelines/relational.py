@@ -163,10 +163,30 @@ def global_minmax(sf_dir: str):
 
 
 def topk_orders(sf_dir: str, k: int = 10):
-    """Global top-k with deterministic tie-break."""
+    """Global top-k via per-block partial top-k + one bounded combine.
+
+    Every block keeps only its own top-k (Arrow ``select_k_unstable``), so
+    the final combine sees at most k x num_blocks rows instead of the full
+    table — no global ``Sort`` operator in the plan. Ties are deterministic
+    because ``o_orderkey`` (unique) is the secondary sort key.
+    """
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    return out
+    keys = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=keys))
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow")
+    from ..sources.fs import to_pandas_cols
+
+    df = to_pandas_cols(partials, {"o_orderkey": "int64", "o_totalprice": "float64"})
+    return (
+        df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 # --- D-group: dedup (SURVEY 2.7) -------------------------------------------

@@ -314,13 +314,28 @@ def incremental_dedup(
         return keep[["url", "warc_ts"]]
 
     verified = tagged.groupby("bucket").map_groups(anti, batch_format="pandas")
-    # pandas blocks carry ns timestamps; restore us so the union schemas agree
-    verified = verified.map_batches(
-        lambda t: pa.table(
-            {"url": t["url"], "warc_ts": pc.cast(t["warc_ts"], pa.timestamp("us"))}
-        ),
-        batch_format="pyarrow",
-    )
+
+    # pandas blocks carry ns timestamps; restore us so the union schemas
+    # agree. Empty partitions reach here as COLUMN-LESS blocks (map_groups
+    # drops the frame schema when a partition has no groups) — emit a
+    # schema-carrying empty table instead, or the union produces
+    # schema-less RefBundles and Ray warns on every merge.
+    def restore_ts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "url" not in t.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "warc_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        return pa.table(
+            {
+                "url": pc.cast(t["url"], pa.string()),
+                "warc_ts": pc.cast(t["warc_ts"], pa.timestamp("us")),
+            }
+        )
+
+    verified = verified.map_batches(restore_ts, batch_format="pyarrow")
     return sure_new.union(verified)
 
 
@@ -357,11 +372,16 @@ def mixture_sample(sf_dir: str):
     qref = ray.put(quotas)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # per-(block, source) pre-cut to the max quota bounds the exchange
+        # per-(block, source) pre-cut to the max quota bounds the exchange.
+        # Hash in uint64 (wrap is well-defined at any doc_id); the DuckDB
+        # oracle's BIGINT product only stays overflow-free for
+        # doc_id < 2^63/2654435761 ~= 3.47e9, so oracle parity holds below
+        # that bound while the engine itself is deterministic at all scales.
         df = df.copy()
-        df["h"] = (df["doc_id"].to_numpy() * np.int64(2654435761)) % np.int64(
-            4294967296
-        )
+        df["h"] = (
+            (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)
+        ).astype(np.int64)
         df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
         return df.groupby("source", sort=False).head(max_q)
 
@@ -679,6 +699,14 @@ def substring_spans(
     pack as ``doc_id << 32 | pos`` (valid for doc_id < 2^31 and docs
     < 2^32 tokens; ordering matches SQL ``ORDER BY doc_id, pos``).
 
+    Collision caveat: gram identity is a 64-bit rolling hash, not the
+    token strings, so two DISTINCT k-grams can collide and mark a unique
+    span as duplicated. P(any collision) ~= G^2 / 2^65 for G distinct
+    grams (birthday bound) — negligible at fixture scale (G=10^6 ->
+    ~3e-8) but reaching ~2.7% of corpora at G=10^12; exactness at that
+    scale needs a verify-against-token-strings cut pass or a 128-bit
+    gram hash (same discipline as the HLL/sketch error notes).
+
     Reference analogue: the dedup-merge skip-if-present set discipline
     (/root/reference/src/eopf_geozarr/conversion/geozarr.py:1044-1057) at
     token-span granularity.
@@ -919,7 +947,13 @@ def weighted_sample(sf_dir: str, *, k: int = 64):
         ntok = pc.list_value_length(
             pc.split_pattern(t["text"].combine_chunks().cast(pa.large_string()), " ")
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        u = ((ids * np.int64(2654435761)) % np.int64(4294967296) + 1) / 4294967297.0
+        # uint64 hash: well-defined at any doc_id (the oracle's BIGINT
+        # product is overflow-safe only for doc_id < ~3.47e9 — see
+        # mixture_sample for the bound).
+        u = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)
+        ).astype(np.float64)
+        u = (u + 1) / 4294967297.0
         key = np.round(u ** (1.0 / np.maximum(ntok, 1)), 12)
         top = np.lexsort((ids, -key))[: min(k, len(ids))]
         return pd.DataFrame(

@@ -171,6 +171,7 @@ def sized_read_parquet(
 
     total = 0
     first_file = None
+    last_file = None
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for f in files:
@@ -179,6 +180,7 @@ def sized_read_parquet(
                     total += os.path.getsize(fp)
                     if first_file is None:
                         first_file = fp
+                    last_file = fp
     elif os.path.exists(path):
         total = os.path.getsize(path)
         first_file = path
@@ -188,15 +190,44 @@ def sized_read_parquet(
         kwargs.setdefault("override_num_blocks", int(blocks))
     if first_file is not None and "schema" not in kwargs:
         cleaned = _clean_file_schema(first_file)
+        # A directory of heterogeneous shards (or hive-partitioned columns
+        # absent from the file schema) must fall back to Ray's own schema
+        # unification — injecting one file's schema would misread the rest.
+        if (
+            cleaned is not None
+            and last_file is not None
+            and last_file != first_file
+            and not _same_clean_schema(last_file, cleaned)
+        ):
+            cleaned = None
         if cleaned is not None:
             if columns is not None:
                 # Ray applies the projection before schema unification, so
-                # the supplied schema must already be the projected one
+                # the supplied schema must already be the projected one.
+                # A requested column missing from the file schema (e.g. a
+                # hive partition column) skips the override entirely.
                 import pyarrow as pa
 
-                cleaned = pa.schema([cleaned.field(c) for c in columns])
+                names = set(cleaned.names)
+                if all(c in names for c in columns):
+                    cleaned = pa.schema([cleaned.field(c) for c in columns])
+                else:
+                    cleaned = None
+        if cleaned is not None:
             kwargs["schema"] = cleaned
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _same_clean_schema(parquet_file: str, cleaned) -> bool:
+    """True when ``parquet_file``'s metadata-stripped schema equals ``cleaned``."""
+    import pyarrow.parquet as pq
+
+    try:
+        other = pq.read_schema(parquet_file)
+    except Exception:
+        return False
+    stripped = strip_schema_metadata(other)
+    return (stripped if stripped is not None else other).equals(cleaned)
 
 
 def _clean_file_schema(parquet_file: str):

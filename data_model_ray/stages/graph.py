@@ -260,16 +260,31 @@ def connected_components(
     return labels.map_batches(finish, batch_format="pandas")
 
 
-def keep_one_per_cluster(docs, comps, *, id_col: str = "doc_id"):
+def keep_one_per_cluster(
+    docs,
+    comps,
+    *,
+    id_col: str = "doc_id",
+    method: str = "broadcast",
+    broadcast_row_budget: int = 5_000_000,
+    num_buckets: int = 32,
+):
     """Near-dup DEDUP: drop every component member except its min-id
     representative; docs in no component pass through untouched.
 
-    Scale shape: the loser set is bounded by the number of dup-involved
-    docs (sparse relative to the corpus in the web regime — the same
-    assumption the candidate-pair table already makes), so it is pulled
-    once, broadcast via ``ray.put``, and the corpus streams through a
-    single ``map_batches`` ``is_in`` filter — no shuffle of the corpus,
-    no per-batch re-ship of the set.
+    ``method="broadcast"`` (default): the loser set — bounded by the
+    number of dup-involved docs, sparse relative to the corpus in the web
+    regime — is pulled once, broadcast via ``ray.put``, and the corpus
+    streams through a single ``map_batches`` ``is_in`` filter: no shuffle
+    of the corpus, no per-batch re-ship of the set.
+
+    ``method="join"``: on a heavy-dup crawl (30-50% dups) the loser set
+    approaches corpus scale and must not land on the driver — a bucketed
+    anti-join on ``id_col`` shuffles the corpus ONCE against the loser
+    ids instead (same discipline as ``webtext.substring_spans``'s join
+    path). ``method="auto"`` counts the loser table (cheap: ids only,
+    bounded by comps) and picks join when it exceeds
+    ``broadcast_row_budget``.
     """
     import pyarrow.compute as pc
     import ray
@@ -280,6 +295,13 @@ def keep_one_per_cluster(docs, comps, *, id_col: str = "doc_id"):
         ).select(["doc_id"]),
         batch_format="pyarrow",
     )
+    if method == "auto":
+        losers = losers.materialize()
+        method = "join" if losers.count() > broadcast_row_budget else "broadcast"
+    if method == "join":
+        return _keep_join_path(docs, losers, id_col, num_buckets)
+    if method != "broadcast":
+        raise ValueError(f"unknown method: {method!r}")
     loser_df = losers.to_pandas()
     # a dup-free corpus yields an empty, schema-less frame — no losers
     loser_ids = (
@@ -298,3 +320,67 @@ def keep_one_per_cluster(docs, comps, *, id_col: str = "doc_id"):
         )
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _keep_join_path(docs, losers, id_col: str, num_buckets: int):
+    """Bucketed anti-join: docs and loser ids co-partition on the id hash;
+    each bucket drops its loser rows locally. The corpus crosses ONE
+    exchange (the cost of not broadcasting); loser rows are ids only.
+
+    Rows are unioned under the docs schema (loser rows null-padded) so one
+    groupby serves both sides; the output is cast back to the exact input
+    schema because the pandas group stage would otherwise float-ify int
+    columns that saw the loser rows' nulls.
+    """
+    import pyarrow.compute as pc
+
+    base = docs.schema().base_schema
+    if isinstance(base, pa.Schema):
+        schema = base
+    else:
+        # pandas-block dataset: map numpy dtypes (object -> string)
+        schema = pa.schema(
+            [
+                (n, pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt))
+                for n, dt in zip(base.names, base.types)
+            ]
+        )
+    names = list(schema.names)
+    types = {n: schema.field(n).type for n in names}
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {c: t[c] for c in names}
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols["__bucket"] = pa.array(_bucket(ids, num_buckets))
+        return pa.table(cols)
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {}
+        for c in names:
+            if c == id_col:
+                cols[c] = pc.cast(t["doc_id"], types[c])
+            else:
+                cols[c] = pa.nulls(len(ids), types[c])
+        cols["__side"] = pa.array(np.zeros(len(ids), dtype=np.int8))
+        cols["__bucket"] = pa.array(_bucket(ids, num_buckets))
+        return pa.table(cols)
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        losers.map_batches(tag_losers, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        lose = set(df.loc[df["__side"] == 0, id_col])
+        keep = df[(df["__side"] == 1) & ~df[id_col].isin(lose)]
+        return keep[names]
+
+    out = tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or set(names) - set(t.column_names):
+            return pa.table({c: pa.array([], types[c]) for c in names})
+        return pa.table({c: pc.cast(t[c], types[c]) for c in names})
+
+    return out.map_batches(norm, batch_format="pyarrow")

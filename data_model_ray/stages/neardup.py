@@ -194,12 +194,17 @@ def simhash64(texts: list[str]) -> np.ndarray:
 #: the bucket representative is preserved for clustering downstream.
 #:
 #: RECALL CONTRACT above the cap: pairs between two NON-representative
-#: members of a flood bucket are not emitted, and a star edge can still be
-#: filtered by the downstream jaccard/hamming verify — so in the flood
-#: regime the emitted pair set is a connectivity skeleton, NOT the complete
+#: members of a flood bucket are not emitted — in the flood regime the
+#: emitted pair set is a connectivity skeleton, NOT the complete
 #: >=threshold pair set (completeness holds exactly when every collision
-#: bucket is <= the cap, which is the tested fixture regime). Each capped
-#: bucket logs a warning so a run can tell which regime it was in.
+#: bucket is <= the cap, which is the tested fixture regime). Star edges
+#: are EXEMPT from the downstream jaccard-threshold verify (marked
+#: ``star=1`` and kept as connectivity-only edges) so a representative
+#: that happens to be sub-threshold with a member cannot silently
+#: disconnect two members that ARE true near-dups of each other:
+#: component structure stays a superset of the exact components rather
+#: than best-effort. Each capped bucket logs a warning so a run can tell
+#: which regime it was in.
 MAX_BUCKET_PAIRS_FANOUT = 256
 
 _logger = logging.getLogger(__name__)
@@ -209,7 +214,11 @@ def _bucket_pairs_frame(ids: np.ndarray) -> pd.DataFrame:
     ids = np.sort(np.unique(ids))
     if len(ids) < 2:
         return pd.DataFrame(
-            {"doc_a": pd.Series(dtype=ids.dtype), "doc_b": pd.Series(dtype=ids.dtype)}
+            {
+                "doc_a": pd.Series(dtype=ids.dtype),
+                "doc_b": pd.Series(dtype=ids.dtype),
+                "star": pd.Series(dtype=np.int8),
+            }
         )
     if len(ids) > MAX_BUCKET_PAIRS_FANOUT:
         _logger.warning(
@@ -219,9 +228,17 @@ def _bucket_pairs_frame(ids: np.ndarray) -> pd.DataFrame:
             len(ids),
             MAX_BUCKET_PAIRS_FANOUT,
         )
-        return pd.DataFrame({"doc_a": np.full(len(ids) - 1, ids[0]), "doc_b": ids[1:]})
+        return pd.DataFrame(
+            {
+                "doc_a": np.full(len(ids) - 1, ids[0]),
+                "doc_b": ids[1:],
+                "star": np.ones(len(ids) - 1, dtype=np.int8),
+            }
+        )
     ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    return pd.DataFrame(
+        {"doc_a": ids[ia], "doc_b": ids[ib], "star": np.zeros(len(ia), dtype=np.int8)}
+    )
 
 
 def minhash_lsh_candidates(
@@ -306,7 +323,11 @@ def minhash_lsh_candidates(
         ]
         if not frames:
             return pd.DataFrame(
-                {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "star": pd.Series(dtype=np.int8),
+                }
             )
         return pd.concat(frames, ignore_index=True)
 
@@ -318,12 +339,14 @@ def minhash_lsh_candidates(
                 {
                     "doc_a": pa.array([], type=pa.int64()),
                     "doc_b": pa.array([], type=pa.int64()),
+                    "star": pa.array([], type=pa.int8()),
                 }
             )
         return pa.table(
             {
                 "doc_a": t["doc_a"].cast(pa.int64()),
                 "doc_b": t["doc_b"].cast(pa.int64()),
+                "star": t["star"].cast(pa.int8()),
             }
         )
 
@@ -348,6 +371,7 @@ def minhash_lsh_candidates(
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
+        star = t["star"].to_numpy(zero_copy_only=False).astype(np.int8)
         n = len(a)
         return pa.table(
             {
@@ -359,6 +383,7 @@ def minhash_lsh_candidates(
                         [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
                     )
                 ),
+                "star": pa.array(np.concatenate([star, star])),
                 "text": pa.nulls(2 * n, pa.string()),
                 "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
             }
@@ -372,6 +397,7 @@ def minhash_lsh_candidates(
                 "doc_a": pa.nulls(n, pa.int64()),
                 "doc_b": pa.nulls(n, pa.int64()),
                 "slot": pa.array(np.full(n, -1, dtype=np.int8)),
+                "star": pa.array(np.zeros(n, dtype=np.int8)),
                 "text": t[text_col].cast(pa.string()),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
             }
@@ -387,10 +413,10 @@ def minhash_lsh_candidates(
         return t.append_column("bucket", b)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["side"] == 0][["key", "doc_a", "doc_b", "slot"]]
+        left = group[group["side"] == 0][["key", "doc_a", "doc_b", "slot", "star"]]
         right = group[group["side"] == 1][["key", "text"]]
         return left.merge(right, on="key", how="inner")[
-            ["doc_a", "doc_b", "slot", "text"]
+            ["doc_a", "doc_b", "slot", "star", "text"]
         ]
 
     u = (
@@ -409,6 +435,7 @@ def minhash_lsh_candidates(
                     "doc_a": pa.array([], pa.int64()),
                     "doc_b": pa.array([], pa.int64()),
                     "slot": pa.array([], pa.int8()),
+                    "star": pa.array([], pa.int8()),
                     "text": pa.array([], pa.string()),
                     "__pk": pa.array([], pa.int32()),
                 }
@@ -428,6 +455,7 @@ def minhash_lsh_candidates(
                 "doc_a": pa.array(a),
                 "doc_b": pa.array(b),
                 "slot": t["slot"].cast(pa.int8()),
+                "star": t["star"].cast(pa.int8()),
                 "text": t["text"].cast(pa.string()),
                 "__pk": pa.array(pk.astype(np.int32)),
             }
@@ -435,9 +463,13 @@ def minhash_lsh_candidates(
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         # dedup band-duplicate pair rows, pivot slots side by side, then ONE
-        # batched exact-Jaccard call for every pair in the group
-        g = group.drop_duplicates(subset=["doc_a", "doc_b", "slot"])
-        a = g[g["slot"] == 0][["doc_a", "doc_b", "text"]].rename(
+        # batched exact-Jaccard call for every pair in the group. A pair can
+        # arrive star from a flooded band AND non-star from a small one —
+        # min() keeps it in the verified (non-star) class then.
+        g = group.sort_values("star", kind="mergesort").drop_duplicates(
+            subset=["doc_a", "doc_b", "slot"]
+        )
+        a = g[g["slot"] == 0][["doc_a", "doc_b", "star", "text"]].rename(
             columns={"text": "text_a"}
         )
         b = g[g["slot"] == 1][["doc_a", "doc_b", "text"]].rename(
@@ -447,7 +479,10 @@ def minhash_lsh_candidates(
         if m.empty:
             return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
         j = np.round(jaccard(m["text_a"].tolist(), m["text_b"].tolist()), 6)
-        keep = j >= threshold
+        # star edges are connectivity-only: exempt from the threshold so a
+        # sub-threshold representative cannot disconnect true near-dup
+        # members of a flooded bucket (see MAX_BUCKET_PAIRS_FANOUT contract)
+        keep = (j >= threshold) | (m["star"].to_numpy() == 1)
         return pd.DataFrame(
             {
                 "doc_a": m["doc_a"].to_numpy()[keep].astype(np.int64),
@@ -577,10 +612,14 @@ def simhash_pairs(
             )
             ia = np.zeros(len(ids) - 1, dtype=np.int64)
             ib = np.arange(1, len(ids))
+            star = np.ones(len(ia), dtype=bool)
         else:
             ia, ib = np.triu_indices(len(ids), k=1)
+            star = np.zeros(len(ia), dtype=bool)
         ham = _hamming64(sh[ia] ^ sh[ib])
-        keep = ham <= max_distance
+        # star edges are connectivity-only (flood regime): exempt from the
+        # distance filter so component structure stays a superset of exact
+        keep = (ham <= max_distance) | star
         return pd.DataFrame(
             {
                 "doc_a": ids[ia][keep],

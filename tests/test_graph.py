@@ -99,6 +99,60 @@ def test_keep_one_per_cluster(ray_session):
     assert kept == [1, 5, 10, 20]
 
 
+def test_keep_one_per_cluster_join_parity(ray_session):
+    """Heavy-dup fixture: broadcast, join and forced-fallback auto modes
+    agree row-for-row (including multi-column passthrough and dtypes)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.graph import keep_one_per_cluster
+
+    rng = np.random.default_rng(7)
+    # ~50% of docs are dup-involved: the regime where broadcast is wrong
+    n = 400
+    pairs = [(int(2 * i), int(2 * i + 1)) for i in range(n // 4)]
+    comps = connected_components(_pairs_ds(pairs)).materialize()
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [f"t{i}" for i in range(n)],
+                "score": rng.random(n).astype(np.float64),
+            }
+        )
+    ).repartition(5).materialize()
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "text", "score"]]
+        )
+
+    base = norm(keep_one_per_cluster(docs, comps, method="broadcast"))
+    join = norm(keep_one_per_cluster(docs, comps, method="join"))
+    # budget 0 forces the auto mode onto the join path
+    auto = norm(
+        keep_one_per_cluster(docs, comps, method="auto", broadcast_row_budget=0)
+    )
+    pd.testing.assert_frame_equal(join, base, obj="join vs broadcast")
+    pd.testing.assert_frame_equal(auto, base, obj="auto(join) vs broadcast")
+    assert len(base) == n - n // 4  # one loser per pair dropped
+
+
+def test_keep_one_per_cluster_join_no_dups(ray_session):
+    """Join path on a dup-free corpus: everything passes through."""
+    import ray.data as rd
+
+    from data_model_ray.stages.graph import keep_one_per_cluster
+
+    comps = connected_components(_pairs_ds([]))
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [3, 1, 2]}))
+    kept = sorted(
+        keep_one_per_cluster(docs, comps, method="join").to_pandas()["doc_id"]
+    )
+    assert kept == [1, 2, 3]
+
+
 def test_local_kernel_min_root():
     df = pd.DataFrame({"src": [5, 3, 9], "dst": [3, 1, 5]})
     out = _local_cc_frame(df).sort_values("src").reset_index(drop=True)

@@ -154,3 +154,48 @@ class TestDatasetOps:
         assert pairs.get((1, 2)) == d12  # near dup found at its true distance
         assert (2, 4) in pairs  # symmetric near dup
         assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+class TestFloodBucketStarEdges:
+    """MAX_BUCKET_PAIRS_FANOUT flood regime: star edges are connectivity-only
+    and EXEMPT from the jaccard-threshold verify (ADVICE r3 medium)."""
+
+    def test_bucket_pairs_frame_star_flag(self):
+        from data_model_ray.stages.neardup import (
+            MAX_BUCKET_PAIRS_FANOUT,
+            _bucket_pairs_frame,
+        )
+
+        small = _bucket_pairs_frame(np.arange(5, dtype=np.int64))
+        assert (small["star"] == 0).all() and len(small) == 10  # C(5,2)
+        n = MAX_BUCKET_PAIRS_FANOUT + 10
+        flood = _bucket_pairs_frame(np.arange(n, dtype=np.int64))
+        assert len(flood) == n - 1  # star to the min-id representative
+        assert (flood["star"] == 1).all()
+        assert (flood["doc_a"] == 0).all()
+
+    def test_flood_star_edges_survive_threshold(self, ray_session):
+        """An impossible threshold (no pair can verify) isolates star
+        edges: in a flooded bucket they must still come out (connectivity
+        preserved); below the cap the same threshold removes everything."""
+        import ray.data as rd
+
+        from data_model_ray.stages.neardup import (
+            MAX_BUCKET_PAIRS_FANOUT,
+            minhash_lsh_candidates,
+        )
+
+        n = MAX_BUCKET_PAIRS_FANOUT + 4
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": [T1] * n}
+        )
+        out = minhash_lsh_candidates(
+            docs=rd.from_pandas(docs), threshold=1.5
+        ).to_pandas()
+        assert len(out) == n - 1
+        assert set(out["doc_a"]) == {0}
+        assert set(out["doc_b"]) == set(range(1, n))
+        small = minhash_lsh_candidates(
+            docs=rd.from_pandas(docs.head(10)), threshold=1.5
+        ).to_pandas()
+        assert len(small) == 0

@@ -325,7 +325,12 @@ def test_weighted_sample_layout_invariant_and_biased(ray_session, con):
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     ids = np.asarray(docs["doc_id"])
     ntok = np.array([len(s.split(" ")) for s in docs["text"].to_pylist()])
-    u = ((ids * np.int64(2654435761)) % np.int64(4294967296) + 1) / 4294967297.0
+    u = (
+        ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)).astype(
+            np.float64
+        )
+        + 1
+    ) / 4294967297.0
     key = np.round(u ** (1.0 / np.maximum(ntok, 1)), 12)
     order = np.lexsort((ids, -key))[:64]
     assert list(got["doc_id"]) == list(ids[order])
