@@ -50,8 +50,9 @@ def curate_docs(
     ``method`` picks the near-dup pair generator for stage 3:
 
     - ``"lsh"`` (default, the 100-TB path): MinHash-LSH candidates with
-      distributed exact-Jaccard verification — 3 bounded exchanges, text
-      never shuffles except one docs-table join
+      exact-Jaccard verification — band exchange + pair-bucket exchange
+      with the budget-counted broadcast pair list (corpus text never
+      shuffles; join fallback when the pair table exceeds the budget)
       (``stages/neardup.minhash_lsh_candidates``).
     - ``"exact"``: all-pairs shingle Jaccard — O(N^2) block-pair triangle
       join; the SQL-expressible oracle/verifier rung

@@ -230,7 +230,7 @@ def incremental_dedup(
     *,
     cutoff: str = SNAPSHOT_CUTOFF,
     n_bits: int = 1 << 23,
-    num_buckets: int = 32,
+    num_buckets: int = 512,
 ):
     """New-snapshot rows (``warc_ts >= cutoff``) whose url was never seen
     in the old snapshot (``warc_ts < cutoff``) — recrawl dedup against an

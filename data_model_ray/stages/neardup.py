@@ -27,6 +27,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import hash_stream, splitmix64
 
@@ -249,6 +250,8 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_partitions: int = 8,
+    pair_method: str = "auto",
+    pair_row_budget: int = 2_000_000,
 ):
     """MinHash-LSH near-dup pairs with DISTRIBUTED exact-Jaccard verification.
 
@@ -258,15 +261,26 @@ def minhash_lsh_candidates(
     recall contract — each occurrence is logged); below the cap the
     verified pair set equals the exact >=threshold set whenever every true
     pair collides in >=1 band (deterministically true on the test
-    fixtures). THREE exchanges total: (1) the band shuffle moves
-    (band, hash, doc_id) triples only; (2) each candidate pair (possibly
-    duplicated across bands — deduped later, not with its own exchange)
-    explodes into two keyed rows so ONE union+bucket hash join against the
-    docs table attaches both texts (the docs table is shuffled once, not
-    once per pair side); (3) a coarse pair-hash groupby pivots the two
-    slots together, dedups band-duplicate pairs, and runs the exact-Jaccard
-    kernel BATCHED across all pairs in the group — nothing materializes on
-    the driver and no per-pair Python function calls.
+    fixtures).
+
+    ``pair_method`` picks how texts reach the verify stage:
+
+    - ``"broadcast"``: the deduped candidate pair list (ids only, bounded
+      by the corpus' dup density) is pulled once and broadcast via
+      ``ray.put``; the docs table then streams through a membership map
+      that emits one (pair, slot, text) row per pair occurrence, and ONE
+      pair-bucket exchange pivots the two slots together for the batched
+      exact-Jaccard kernel. TWO exchanges total, and — decisive at scale —
+      the corpus text never shuffles: only dup-INVOLVED texts cross.
+    - ``"join"``: no driver collect — the pair list explodes into two
+      keyed rows and a union+bucket hash join against the docs table
+      attaches both texts (the docs table is shuffled once), then a coarse
+      pair-hash groupby pivots and verifies. THREE exchanges; the
+      unbounded-pair-table fallback.
+    - ``"auto"`` (default): count the candidate pair table (materialized
+      once, reused) and broadcast when it fits ``pair_row_budget`` — the
+      budget-counted discipline of ``webtext.substring_spans`` /
+      ``graph.keep_one_per_cluster``.
     """
     import ray.data as rd
 
@@ -360,6 +374,16 @@ def minhash_lsh_candidates(
         # the dup factor is bounded by N_BANDS.
         .map_batches(norm_pairs, batch_format="pyarrow")
     )
+
+    if pair_method == "auto":
+        cand = cand.materialize()
+        pair_method = "broadcast" if cand.count() <= pair_row_budget else "join"
+    if pair_method == "broadcast":
+        return _verify_pairs_broadcast(
+            ds, cand, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+    if pair_method != "join":
+        raise ValueError(f"unknown pair_method: {pair_method!r}")
 
     # Attach both texts with ONE union+bucket-groupby hash join (the
     # explicit partitioned-join shape of relational.hash_join_revenue —
@@ -504,6 +528,150 @@ def minhash_lsh_candidates(
                     "doc_a": pa.array([], type=pa.int64()),
                     "doc_b": pa.array([], type=pa.int64()),
                     "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "jaccard": t["jaccard"].cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(norm_out, batch_format="pyarrow")
+
+
+def _verify_pairs_broadcast(
+    ds,
+    cand,
+    *,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    num_pair_buckets: int = 256,
+):
+    """Exact-Jaccard pair verification with a BROADCAST pair list.
+
+    The deduped candidate pairs (ids + star flag only) are pulled once and
+    ``ray.put`` as a doc->occurrence CSR; the docs table streams through a
+    membership map emitting one (pair_idx, slot, text) row per occurrence,
+    and a single pair-bucket groupby pivots the two slots together for the
+    batched Jaccard kernel. Only dup-involved texts cross the exchange —
+    the corpus itself never shuffles (vs the join path, which ships the
+    whole docs table through the union join once).
+    """
+    import ray
+    import ray.data as rd
+
+    def _empty():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    pairs = cand.to_pandas()
+    if "doc_a" not in pairs.columns or len(pairs) == 0:
+        return _empty()
+    # dedup band-duplicates; min star keeps a pair in the verified class
+    pairs = (
+        pairs.sort_values("star", kind="mergesort")
+        .drop_duplicates(subset=["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    a_arr = pairs["doc_a"].to_numpy(np.int64)
+    b_arr = pairs["doc_b"].to_numpy(np.int64)
+    star_arr = pairs["star"].to_numpy(np.int8)
+    n_pairs = len(pairs)
+    # doc -> occurrences CSR, packed (pair_idx << 1 | slot)
+    occ_doc = np.concatenate([a_arr, b_arr])
+    idx = np.arange(n_pairs, dtype=np.int64)
+    occ_packed = np.concatenate([idx << 1, (idx << 1) | 1])
+    order = np.argsort(occ_doc, kind="mergesort")
+    occ_doc, occ_packed = occ_doc[order], occ_packed[order]
+    inv_ids, starts = np.unique(occ_doc, return_index=True)
+    offs = np.r_[starts, len(occ_doc)]
+    ref = ray.put((inv_ids, offs, occ_packed, a_arr, b_arr, star_arr))
+
+    def emit(t: pa.Table) -> pa.Table:
+        inv_ids, offs, occ_packed, _, _, _ = ray.get(ref)
+
+        def empty_block():
+            return pa.table(
+                {
+                    "pair_idx": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int8()),
+                    "text": pa.array([], pa.string()),
+                    "__pb": pa.array([], pa.int32()),
+                }
+            )
+
+        if t.num_rows == 0:
+            return empty_block()
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(inv_ids, ids)
+        pos_c = np.minimum(pos, len(inv_ids) - 1)
+        hit = np.flatnonzero(inv_ids[pos_c] == ids)
+        p = pos[hit]
+        cnt = offs[p + 1] - offs[p]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty_block()
+        row_rep = np.repeat(hit, cnt)
+        flat_idx = np.arange(total, dtype=np.int64) + np.repeat(
+            offs[p] - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt
+        )
+        packed = occ_packed[flat_idx]
+        pair_idx = packed >> 1
+        return pa.table(
+            {
+                "pair_idx": pa.array(pair_idx),
+                "slot": pa.array((packed & 1).astype(np.int8)),
+                "text": t[text_col].cast(pa.string()).take(pa.array(row_rep)),
+                "__pb": pa.array((pair_idx % num_pair_buckets).astype(np.int32)),
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, a_arr, b_arr, star_arr = ray.get(ref)
+        a = group[group["slot"] == 0][["pair_idx", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = group[group["slot"] == 1][["pair_idx", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on="pair_idx", how="inner")
+        if m.empty:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        j = np.round(jaccard(m["text_a"].tolist(), m["text_b"].tolist()), 6)
+        pi = m["pair_idx"].to_numpy(np.int64)
+        # star edges are connectivity-only (flood regime) — threshold-exempt
+        keep = (j >= threshold) | (star_arr[pi] == 1)
+        return pd.DataFrame(
+            {
+                "doc_a": a_arr[pi][keep],
+                "doc_b": b_arr[pi][keep],
+                "jaccard": j[keep],
+            }
+        )
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+    def norm_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
         return pa.table(
