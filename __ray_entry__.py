@@ -583,6 +583,18 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _canon_url_dedup(sf_dir: str):
+    from data_model_ray.pipelines.urlops import canon_url_dedup
+
+    return canon_url_dedup(sf_dir)
+
+
+def _host_dedup(sf_dir: str):
+    from data_model_ray.pipelines.urlops import host_dedup
+
+    return host_dedup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_model_ray.pipelines import analytic as ana
     from data_model_ray.pipelines import olap
@@ -634,6 +646,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
         "mixture_sample": wtx.mixture_sample,
+        # URL canonicalization family (pipelines/urlops.py): normalize
+        # case/port/slash/query-order/tracking-params, then dedup by
+        # canonical url and by host (messy variants derived identically
+        # on both engines — fixture urls are uniform)
+        "canon_url_dedup": _canon_url_dedup,
+        "host_dedup": _host_dedup,
         "pack_sequences": _pack_sequences,
         "pages_pii_scan": _pii_scan,
         "pages_incremental_dedup": _incremental_dedup,
@@ -835,6 +853,14 @@ _JACCARD_PAIRS_SQL = """
     JOIN cnt cb ON cb.doc_id = doc_b
     WHERE i / (ca.n + cb.n - i) >= 0.5
 """
+
+
+def _urlops_sql(final_select: str) -> str:
+    """Compose the shared messy-variant + canonicalization CTE chain
+    (pipelines/urlops.py MESSY_URLS_SQL / CANON_SQL) with a final SELECT."""
+    from data_model_ray.pipelines.urlops import CANON_SQL, MESSY_URLS_SQL
+
+    return f"WITH {MESSY_URLS_SQL.strip()},\n{CANON_SQL.strip()}\n{final_select}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1250,6 +1276,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN q USING (source)
             ) WHERE rn <= k
         """,
+        "canon_url_dedup": _urlops_sql(
+            """
+            SELECT canon_url, COUNT(*) AS n_rows, MIN(r) AS kept_r
+            FROM canon GROUP BY canon_url
+            """
+        ),
+        "host_dedup": _urlops_sql(
+            r"""
+            SELECT lower(regexp_extract(canon_url,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)', 1)) AS host,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT canon_url) AS n_canon
+            FROM canon GROUP BY host
+            """
+        ),
         "pack_sequences": """
             WITH RECURSIVE d AS (
                 SELECT doc_id, doc_id // 64 AS rng,
