@@ -583,6 +583,47 @@ def _pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _bpe_token_counts(sf_dir: str):
+    from data_model_ray.stages.bpe import bpe_token_counts
+
+    return bpe_token_counts(sf_dir, n_merges=_BPE_MERGES)
+
+
+_BPE_MERGES = 30
+
+
+def _bpe_oracle_sql() -> str:
+    """Replayed-merge-CTE oracle: train the merge table on the sf0.01
+    corpus with the SAME pure function the engine uses (no Ray — direct
+    parquet read), then emit nested-replace SQL applying it. Merge-table
+    reproducibility itself is pinned by tests/test_bpe.py against a
+    from-scratch reference. sf0.01-pinned like the pages_* oracles."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from data_model_ray.stages.bpe import merge_pass_counts, replay_sql, train_bpe
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["text"]
+    )
+    toks = _pc.list_flatten(
+        _pc.split_pattern(t["text"].combine_chunks().cast("large_string"), " ")
+    )
+    toks = toks.filter(_pc.not_equal(toks, ""))
+    vc = toks.value_counts()
+    words = vc.field("values").to_pylist()
+    cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+    order = sorted(range(len(words)), key=lambda i: words[i])
+    words = [words[i] for i in order]
+    cnts = cnts[order]
+    merges = train_bpe(words, cnts, _BPE_MERGES)
+    passes = merge_pass_counts(words, merges)
+    return (
+        f"WITH {replay_sql(merges, passes).strip()} "
+        "SELECT doc_id, n_subtok FROM bpe"
+    )
+
+
 def _canon_url_dedup(sf_dir: str):
     from data_model_ray.pipelines.urlops import canon_url_dedup
 
@@ -652,6 +693,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on both engines — fixture urls are uniform)
         "canon_url_dedup": _canon_url_dedup,
         "host_dedup": _host_dedup,
+        # deterministic subword tokenizer (stages/bpe.py): corpus-trained
+        # merge table (bounded word-count exchange + driver train),
+        # broadcast + memoized apply; oracle replays the merges as nested
+        # SQL replace() (sf0.01-pinned like the pages_* oracles)
+        "bpe_token_counts": _bpe_token_counts,
         "pack_sequences": _pack_sequences,
         "pages_pii_scan": _pii_scan,
         "pages_incremental_dedup": _incremental_dedup,
@@ -1276,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN q USING (source)
             ) WHERE rn <= k
         """,
+        "bpe_token_counts": _bpe_oracle_sql(),
         "canon_url_dedup": _urlops_sql(
             """
             SELECT canon_url, COUNT(*) AS n_rows, MIN(r) AS kept_r

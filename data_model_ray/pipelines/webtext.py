@@ -400,21 +400,42 @@ def mixture_sample(sf_dir: str):
 # --- greedy sequence packing -------------------------------------------------
 
 
-def pack_sequences(sf_dir: str, *, budget: int = 256, range_size: int = 64):
+def pack_sequences(
+    sf_dir: str,
+    *,
+    budget: int = 256,
+    range_size: int = 64,
+    tokenizer: str = "whitespace",
+    merges=None,
+):
     """Greedy sequence packing: walk docs in doc_id order, appending each
     to the current bin unless its token count would overflow ``budget``,
     then start a new bin. Packing is inherently sequential, so the
     parallel unit is a doc_id range of ``range_size`` docs (bins never
     span ranges — the documented partitioning assumption; at corpus scale
     range == input shard). One groupby exchange on the range key; the
-    in-group walk touches at most ``range_size`` rows."""
+    in-group walk touches at most ``range_size`` rows.
+
+    ``tokenizer="bpe"`` packs by SUBWORD counts under the corpus-trained
+    merge table (``stages/bpe.py``; pass ``merges`` to reuse a trained
+    table) — same pipeline shape, only the per-block count kernel changes.
+    """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mref = _bpe_merges_ref(sf_dir, tokenizer, merges)
 
     def prep(t: pa.Table) -> pa.Table:
         arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
-        ntok = pc.cast(
-            pc.list_value_length(pc.split_pattern(arr, " ")), pa.int64()
-        )
+        if mref is not None:
+            import ray
+
+            from ..stages.bpe import BpeEncoder
+
+            enc = BpeEncoder(ray.get(mref))
+            ntok = pa.array(enc.count_texts(arr.to_pylist()))
+        else:
+            ntok = pc.cast(
+                pc.list_value_length(pc.split_pattern(arr, " ")), pa.int64()
+            )
         rng = pc.divide(t["doc_id"], pa.scalar(range_size, pa.int64()))
         return pa.table({"doc_id": t["doc_id"], "n_tokens": ntok, "rng": rng})
 
@@ -451,13 +472,41 @@ def pack_sequences(sf_dir: str, *, budget: int = 256, range_size: int = 64):
 # --- sliding token-window chunking --------------------------------------------
 
 
-def doc_chunks(sf_dir: str, *, window: int = 32, stride: int = 24):
+def _bpe_merges_ref(sf_dir: str, tokenizer: str, merges):
+    """Shared tokenizer plumbing: None for whitespace, else a ray.put ref
+    of the (possibly freshly corpus-trained) BPE merge table."""
+    if tokenizer == "whitespace":
+        return None
+    if tokenizer != "bpe":
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+    import ray
+
+    from ..stages.bpe import corpus_merges
+
+    if merges is None:
+        merges = corpus_merges(sf_dir)
+    return ray.put(merges)
+
+
+def doc_chunks(
+    sf_dir: str,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    tokenizer: str = "whitespace",
+    merges=None,
+):
     """Split each doc into overlapping token windows (embedding/RAG prep):
     chunk c covers tokens [c*stride, min(c*stride + window, n)). A pure
     flat-map — rows out > rows in, no shuffle. Fully vectorized: one
     ragged gather over the flat token array builds every chunk's token
-    list, one ``binary_join`` materializes the texts."""
+    list, one ``binary_join`` materializes the texts.
+
+    ``tokenizer="bpe"`` windows over SUBWORD tokens (corpus-trained merge
+    table, memoized per-word apply); the ragged-gather kernel is shared —
+    only the token-list builder changes."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mref = _bpe_merges_ref(sf_dir, tokenizer, merges)
 
     def chunk(t: pa.Table) -> pa.Table:
         arr = (
@@ -465,7 +514,16 @@ def doc_chunks(sf_dir: str, *, window: int = 32, stride: int = 24):
             if isinstance(t["text"], pa.ChunkedArray)
             else t["text"]
         )
-        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        if mref is not None:
+            import ray
+
+            from ..stages.bpe import BpeEncoder
+
+            enc = BpeEncoder(ray.get(mref))
+            tok_lists = enc.tokenize_texts(arr.to_pylist())
+            lists = pa.array(tok_lists, type=pa.large_list(pa.large_string()))
+        else:
+            lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
         row_offs = np.asarray(lists.offsets).astype(np.int64)
         flat = lists.values
         n = np.diff(row_offs)

@@ -64,8 +64,15 @@ def oracle_names():
     import __ray_entry__ as e
 
     # pages_* oracles are pinned to the driver's sf0.01 pages table; they
-    # are parity-tested at matched scale in tests/test_pages_oracles.py
-    return sorted(n for n in e.oracle_sql() if not n.startswith("pages_"))
+    # are parity-tested at matched scale in tests/test_pages_oracles.py.
+    # bpe_token_counts embeds the sf0.01-trained merge table (data-
+    # dependent oracle) — matched-scale parity lives in tests/test_bpe.py
+    # and tests/test_all_oracles_hash.py.
+    return sorted(
+        n
+        for n in e.oracle_sql()
+        if not n.startswith("pages_") and n != "bpe_token_counts"
+    )
 
 
 @pytest.mark.parametrize("name", oracle_names())
