@@ -285,6 +285,20 @@ def _knn_ivf(sf_dir: str):
     return knn_embeddings_ivf(ds, qm, qids, k=3, n_lists=16, n_probe=16)
 
 
+def _knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (list-pruned ADC scan + broadcast exact refine) —
+    rows-only entry (approximate by design; recall floor + full-probe/
+    full-refine == brute-force pinned in test_knn)."""
+    from data_model_ray.stages.knn import knn_embeddings_ivfpq
+
+    ds, qm, qids = _knn_queries(sf_dir)
+    if qm is None:
+        return _empty_knn_table()
+    return knn_embeddings_ivfpq(
+        ds, qm, qids, k=3, n_lists=16, n_probe=4, refine=4, train_size=256
+    )
+
+
 def _gcp_reproject(sf_dir: str):
     """Scattered-control-point (GCP) reprojection over a deterministic
     image-coordinate table (T1 hard case — TPS solve, no SQL oracle;
@@ -648,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": olap.distinct_users_per_type,
         "pivot_status_priority": olap.pivot_status_priority,
         "dense_rank_orders": olap.dense_rank_orders,
+        "rank_orders": olap.rank_orders,
+        "moving_avg_events": olap.moving_avg_events,
         "percent_rank_orders": olap.percent_rank_orders,
         "argmax_order_per_priority": olap.argmax_order_per_priority,
         "ntile_orders": olap.ntile_orders,
@@ -761,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings_lsh": _knn_lsh,
         "knn_embeddings_ivf": _knn_ivf,
         "knn_embeddings_pq": _knn_pq,
+        "knn_embeddings_ivfpq": _knn_ivfpq,
         "gcp_reproject": _gcp_reproject,
         "media_decode": _media_decode,
         "media_near_dups": _media_near_dups,
@@ -938,6 +955,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS drank
             FROM orders
+        """,
+        "rank_orders": """
+            SELECT o_orderkey,
+                   RANK() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC
+                   ) AS rnk
+            FROM orders
+        """,
+        "moving_avg_events": """
+            SELECT event_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ), 6) AS mov_avg
+            FROM events
         """,
         "percent_rank_orders": """
             SELECT o_orderkey,

@@ -144,6 +144,63 @@ def dense_rank_orders(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
 
 
+# --- RANK (with gaps) per partition -------------------------------------------
+
+
+def rank_orders(sf_dir: str):
+    """RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) —
+    rank WITH gaps (ties share a rank, the next rank skips), the
+    complement of dense_rank_orders. One hash exchange on the partition
+    key; the in-group rank is one vectorized searchsorted on the sorted
+    price vector (rank = #rows strictly greater + 1)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy(np.float64)
+        sv = np.sort(v, kind="mergesort")
+        # descending rank with gaps: 1 + count of values strictly greater
+        rank = len(v) - np.searchsorted(sv, v, side="right") + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "rnk": rank.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+# --- ROWS-frame moving average -------------------------------------------------
+
+
+def moving_avg_events(sf_dir: str, k: int = 3):
+    """AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW) — the row-count window frame
+    (complements the RANGE frame of ``relational.sliding_window_sum``).
+    One exchange on the partition key; per group: sort + prefix-sum, the
+    frame is a constant-offset slice so no searchsorted is needed."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        idx = np.arange(n)
+        lo = np.maximum(idx - k, 0)
+        cnt = idx - lo + 1
+        avg = (cs[idx + 1] - cs[lo]) / cnt
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "mov_avg": pc.round(pa.array(avg), **rnd).to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 # --- PERCENT_RANK / CUME_DIST per partition ----------------------------------
 
 

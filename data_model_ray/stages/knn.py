@@ -769,3 +769,192 @@ def knn_embeddings_pq(
         return g[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def knn_embeddings_ivfpq(
+    ds,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    train_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """IVF-PQ ANN — the memory-AND-compute scale rung, composing the IVF
+    list pruning of ``knn_embeddings_ivf`` with the PQ/ADC scoring of
+    ``knn_embeddings_pq``.
+
+    Train: ONE bounded deterministic sample fits both quantizers (coarse
+    centroids + per-subspace codebooks; PQ encodes the raw normalized
+    vectors, not residuals — documented simplification, exactness is
+    recovered by the refine pass). Index: each row assigns to its nearest
+    list inside ``map_batches``; rows in unprobed lists drop BEFORE the
+    exchange, and only ``(list_id, id, m uint8 codes)`` ever crosses it —
+    the float vectors never shuffle (the memory story: 8 code bytes vs
+    512 vector bytes at d=64). Scan: each probed list group ADC-scores its
+    probing queries via the broadcast LUT and keeps the per-(query, list)
+    top ``k*refine`` candidate ids. Refine: the bounded candidate id set
+    (<= nq * n_probe * k * refine) is pulled once and broadcast; the
+    dataset streams through one membership map computing EXACT cosine for
+    candidate rows only (the ``_verify_pairs_broadcast`` discipline — no
+    second shuffle), and a bounded driver combine emits the exact top-k
+    per query.
+
+    Exactness pin: with ``n_probe = n_lists`` and ``refine`` covering every
+    row, the candidate set is the whole corpus and the output equals
+    ``knn_embeddings`` exactly (tests/test_knn.py); at production settings
+    it is approximate by design (rows-only queries() entry, recall floor
+    pinned).
+    """
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    nq = len(qids)
+
+    train = (
+        ds.filter(expr=f"{id_col} < {int(train_size)}")
+        .select_columns([vec_col])
+        .to_pandas()
+    )
+    X = np.stack(train[vec_col].to_numpy())
+    cents = kmeans_centroids(X, n_lists, seed=seed)
+    books = pq_codebooks(X, m, ksub, seed=seed)
+    dsub = qm.shape[1] // m
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(nq, m, dsub), books)
+
+    probe = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    q_by_list: dict[int, np.ndarray] = {}
+    for qi in range(nq):
+        for c in probe[qi]:
+            q_by_list.setdefault(int(c), []).append(qi)
+    q_by_list = {c: np.array(v) for c, v in q_by_list.items()}
+    probed = np.zeros(n_lists, dtype=bool)
+    probed[list(q_by_list)] = True
+    idx_ref = ray.put((cents, probed, books, lut, qids, q_by_list))
+    n_cand = int(k * refine)
+
+    def emit_codes(batch: pa.Table) -> pa.Table:
+        cents_, probed_, books_, _, _, _ = ray.get(idx_ref)
+        mn = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(mn @ cents_.T, axis=1)
+        keep = probed_[assign]
+        if not keep.any():
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        codes = pq_encode_matrix(mn[keep], books_)
+        return pa.table(
+            {
+                "list_id": pa.array(assign[keep].astype(np.int64)),
+                "neighbor_id": pa.array(ids[keep].astype(np.int64)),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1)), codes.shape[1]
+                ),
+            }
+        )
+
+    def adc_list(group: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, lut_, qids_, q_by_list_ = ray.get(idx_ref)
+        c = int(group["list_id"].iloc[0])
+        qidx = q_by_list_[c]
+        ids = group["neighbor_id"].to_numpy(np.int64)
+        codes = np.stack(group["codes"].to_numpy()).astype(np.int64)
+        out = []
+        for qi in qidx:
+            adc = lut_[qi, np.arange(codes.shape[1]), codes].sum(axis=1)
+            mask = ids != qids_[qi]
+            cid, cs = ids[mask], adc[mask]
+            order = np.lexsort((cid, -cs))[:n_cand]
+            out.append(pd.DataFrame({"query_idx": qi, "neighbor_id": cid[order]}))
+        if not out:
+            return pd.DataFrame(columns=["query_idx", "neighbor_id"])
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        ds.map_batches(emit_codes, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(adc_list, batch_format="pandas")
+    )
+    from ..sources.fs import to_pandas_cols
+
+    cand_df = to_pandas_cols(cand, {"query_idx": "int64", "neighbor_id": "int64"})
+    # bounded: <= nq * n_probe * k * refine candidate pairs
+    cand_df = cand_df.drop_duplicates(["query_idx", "neighbor_id"])
+    cids = np.sort(cand_df["neighbor_id"].unique()).astype(np.int64)
+    by_id: dict[int, np.ndarray] = {
+        int(i): g["query_idx"].to_numpy(np.int64)
+        for i, g in cand_df.groupby("neighbor_id", sort=False)
+    }
+    ref2 = ray.put((qm, cids, by_id))
+
+    def exact_scores(batch: pa.Table) -> pd.DataFrame:
+        qm_, cids_, by_id_ = ray.get(ref2)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cids_, ids)
+        pos_c = np.minimum(pos, max(len(cids_) - 1, 0))
+        hit = (
+            np.flatnonzero(cids_[pos_c] == ids)
+            if len(cids_)
+            else np.array([], np.int64)
+        )
+        if not len(hit):
+            return pd.DataFrame(
+                {
+                    "query_idx": pd.Series(dtype=np.int64),
+                    "neighbor_id": pd.Series(dtype=np.int64),
+                    "cos": pd.Series(dtype=np.float64),
+                }
+            )
+        mn = _normalize(_as_matrix(batch[vec_col]))[hit]
+        hids = ids[hit]
+        frames = []
+        for row, nid in enumerate(hids):
+            qidx = by_id_[int(nid)]
+            cs = qm_[qidx] @ mn[row]
+            frames.append(
+                pd.DataFrame(
+                    {"query_idx": qidx, "neighbor_id": nid, "cos": cs}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    scored = ds.map_batches(exact_scores, batch_format="pyarrow")
+    sdf = to_pandas_cols(
+        scored, {"query_idx": "int64", "neighbor_id": "int64", "cos": "float64"}
+    )
+    out = []
+    for qi, g in sdf.groupby("query_idx", sort=True):
+        g = g.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), qids[qi], dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                "neighbor_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int64),
+            }
+        )
+    return pd.concat(out, ignore_index=True).reset_index(drop=True)

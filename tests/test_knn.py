@@ -301,3 +301,77 @@ class TestPQ:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(brute, exact)
+
+
+class TestIvfPq:
+    """IVF-PQ composition: recall floor at production settings; exactness
+    pin at full probe + full refine."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        df = ds.to_pandas()
+        return ds, df
+
+    def test_recall_beats_floor(self, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_ivfpq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 20
+        brute = knn_embeddings(ds, m[:nq], ids[:nq], k=3).to_pandas()
+        approx = knn_embeddings_ivfpq(
+            ds, m[:nq], ids[:nq], k=3, n_lists=8, n_probe=3, refine=4,
+            train_size=256,
+        )
+        hits = total = 0
+        for qid in ids[:nq]:
+            want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+            have = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(want & have)
+            total += len(want)
+        assert hits / total >= 0.5  # double prune (lists + ADC): lower floor
+
+    def test_full_probe_full_refine_matches_bruteforce(self, emb):
+        from data_model_ray.stages.knn import knn_embeddings, knn_embeddings_ivfpq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        nq = 8
+        brute = (
+            knn_embeddings(ds, m[:nq], ids[:nq], k=3)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        exact = (
+            knn_embeddings_ivfpq(
+                ds, m[:nq], ids[:nq], k=3, n_lists=8, n_probe=8,
+                refine=10_000, train_size=256,
+            )
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert (brute["query_id"].values == exact["query_id"].values).all()
+        assert (brute["neighbor_id"].values == exact["neighbor_id"].values).all()
+        assert (brute["rank"].values == exact["rank"].values).all()
+
+    def test_layout_invariant(self, emb):
+        from data_model_ray.stages.knn import knn_embeddings_ivfpq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        a = knn_embeddings_ivfpq(
+            ds, m[:5], ids[:5], k=3, n_lists=8, n_probe=8, refine=10_000,
+            train_size=256,
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = knn_embeddings_ivfpq(
+            ds.repartition(7), m[:5], ids[:5], k=3, n_lists=8, n_probe=8,
+            refine=10_000, train_size=256,
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
