@@ -268,11 +268,97 @@ def validate_raster_store(out_dir: str) -> list[str]:
     return problems
 
 
+def sniff_invindex(out_dir: str) -> bool:
+    m = _read_manifest(out_dir, "invindex_manifest.json")
+    return bool(m) and m.get("kind") == "inverted-index" and "partitions" in m
+
+
+def validate_invindex_store(out_dir: str) -> list[str]:
+    """CLOSED inverted-index store validation (third union member).
+
+    Structural: manifest fields typed and in range, every listed bucket
+    partition present and readable, no unknown partitions on disk.
+    Semantic (the contract that makes bucket-pruned lookups sound):
+    every partition's footer carries the manifest fingerprint, its row
+    count matches, its ``bucket`` column is constant == the partition
+    key, and every token re-hashes into that bucket
+    (``fingerprint64(token) % num_buckets``)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.text import fingerprint64
+    from ..state.lineage import FINGERPRINT_KEY
+
+    m = _read_manifest(out_dir, "invindex_manifest.json")
+    if m is None:
+        return ["invindex_manifest.json missing"]
+    problems: list[str] = []
+    nb = m.get("num_buckets")
+    if not isinstance(nb, int) or nb < 1:
+        return [f"invindex: num_buckets invalid: {nb!r}"]
+    fp = m.get("input_fingerprint")
+    if not isinstance(fp, str) or not fp:
+        problems.append("invindex: input_fingerprint missing")
+        fp = ""
+    parts = m.get("partitions") or {}
+    on_disk = {
+        os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+        for p in glob.glob(os.path.join(out_dir, "part=*", "data.parquet"))
+    }
+    for extra in sorted(on_disk - set(parts)):
+        problems.append(f"invindex: partition {extra!r} on disk but not in manifest")
+    for key, want_rows in sorted(parts.items()):
+        try:
+            b = int(key)
+        except ValueError:
+            problems.append(f"invindex: non-integer bucket key {key!r}")
+            continue
+        if not 0 <= b < nb:
+            problems.append(f"invindex: bucket {b} outside [0, {nb})")
+            continue
+        path = os.path.join(out_dir, f"part={key}", "data.parquet")
+        if not os.path.exists(path):
+            problems.append(f"invindex: partition {key!r} missing on disk")
+            continue
+        try:
+            t = pq.read_table(path)
+        except Exception as exc:
+            problems.append(f"invindex: partition {key!r} unreadable: {exc}")
+            continue
+        meta = t.schema.metadata or {}
+        got_fp = meta.get(FINGERPRINT_KEY, b"").decode()
+        if got_fp != fp:
+            problems.append(
+                f"invindex: partition {key!r} fingerprint {got_fp!r} != manifest"
+            )
+        if t.num_rows != want_rows:
+            problems.append(
+                f"invindex: partition {key!r} rows {t.num_rows} != manifest {want_rows}"
+            )
+        missing = {"bucket", "token", "doc_id"} - set(t.column_names)
+        if missing:
+            problems.append(f"invindex: partition {key!r} missing {sorted(missing)}")
+            continue
+        bvals = t["bucket"].to_numpy(zero_copy_only=False)
+        if len(bvals) and not (bvals == b).all():
+            problems.append(f"invindex: partition {key!r} has foreign bucket rows")
+        if t.num_rows:
+            h = (fingerprint64(t["token"]) % np.uint64(nb)).astype(np.int64)
+            if not (h == b).all():
+                problems.append(
+                    f"invindex: partition {key!r} token hash does not map to bucket"
+                )
+    return problems
+
+
 #: the store-model union, in dispatch order (first sniff wins) — the
 #: TypeAdapter(Sentinel1Root | Sentinel2Root) analogue
 STORE_MODELS: list[tuple[str, Callable[[str], bool], Callable[[str], list[str]]]] = [
     ("geocell-pyramid", sniff_pyramid, validate_pyramid_store),
     ("tile-raster", sniff_raster, validate_raster_store),
+    ("inverted-index", sniff_invindex, validate_invindex_store),
 ]
 
 

@@ -69,12 +69,43 @@ def build_inverted_index(
 
     n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     fp = f"invindex:v1:rows={n_rows}:buckets={num_buckets}"
-    return resumable_write(
+    summary = resumable_write(
         postings_dataset(sf_dir, num_buckets=num_buckets),
         out_dir,
         partition_col="bucket",
         fingerprint=fp,
     )
+    _write_manifest(out_dir, fp, num_buckets)
+    return summary
+
+
+def _write_manifest(out_dir: str, fingerprint: str, num_buckets: int) -> None:
+    """Consolidated store manifest — the closed-contract surface
+    ``functions.store.validate_invindex_store`` checks (third registered
+    store model; reference analogue: the per-product union members of
+    /root/reference/src/eopf_geozarr/data_api/s2_converter.py:408-418).
+    Atomic replace so a crashed run never leaves a half manifest."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = {}
+    for p in sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet"))):
+        bucket = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+        parts[bucket] = pq.read_metadata(p).num_rows
+    manifest = {
+        "kind": "inverted-index",
+        "version": 1,
+        "num_buckets": num_buckets,
+        "input_fingerprint": fingerprint,
+        "partitions": parts,
+    }
+    tmp = os.path.join(out_dir, f"invindex_manifest.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "invindex_manifest.json"))
 
 
 def inverted_index(sf_dir: str, out_dir: str | None = None):

@@ -194,3 +194,114 @@ class TestSpatialAttrs:
         tr = [0.5, 0.0, -180.0, 0.0, -0.5, 90.0]
         assert grid_bounds(tr, [360, 720]) == [-180.0, -90.0, 180.0, 90.0]
         assert grid_bounds([0.0, 0, 0, 0, 1.0, 0], [2, 2]) is None
+
+
+class TestInvindexStore:
+    """Third union member: closed inverted-index store contract
+    (classify + validate + tamper rejection + CLI e2e)."""
+
+    @pytest.fixture(scope="class")
+    def built(self, ray_session, tmp_path_factory):
+        from data_model_ray.pipelines.invindex import build_inverted_index
+
+        out = str(tmp_path_factory.mktemp("invindex_store"))
+        build_inverted_index("/root/testdata/sf0.001", out, num_buckets=8)
+        return out
+
+    def test_classify_and_validate_clean(self, built):
+        from data_model_ray.functions.store import classify_store, validate_store
+
+        assert classify_store(built) == "inverted-index"
+        kind, problems = validate_store(built)
+        assert kind == "inverted-index" and problems == []
+
+    def test_other_sniffs_reject(self, built):
+        from data_model_ray.functions.store import sniff_pyramid, sniff_raster
+
+        assert not sniff_pyramid(built) and not sniff_raster(built)
+
+    def _copy(self, built, tmp_path):
+        import shutil
+
+        dst = str(tmp_path / "copy")
+        shutil.copytree(built, dst)
+        return dst
+
+    def test_tamper_fingerprint(self, built, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from data_model_ray.functions.store import validate_store
+
+        dst = self._copy(built, tmp_path)
+        p = sorted(glob.glob(f"{dst}/part=*/data.parquet"))[0]
+        t = pq.read_table(p)
+        t = t.cast(t.schema.with_metadata({}))  # strip the fingerprint
+        pq.write_table(t, p)
+        kind, problems = validate_store(dst)
+        assert kind == "inverted-index"
+        assert any("fingerprint" in p for p in problems)
+
+    def test_tamper_foreign_bucket_rows(self, built, tmp_path):
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_model_ray.functions.store import validate_store
+
+        dst = self._copy(built, tmp_path)
+        paths = sorted(glob.glob(f"{dst}/part=*/data.parquet"))
+        a, b = pq.read_table(paths[0]), pq.read_table(paths[1])
+        # splice one bucket's rows into another (token hash now wrong)
+        moved = b.set_column(
+            b.schema.get_field_index("bucket"),
+            "bucket",
+            a["bucket"][:1].take(pa.array([0] * b.num_rows)),
+        )
+        merged = pa.concat_tables([a, moved]).cast(
+            a.schema.with_metadata(a.schema.metadata)
+        )
+        pq.write_table(merged, paths[0])
+        _, problems = validate_store(dst)
+        assert any("token hash" in p or "rows" in p for p in problems)
+
+    def test_tamper_manifest_bucket_range(self, built, tmp_path):
+        import json
+
+        from data_model_ray.functions.store import validate_store
+
+        dst = self._copy(built, tmp_path)
+        mp = f"{dst}/invindex_manifest.json"
+        m = json.load(open(mp))
+        m["partitions"]["99"] = 1
+        json.dump(m, open(mp, "w"))
+        _, problems = validate_store(dst)
+        assert any("outside [0, 8)" in p for p in problems)
+
+    def test_unknown_partition_on_disk(self, built, tmp_path):
+        import shutil
+
+        from data_model_ray.functions.store import validate_store
+
+        dst = self._copy(built, tmp_path)
+        shutil.copytree(f"{dst}/part=0", f"{dst}/part=7777")
+        _, problems = validate_store(dst)
+        assert any("not in manifest" in p for p in problems)
+
+    def test_cli_validate(self, built, tmp_path, capsys):
+        from data_model_ray.__main__ import main
+
+        assert main(["validate", "--out", built]) == 0
+        out = capsys.readouterr().out
+        assert "inverted-index" in out
+        # tampered copy must be rejected through the CLI too
+        dst = self._copy(built, tmp_path)
+        import json
+
+        mp = f"{dst}/invindex_manifest.json"
+        m = json.load(open(mp))
+        m["input_fingerprint"] = "invindex:v1:rows=1:buckets=8"
+        json.dump(m, open(mp, "w"))
+        assert main(["validate", "--out", dst]) != 0
