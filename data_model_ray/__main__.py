@@ -92,6 +92,17 @@ def cmd_info(args) -> int:
     if not os.path.exists(path):
         path = os.path.join(args.out, "tms_manifest.json")
     if not os.path.exists(path):
+        # no registered manifest: fall back to the generic hierarchy model
+        # (the pyz GroupSpec analogue) so foreign stores are still readable
+        if os.path.isdir(args.out):
+            from data_model_ray.functions.hierarchy import GroupSpec
+
+            spec = GroupSpec.from_dir(args.out)
+            if spec.arrays or spec.groups or spec.attrs or spec.sidecars:
+                print(repr(spec))
+                for p, item in sorted(spec.flat_items().items()):
+                    print(f"  {p}: {item!r}")
+                return 0
         print(f"no manifest in {args.out}", file=sys.stderr)
         return 1
     with open(path) as f:
