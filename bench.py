@@ -109,6 +109,11 @@ def run_queries() -> dict[str, float]:
 
     timed("doc_repetition", lambda: webtext.doc_repetition(SF_DIR))
     timed("substring_dedup", lambda: webtext.substring_dedup(SF_DIR))
+    # full RefinedWeb-style curation chain (quality -> exact dedup -> LSH
+    # near-dup CC dedup -> exact-substring cut); round-4 target <= 3s
+    from data_model_ray.pipelines.curate import curate_docs
+
+    timed("curate_docs_substr", lambda: curate_docs(SF_DIR, substring_k=8))
     timed(
         "incremental_dedup",
         lambda: webtext.incremental_dedup(pages_path_for_queries()),
