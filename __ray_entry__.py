@@ -695,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality metrics, contamination screening, PII scan, mixture
         # sampling, sequence packing, cross-snapshot dedup, zonal stats
         "doc_repetition": wtx.doc_repetition,
+        "gopher_rules": wtx.gopher_rules,
         "doc_chunks": wtx.doc_chunks,
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
@@ -1353,6 +1354,28 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents d JOIN q USING (source)
             ) WHERE rn <= k
+        """,
+        "gopher_rules": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_words,
+                       COUNT(DISTINCT CASE WHEN w IN ('a','and','of','the','to')
+                                           THEN w END) AS stop_distinct
+                FROM words GROUP BY doc_id
+            )
+            SELECT d.doc_id, s.n_words,
+                   ROUND((length(d.text) - (s.n_words - 1)) * 1.0 / s.n_words,
+                         6) AS mean_wl,
+                   s.stop_distinct
+            FROM documents d JOIN stats s USING (doc_id)
+            WHERE s.n_words BETWEEN 20 AND 90
+              AND ROUND((length(d.text) - (s.n_words - 1)) * 1.0 / s.n_words, 6)
+                  BETWEEN 3.8 AND 5.2
+              AND s.stop_distinct >= 1
         """,
         "bpe_token_counts": _bpe_oracle_sql(),
         "canon_url_dedup": _urlops_sql(

@@ -66,7 +66,7 @@ def run_headline(pages_path: str, n_rows: int) -> dict:
         # GRAFT_DEDUP_MODE=index for the single-node shared-index fast path
         dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "shuffle"),
         dedup_actors=max(8, NUM_CPUS // 2),
-        dedup_buckets=max(32, NUM_CPUS * 2),
+        dedup_buckets=max(512, NUM_CPUS * 8),
         cell_buckets=max(16, NUM_CPUS),
     )
     t0 = time.perf_counter()

@@ -42,7 +42,12 @@ class FlagshipConfig:
     #: fast path; winners table is bounded by the duplicated-key count)
     dedup_mode: str = "shuffle"
     dedup_actors: int = 16
-    dedup_buckets: int = 64
+    # 512 (not cpu-scaled 64): the dedup sort partitions equal the enrich
+    # output block count (~rows/batch_size), and fewer distinct bucket
+    # values than partitions creates empty sort partitions whose
+    # schema-less bundles Ray forwards + warns on; 512 >> any realistic
+    # partition count here, measured cost-free (5.6s vs 5.6s at 1M/32cpu)
+    dedup_buckets: int = 512
     cell_buckets: int = 32
     min_cells: int = 16
     h3_res: int = H3_RES

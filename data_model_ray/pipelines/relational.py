@@ -99,10 +99,14 @@ def groupby_agg(sf_dir: str):
         out = _round_col(out, ["sum_price"], nd=2)
         return _round_col(out, ["sum_qty", "avg_qty"])
 
+    # repartition tree, not a sort groupby: partials are <= 6 rows/block,
+    # and a sort exchange over 3 distinct l_returnflag keys necessarily
+    # leaves partitions empty (schema-less bundles Ray warns on). The
+    # single-block final is bounded by keys x blocks.
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("l_returnflag")
-        .map_groups(final, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
     )
 
 
@@ -319,12 +323,15 @@ def broadcast_join_counts(sf_dir: str):
     )
 
 
-def hash_join_revenue(sf_dir: str, num_buckets: int = 16):
+def hash_join_revenue(sf_dir: str, num_buckets: int = 256):
     """orders JOIN lineitem on orderkey -> revenue per orderstatus.
 
     Explicit partitioned hash join (bucket both sides on the key hash, join
     matching buckets inside map_groups) — the portable both-sides-large
-    pattern; B and skew notes per SURVEY 7.3.
+    pattern; B and skew notes per SURVEY 7.3. 256 buckets (power of 2):
+    more distinct keys than sort partitions keeps every partition
+    non-empty (no schema-less bundles), and per-bucket pandas merges are
+    batched inside one task per partition either way.
     """
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -67,6 +67,78 @@ def _col_token_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.n
     return splitmix64(hashed), offsets
 
 
+# --- Gopher-rules document filter --------------------------------------------
+
+GOPHER_STOPWORDS = ("a", "and", "of", "the", "to")
+#: popcount LUT for the 5-bit stopword presence masks
+_POP5 = np.array([bin(i).count("1") for i in range(1 << 5)], dtype=np.int64)
+
+
+def gopher_rules(
+    sf_dir: str,
+    *,
+    min_words: int = 20,
+    max_words: int = 90,
+    min_mean_wl: float = 3.8,
+    max_mean_wl: float = 5.2,
+    min_stop_distinct: int = 1,
+):
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    filter set): keep docs whose word count, mean word length and
+    distinct-stopword presence fall inside the published-band analogues
+    (thresholds adapted so each rule bites on the synthetic vocabulary).
+    Pure per-batch map — no shuffle, no state; mean word length computed
+    as (chars - (n_words - 1)) / n_words so both engines share the exact
+    integer-domain expression.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stops = pa.array(GOPHER_STOPWORDS, pa.large_string())
+
+    def keep(t: pa.Table) -> pa.Table:
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        ).cast(pa.large_string())
+        lists = pc.split_pattern(arr, " ")
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_wl = (chars - (n - 1)) / np.maximum(n, 1)
+        mean_wl = pc.round(
+            pa.array(mean_wl), ndigits=6, round_mode="half_towards_infinity"
+        ).to_numpy()
+        # distinct stopwords present per doc: flat membership -> stop index
+        # -> per-doc bitmask OR (vectorized reduceat; 5 stopwords = 5 bits)
+        flat = lists.values
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        sidx = np.searchsorted(np.array(GOPHER_STOPWORDS), flat.to_numpy(zero_copy_only=False))
+        sidx = np.clip(sidx, 0, len(GOPHER_STOPWORDS) - 1)
+        is_stop = pc.is_in(flat, value_set=stops).to_numpy(zero_copy_only=False)
+        bits = np.where(is_stop, np.left_shift(1, sidx), 0).astype(np.int64)
+        nz = np.diff(offs) > 0
+        masks = np.zeros(len(n), dtype=np.int64)
+        if nz.any():
+            masks[nz] = np.bitwise_or.reduceat(bits, offs[:-1][nz])
+        stop_distinct = _POP5[masks]
+        ok = (
+            (n >= min_words)
+            & (n <= max_words)
+            & (mean_wl >= min_mean_wl)
+            & (mean_wl <= max_mean_wl)
+            & (stop_distinct >= min_stop_distinct)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(n),
+                "mean_wl": pa.array(mean_wl),
+                "stop_distinct": pa.array(stop_distinct),
+            }
+        ).filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- Gopher-style repetition metrics ----------------------------------------
 
 

@@ -272,14 +272,26 @@ def knn_embeddings(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
+    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.sort_values(
+                ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+            )
+            .groupby("query_id", sort=True)
+            .head(k)
+            .sort_values("query_id", kind="mergesort")
+        )
+        g = g.assign(
+            rank=g.groupby("query_id", sort=False).cumcount().to_numpy() + 1
+        )
         return g[["query_id", "neighbor_id", "rank"]]
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # ONE coalesced combine (partials are <= n_queries * k rows per block),
+    # not a sort-based groupby: with only n_queries distinct keys most sort
+    # partitions would be empty (schema-less bundles Ray warns about)
+    return partials.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
 
 
 def kmeans_centroids(

@@ -446,3 +446,19 @@ def test_substring_auto_mode_picks_both_branches(ray_session):
     b = run(0)  # budget 0 -> forced join branch
     b = b[a.columns.tolist()].astype(a.dtypes.to_dict())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_rules_bites(ray_session):
+    """Each rule must actually drop documents on the fixture (thresholds
+    chosen against the synthetic vocabulary): kept < total, all metrics
+    inside the bands."""
+    import pyarrow.parquet as pq
+
+    from data_model_ray.pipelines.webtext import gopher_rules
+
+    total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    df = gopher_rules(SF).to_pandas()
+    assert 0 < len(df) < total
+    assert df["n_words"].between(20, 90).all()
+    assert df["mean_wl"].between(3.8, 5.2).all()
+    assert (df["stop_distinct"] >= 1).all()
