@@ -199,3 +199,28 @@ class TestFloodBucketStarEdges:
             docs=rd.from_pandas(docs.head(10)), threshold=1.5
         ).to_pandas()
         assert len(small) == 0
+
+
+class TestPairMethodParity:
+    """broadcast / join / forced-auto pair verification produce the same
+    verified pair set (values included)."""
+
+    def test_modes_agree_on_fixture(self, ray_session):
+        from data_model_ray.stages.neardup import minhash_lsh_candidates
+
+        path = f"{SF}/documents.parquet"
+
+        def norm(method, **kw):
+            df = minhash_lsh_candidates(
+                path, pair_method=method, **kw
+            ).to_pandas()
+            return (
+                df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            )
+
+        b = norm("broadcast")
+        j = norm("join")
+        a = norm("auto", pair_row_budget=0)  # forces the join path
+        assert len(b) > 0
+        pd.testing.assert_frame_equal(j, b, obj="join vs broadcast")
+        pd.testing.assert_frame_equal(a, b, obj="auto(join) vs broadcast")
