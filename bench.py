@@ -285,8 +285,95 @@ def _envelope(lo: int, hi: int, *, mem_bound: bool) -> float:
     return round((rates[hi] / rates[lo]) / (hi / lo), 3)
 
 
+def endurance() -> None:
+    """sf1-scale probe: flagship at 10M rows + curation on a 10x-duplicated
+    50k-doc corpus; reports rows/s, survivors and max object-store spill."""
+    import glob
+    import re
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_push_based_shuffle = True
+    ctx.op_resource_reservation_enabled = False
+
+    from data_model_ray import fixtures
+    from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+
+    n = 10_000_000
+    pages = _ensure_pages(n)
+    cfg = FlagshipConfig(
+        geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
+        batch_size=16384,
+        dedup_mode="shuffle",
+        dedup_actors=max(8, NUM_CPUS // 2),
+        cell_buckets=max(16, NUM_CPUS),
+    )
+    t0 = time.perf_counter()
+    res = run_flagship(pages_path=pages, out_dir="/tmp/endurance_pyramid", cfg=cfg)
+    flag_s = time.perf_counter() - t0
+
+    # 10x-duplicated docs corpus (90%-dup crawl regime)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs_dir = "/tmp/graft_docs_x10"
+    os.makedirs(docs_dir, exist_ok=True)
+    dp = f"{docs_dir}/documents.parquet"
+    if not os.path.exists(dp):
+        t = pq.read_table(f"{SF_DIR}/documents.parquet")
+        tiles = []
+        for k in range(10):
+            ids = pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) + k * t.num_rows
+            )
+            tiles.append(
+                t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+            )
+        pq.write_table(pa.concat_tables(tiles), dp)
+    from data_model_ray.pipelines.curate import curate_docs
+
+    t0 = time.perf_counter()
+    survivors = curate_docs(docs_dir, substring_k=8).count()
+    cur_s = time.perf_counter() - t0
+
+    spilled = 0
+    for p in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+        for m in re.finditer(r"Spilled (\d+) MiB", open(p, errors="ignore").read()):
+            spilled = max(spilled, int(m.group(1)))
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "flagship_rows": n,
+                "flagship_sec": round(flag_s, 2),
+                "flagship_rows_per_sec": round(n / flag_s),
+                "cells": res["cells"],
+                "curate_docs": 10 * 5000,
+                "curate_sec": round(cur_s, 2),
+                "curate_survivors": int(survivors),
+                "max_spilled_mib": spilled,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--endurance" in sys.argv:
+        endurance()
     else:
         main()
