@@ -199,3 +199,26 @@ class TestPipeline:
                 {"doc_id": np.int64, "chunk_id": np.int64, "n_tokens": np.int64}
             ),
         )
+
+
+class TestTrainInvariance:
+    def test_word_order_invariant(self):
+        """Training is a pure function of the (word -> count) MULTISET —
+        shuffling the distinct-word list cannot change the merge table."""
+        import random
+
+        words = ["low", "lower", "newest", "widest", "news", "wide"]
+        counts = np.array([5, 2, 6, 3, 4, 1])
+        base = train_bpe(words, counts, 6)
+        rng = random.Random(3)
+        for _ in range(5):
+            idx = list(range(len(words)))
+            rng.shuffle(idx)
+            got = train_bpe([words[i] for i in idx], counts[idx], 6)
+            assert got == base
+
+    def test_encoder_matches_apply(self):
+        enc = BpeEncoder([("e", "s"), ("es", "t")])
+        for w in ["newest", "est", "set", "s"]:
+            assert enc.tokens(w) == apply_merges(w, enc.merges)
+            assert enc.token_count(w) == len(enc.tokens(w))

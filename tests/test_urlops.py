@@ -122,3 +122,35 @@ class TestQueries:
         assert (df["n_rows"] >= 1).all()
         assert (df["n_rows"] >= 2).sum() > len(df) * 0.5
         assert (df["kept_r"] == 0).sum() > 0
+
+
+class TestProperties:
+    def test_canonicalize_idempotent(self):
+        """canon(canon(x)) == canon(x) — canonical forms are fixed points."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        hosts = st.sampled_from(["Host1.Example.COM", "a.b", "x-y.z"])
+        paths = st.sampled_from(["", "/", "/p", "/p/q/", "/p//"])
+        queries = st.sampled_from(
+            ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=y&b=2", "#f", "?q=1#f"]
+        )
+        ports = st.sampled_from(["", ":80", ":443", ":8080"])
+        schemes = st.sampled_from(["http", "https", "HTTPS"])
+
+        @settings(max_examples=60, deadline=None)
+        @given(s=schemes, h=hosts, pt=ports, p=paths, q=queries)
+        def check(s, h, pt, p, q):
+            url = f"{s}://{h}{pt}{p}{q}"
+            once = canonicalize_urls(pa.array([url])).to_pylist()[0]
+            twice = canonicalize_urls(pa.array([once])).to_pylist()[0]
+            assert twice == once
+
+        check()
+
+    def test_canon_batch_layout_invariant(self):
+        urls = [c[0] for c in CASES] * 7
+        a = canonicalize_urls(pa.array(urls)).to_pylist()
+        chunked = pa.chunked_array([urls[:5], urls[5:40], urls[40:]])
+        b = canonicalize_urls(chunked).to_pylist()
+        assert a == b
