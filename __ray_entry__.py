@@ -606,12 +606,17 @@ def _bpe_token_counts(sf_dir: str):
 _BPE_MERGES = 30
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _bpe_oracle_sql() -> str:
     """Replayed-merge-CTE oracle: train the merge table on the sf0.01
     corpus with the SAME pure function the engine uses (no Ray — direct
     parquet read), then emit nested-replace SQL applying it. Merge-table
     reproducibility itself is pinned by tests/test_bpe.py against a
-    from-scratch reference. sf0.01-pinned like the pages_* oracles."""
+    from-scratch reference. sf0.01-pinned like the pages_* oracles.
+    Cached: oracle_sql() is called once per parametrized oracle test."""
     import pyarrow.compute as _pc
     import pyarrow.parquet as pq
 
@@ -1377,7 +1382,11 @@ def oracle_sql() -> dict[str, str]:
                   BETWEEN 3.8 AND 5.2
               AND s.stop_distinct >= 1
         """,
-        "bpe_token_counts": _bpe_oracle_sql(),
+        **(
+            {"bpe_token_counts": _bpe_oracle_sql()}
+            if os.path.exists("/root/testdata/sf0.01/documents.parquet")
+            else {}
+        ),
         "canon_url_dedup": _urlops_sql(
             """
             SELECT canon_url, COUNT(*) AS n_rows, MIN(r) AS kept_r

@@ -101,11 +101,15 @@ class GroupSpec:
             elif entry != ATTRS_NAME:
                 import hashlib
 
+                # chunked hash — a foreign store can carry multi-GB
+                # sidecars (logs, archives); never load them whole
+                h = hashlib.sha256()
                 with open(p, "rb") as f:
-                    data = f.read()
+                    while chunk := f.read(1 << 20):
+                        h.update(chunk)
                 node.sidecars[entry] = SidecarSpec(
-                    size=len(data),
-                    sha256=hashlib.sha256(data).hexdigest(),
+                    size=os.path.getsize(p),
+                    sha256=h.hexdigest(),
                     source=p,
                 )
         return node

@@ -84,16 +84,30 @@ def _write_manifest(out_dir: str, fingerprint: str, num_buckets: int) -> None:
     ``functions.store.validate_invindex_store`` checks (third registered
     store model; reference analogue: the per-product union members of
     /root/reference/src/eopf_geozarr/data_api/s2_converter.py:408-418).
-    Atomic replace so a crashed run never leaves a half manifest."""
+    Atomic replace so a crashed run never leaves a half manifest.
+
+    Partitions are admitted by their FOOTER FINGERPRINT, not by presence
+    on disk: leftovers from a previous build with a different input or
+    bucket count carry a different fingerprint and are DELETED here (they
+    are invalid for this build by the resumable-write contract and would
+    otherwise make the just-built store fail its own closed validation).
+    """
     import glob
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    from ..state.lineage import FINGERPRINT_KEY
 
     parts = {}
     for p in sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet"))):
         bucket = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+        meta = pq.read_schema(p).metadata or {}
+        if meta.get(FINGERPRINT_KEY, b"").decode() != fingerprint:
+            shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+            continue
         parts[bucket] = pq.read_metadata(p).num_rows
     manifest = {
         "kind": "inverted-index",

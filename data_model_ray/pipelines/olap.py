@@ -184,12 +184,19 @@ def moving_avg_events(sf_dir: str, k: int = 3):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         v = g["value"].to_numpy(np.float64)
-        cs = np.concatenate([[0.0], np.cumsum(v)])
         n = len(v)
         idx = np.arange(n)
         lo = np.maximum(idx - k, 0)
         cnt = idx - lo + 1
-        avg = (cs[idx + 1] - cs[lo]) / cnt
+        # sum the <=(k+1)-row frame DIRECTLY, left-to-right (v[lo], then
+        # v[lo+1], ...) — the association DuckDB's frame aggregate uses.
+        # Prefix-sum differencing carries ~1 ulp of the running-total
+        # magnitude and can flip a 6dp midpoint against the oracle.
+        acc = v[lo].copy()
+        for j in range(1, k + 1):
+            sel = lo + j <= idx
+            acc[sel] = acc[sel] + v[lo[sel] + j]
+        avg = acc / cnt
         rnd = dict(ndigits=6, round_mode="half_towards_infinity")
         return pd.DataFrame(
             {

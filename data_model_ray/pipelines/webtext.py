@@ -498,11 +498,9 @@ def pack_sequences(
     def prep(t: pa.Table) -> pa.Table:
         arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
         if mref is not None:
-            import ray
+            from ..stages.bpe import encoder_for
 
-            from ..stages.bpe import BpeEncoder
-
-            enc = BpeEncoder(ray.get(mref))
+            enc = encoder_for(mref)  # per-worker cache — memo survives batches
             ntok = pa.array(enc.count_texts(arr.to_pylist()))
         else:
             ntok = pc.cast(
@@ -587,11 +585,9 @@ def doc_chunks(
             else t["text"]
         )
         if mref is not None:
-            import ray
+            from ..stages.bpe import encoder_for
 
-            from ..stages.bpe import BpeEncoder
-
-            enc = BpeEncoder(ray.get(mref))
+            enc = encoder_for(mref)  # per-worker cache — memo survives batches
             tok_lists = enc.tokenize_texts(arr.to_pylist())
             lists = pa.array(tok_lists, type=pa.large_list(pa.large_string()))
         else:

@@ -170,34 +170,32 @@ def sized_read_parquet(
     import ray.data as rd
 
     total = 0
-    first_file = None
-    last_file = None
+    all_files: list[str] = []
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".parquet"):
                     fp = os.path.join(root, f)
                     total += os.path.getsize(fp)
-                    if first_file is None:
-                        first_file = fp
-                    last_file = fp
+                    all_files.append(fp)
     elif os.path.exists(path):
         total = os.path.getsize(path)
-        first_file = path
+        all_files.append(path)
+    first_file = all_files[0] if all_files else None
     if total > 0:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         blocks = max(min_blocks, min(total // target_block_bytes, cpus * 4))
         kwargs.setdefault("override_num_blocks", int(blocks))
     if first_file is not None and "schema" not in kwargs:
-        cleaned = _clean_file_schema(first_file)
         # A directory of heterogeneous shards (or hive-partitioned columns
         # absent from the file schema) must fall back to Ray's own schema
         # unification — injecting one file's schema would misread the rest.
-        if (
-            cleaned is not None
-            and last_file is not None
-            and last_file != first_file
-            and not _same_clean_schema(last_file, cleaned)
+        # Every footer is checked (cheap metadata reads); directories with
+        # more shards than worth scanning just skip the optimization (the
+        # injected schema only suppresses Ray's schema-dedup warnings).
+        cleaned = _clean_file_schema(first_file) if len(all_files) <= 64 else None
+        if cleaned is not None and any(
+            not _same_clean_schema(f, cleaned) for f in all_files[1:]
         ):
             cleaned = None
         if cleaned is not None:

@@ -171,6 +171,25 @@ class BpeEncoder:
         ]
 
 
+#: per-worker-process encoder cache keyed by the broadcast ref — map
+#: functions run once per BATCH, and rebuilding the encoder there would
+#: throw away the distinct-word memo every batch
+_ENCODER_CACHE: dict[str, BpeEncoder] = {}
+
+
+def encoder_for(merges_ref) -> BpeEncoder:
+    """Worker-side: the (cached) BpeEncoder for a ``ray.put`` merges ref."""
+    import ray
+
+    key = merges_ref.hex() if hasattr(merges_ref, "hex") else str(merges_ref)
+    enc = _ENCODER_CACHE.get(key)
+    if enc is None:
+        enc = BpeEncoder(ray.get(merges_ref))
+        _ENCODER_CACHE.clear()  # one live tokenizer per worker is plenty
+        _ENCODER_CACHE[key] = enc
+    return enc
+
+
 def bpe_token_counts(sf_dir: str, *, n_merges: int = 30):
     """(doc_id, n_subtok) per document under the corpus-trained merges."""
     import ray

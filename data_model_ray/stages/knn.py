@@ -860,11 +860,14 @@ def knn_embeddings_ivfpq(
         assign = np.argmax(mn @ cents_.T, axis=1)
         keep = probed_[assign]
         if not keep.any():
+            # empty block must carry the SAME fixed_size_list type as the
+            # non-empty blocks — pa.list_ here makes the groupby exchange
+            # unable to concatenate blocks (irreconcilable schemas)
             return pa.table(
                 {
                     "list_id": pa.array([], pa.int64()),
                     "neighbor_id": pa.array([], pa.int64()),
-                    "codes": pa.array([], pa.list_(pa.uint8())),
+                    "codes": pa.array([], pa.list_(pa.uint8(), m)),
                 }
             )
         codes = pq_encode_matrix(mn[keep], books_)

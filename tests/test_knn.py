@@ -375,3 +375,20 @@ class TestIvfPq:
             refine=10_000, train_size=256,
         ).sort_values(["query_id", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_partial_probe_with_unprobed_blocks(self, emb):
+        """Production settings (n_probe << n_lists) with many small blocks:
+        some blocks have every row in an unprobed list and must emit
+        empty blocks whose codes type still matches the non-empty ones
+        (fixed_size_list) — regression for the schema-mismatch crash."""
+        from data_model_ray.stages.knn import knn_embeddings_ivfpq
+
+        ds, df = emb
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        out = knn_embeddings_ivfpq(
+            ds.repartition(40), m[:3], ids[:3], k=3, n_lists=8, n_probe=1,
+            refine=4, train_size=256,
+        )
+        assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+        assert len(out) > 0

@@ -305,3 +305,18 @@ class TestInvindexStore:
         m["input_fingerprint"] = "invindex:v1:rows=1:buckets=8"
         json.dump(m, open(mp, "w"))
         assert main(["validate", "--out", dst]) != 0
+
+    def test_rebuild_with_fewer_buckets_self_validates(
+        self, ray_session, tmp_path
+    ):
+        """Rebuilding the same out_dir with a different bucket count must
+        leave a store that passes its own closed validation (stale
+        partitions from the previous build are fingerprint-evicted)."""
+        from data_model_ray.functions.store import validate_store
+        from data_model_ray.pipelines.invindex import build_inverted_index
+
+        out = str(tmp_path / "rebuild")
+        build_inverted_index("/root/testdata/sf0.001", out, num_buckets=16)
+        build_inverted_index("/root/testdata/sf0.001", out, num_buckets=8)
+        kind, problems = validate_store(out)
+        assert kind == "inverted-index" and problems == []
