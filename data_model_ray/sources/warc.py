@@ -1,0 +1,145 @@
+"""WARC source: Common-Crawl-style web archives -> pages Dataset.
+
+Minimal from-scratch WARC/1.0 reader+writer (ISO 28500 subset: ``response``
+records with ``WARC-Target-URI`` / ``WARC-Date`` / ``Content-Length``) so
+the engine can ingest the archive format CC-style corpora actually ship
+in, not just parquet. The reference's analogue is its foreign-format
+source adapters (zarr/SAFE readers feeding the shared data model,
+/root/reference/src/eopf_geozarr/conversion/geozarr.py:158-259 — derive
+the model's columns from the source container's own metadata).
+
+Scale shape: one WARC shard file = one read task (`read_binary_files`)
+= one output block; record parsing is per-record byte-slicing inside the
+task (records are KB-scale — the per-record loop is parse granularity,
+same discipline as the multimodal codecs), header fields land in Arrow
+arrays, and the result feeds the SAME flagship path as the parquet
+source (extract -> geoindex -> dedup -> cells). Writer is deterministic
+(record ids derived from the url fingerprint, no uuid randomness) so
+round-trips are byte-reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_VERSION = b"WARC/1.0"
+
+
+def _warc_date(ts_us: np.ndarray) -> list[str]:
+    """timestamp[us] int64 -> WARC ISO8601 with microseconds (lossless)."""
+    return [
+        pd.Timestamp(int(t), unit="us").strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        for t in ts_us
+    ]
+
+
+def write_warc(table: pa.Table, path: str) -> int:
+    """Write one WARC shard from a (url, warc_ts, html) table; returns
+    the record count. Deterministic: record ids are the url fingerprint."""
+    from ..stages.text import fingerprint64
+
+    urls = table["url"].to_pylist()
+    ts = (
+        table["warc_ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    ).astype("datetime64[us]").astype(np.int64)
+    payloads = table["html"].to_pylist()
+    rids = fingerprint64(table["url"])
+    dates = _warc_date(ts)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        for url, date, rid, payload in zip(urls, dates, rids, payloads):
+            if isinstance(payload, str):
+                payload = payload.encode()
+            headers = (
+                _VERSION + _CRLF
+                + b"WARC-Type: response" + _CRLF
+                + f"WARC-Record-ID: <urn:uuid:{int(rid):016x}>".encode() + _CRLF
+                + f"WARC-Date: {date}".encode() + _CRLF
+                + f"WARC-Target-URI: {url}".encode() + _CRLF
+                + b"Content-Type: text/html" + _CRLF
+                + f"Content-Length: {len(payload)}".encode() + _CRLF
+                + _CRLF
+            )
+            f.write(headers)
+            f.write(payload)
+            f.write(_CRLF + _CRLF)
+    os.replace(tmp, path)
+    return len(urls)
+
+
+def write_warc_shards(
+    table: pa.Table, out_dir: str, *, shard_rows: int = 10_000
+) -> list[str]:
+    """Partitioned WARC output (one file per ``shard_rows`` rows)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, start in enumerate(range(0, table.num_rows, shard_rows)):
+        p = os.path.join(out_dir, f"shard-{i:05d}.warc")
+        write_warc(table.slice(start, shard_rows), p)
+        paths.append(p)
+    return paths
+
+
+def parse_warc(blob: bytes) -> pa.Table:
+    """One WARC shard blob -> (url, warc_ts, html) Arrow table.
+
+    Tolerant of unknown headers and non-response record types (skipped),
+    strict about Content-Length (payload is length-sliced, never
+    delimiter-scanned — html may legally contain anything)."""
+    urls: list[str] = []
+    ts: list[int] = []
+    htmls: list[bytes] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        head = blob[pos:head_end]
+        lines = head.split(_CRLF)
+        if not lines or not lines[0].startswith(_VERSION):
+            break
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields.get(b"content-length", b"0"))
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        # consume the record separator (two CRLFs)
+        while blob[pos : pos + 2] == _CRLF:
+            pos += 2
+        if fields.get(b"warc-type") != b"response":
+            continue
+        url = fields.get(b"warc-target-uri", b"").decode()
+        date = fields.get(b"warc-date", b"").decode()
+        t = pd.Timestamp(date.rstrip("Z")).value // 1000  # ns -> us
+        urls.append(url)
+        ts.append(t)
+        htmls.append(payload)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def read_warc(path: str):
+    """Dataset over a WARC shard directory (or single file): one read
+    task + one parsed block per shard, pages schema (url, warc_ts, html).
+    Feed it to ``stages.extract.extract_batch`` / the flagship exactly
+    like the parquet source."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_warc(b.as_py()) for b in batch["bytes"]]
+        return pa.concat_tables(tables) if tables else parse_warc(b"")
+
+    return rd.read_binary_files(path).map_batches(parse, batch_format="pyarrow")
