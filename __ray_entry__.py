@@ -701,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling, sequence packing, cross-snapshot dedup, zonal stats
         "doc_repetition": wtx.doc_repetition,
         "gopher_rules": wtx.gopher_rules,
+        "norm_text_dedup": wtx.norm_text_dedup,
         "doc_chunks": wtx.doc_chunks,
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
@@ -1359,6 +1360,24 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents d JOIN q USING (source)
             ) WHERE rn <= k
+        """,
+        "norm_text_dedup": """
+            WITH messy AS (
+                SELECT text AS t, 0::BIGINT AS r FROM documents
+                UNION ALL
+                SELECT CASE doc_id % 4
+                         WHEN 0 THEN text
+                         WHEN 1 THEN upper(text)
+                         WHEN 2 THEN replace(text, ' ', '  ')
+                         WHEN 3 THEN text || ' .'
+                       END AS t, 1::BIGINT AS r
+                FROM documents
+            )
+            SELECT trim(regexp_replace(regexp_replace(lower(t),
+                       '[.,!?]', ' ', 'g'), ' +', ' ', 'g'), ' ')
+                       AS norm_text,
+                   COUNT(*) AS n_rows, MIN(r) AS kept_r
+            FROM messy GROUP BY norm_text
         """,
         "gopher_rules": """
             WITH words AS (

@@ -67,6 +67,82 @@ def _col_token_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.n
     return splitmix64(hashed), offsets
 
 
+# --- normalized-text exact dedup ----------------------------------------------
+
+
+def normalize_texts(arr) -> pa.Array:
+    """Dedup-grade text normalization: lowercase, punctuation -> space,
+    whitespace collapsed, trimmed — the rung between byte-exact dedup and
+    near-dup (CCNet-style normalization before hashing). Pure pyarrow
+    kernels; byte-identical DuckDB twin in the oracle."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    x = pc.utf8_lower(arr.cast(pa.large_string()))
+    x = pc.replace_substring_regex(x, "[.,!?]", " ")
+    x = pc.replace_substring_regex(x, " +", " ")
+    return pc.utf8_trim(x, " ").cast(pa.string())
+
+
+#: the same normalization as a DuckDB expression over column ``t``
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[.,!?]', ' ', 'g'),"
+    " ' +', ' ', 'g'), ' ')"
+)
+
+
+def norm_text_dedup(sf_dir: str, *, num_buckets: int = 64):
+    """Normalization-insensitive exact dedup stats: per normalized text,
+    total row count and the kept (first) row's rank, over a messy-variant
+    table both engines derive identically (fixture texts are already
+    normalized, so variants make the operator bite — the
+    ``canon_url_dedup`` discipline). One bucketed exchange of per-block
+    (norm hash) partials; raw texts never shuffle twice."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t["text"].to_pandas().astype(str)
+        v = ids % 4
+        variant = base.copy()
+        variant[v == 1] = variant[v == 1].str.upper()
+        variant[v == 2] = variant[v == 2].str.replace(" ", "  ", regex=False)
+        variant[v == 3] = variant[v == 3] + " ."
+        texts = pa.array(
+            pd.concat([base, variant], ignore_index=True), pa.string()
+        )
+        r = np.concatenate(
+            [np.zeros(len(ids), np.int64), np.ones(len(ids), np.int64)]
+        )
+        return pa.table(
+            {"norm_text": normalize_texts(texts), "r": pa.array(r)}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("norm_text", sort=False).agg(
+            n_rows=("r", "size"), kept_r=("r", "min")
+        ).reset_index()
+        g["bucket"] = (
+            pd.util.hash_pandas_object(g["norm_text"], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("norm_text", sort=False).agg(
+            n_rows=("n_rows", "sum"), kept_r=("kept_r", "min")
+        )
+        return g.reset_index()[["norm_text", "n_rows", "kept_r"]]
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # --- Gopher-rules document filter --------------------------------------------
 
 GOPHER_STOPWORDS = ("a", "and", "of", "the", "to")

@@ -462,3 +462,19 @@ def test_gopher_rules_bites(ray_session):
     assert df["n_words"].between(20, 90).all()
     assert df["mean_wl"].between(3.8, 5.2).all()
     assert (df["stop_distinct"] >= 1).all()
+
+
+def test_norm_text_dedup_bites(ray_session):
+    """Every messy-variant class must collapse onto its base text: all
+    groups have exactly 2 rows with the base (r=0) kept."""
+    from data_model_ray.pipelines.webtext import norm_text_dedup, normalize_texts
+    import pyarrow as pa
+
+    df = norm_text_dedup(SF).to_pandas()
+    assert (df["n_rows"] == 2).all()
+    assert (df["kept_r"] == 0).all()
+    # kernel unit cases
+    got = normalize_texts(
+        pa.array(["A  B c.", "a b c", "  x!y  ", "P,q"])
+    ).to_pylist()
+    assert got == ["a b c", "a b c", "x y", "p q"]
