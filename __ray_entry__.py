@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_status_priority": olap.pivot_status_priority,
         "dense_rank_orders": olap.dense_rank_orders,
         "rank_orders": olap.rank_orders,
+        "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "percent_rank_orders": olap.percent_rank_orders,
         "argmax_order_per_priority": olap.argmax_order_per_priority,
@@ -962,6 +963,16 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS drank
             FROM orders
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, measure,
+                   CAST(value AS DOUBLE) AS value
+            FROM (
+                UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                                l_extendedprice, l_discount FROM lineitem)
+                ON l_quantity, l_extendedprice, l_discount
+                INTO NAME measure VALUE value
+            )
         """,
         "rank_orders": """
             SELECT o_orderkey,

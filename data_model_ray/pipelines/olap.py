@@ -144,6 +144,39 @@ def dense_rank_orders(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
 
 
+# --- UNPIVOT / melt -------------------------------------------------------------
+
+
+def unpivot_lineitem(sf_dir: str):
+    """UNPIVOT (melt) the lineitem measures into (key, measure, value)
+    rows — the inverse of ``pivot_status_priority``. Pure per-batch
+    flat-map (rows out = 3x rows in, no shuffle, no state): one Arrow
+    concat of the three measure slices per block."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", *cols])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t["l_orderkey"].cast(pa.int64())
+        lines = t["l_linenumber"].cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": pa.concat_arrays(
+                    [keys.combine_chunks()] * len(cols)
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [lines.combine_chunks()] * len(cols)
+                ),
+                "measure": pa.array(np.repeat(cols, n), pa.string()),
+                "value": pa.concat_arrays(
+                    [t[c].cast(pa.float64()).combine_chunks() for c in cols]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 # --- RANK (with gaps) per partition -------------------------------------------
 
 
