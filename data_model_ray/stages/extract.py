@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 GEO_PATTERN = r'<meta name="geo\.position" content="(?P<lat>-?[0-9.]+);(?P<lon>-?[0-9.]+)">'
 TEXT_PATTERN = r"(?s)<body><p>(?P<text>.*)</p></body>"
 TITLE_PATTERN = r"<title>(?P<title>[^<]*)</title>"
+LANG_PATTERN = r'<meta name="language" content="(?P<lang>[^"]*)">'
 
 
 def extract_batch(
@@ -57,6 +58,11 @@ def extract_batch(
             )
 
     out = batch.drop_columns([c for c in ("html", "text") if c in batch.column_names])
+    if "lang" not in batch.column_names:
+        # archive-format sources (WARC) carry no lang column — recover it
+        # from the html language meta so both sources feed the same schema
+        lang = pc.struct_field(pc.extract_regex(html, LANG_PATTERN), "lang")
+        out = out.append_column("lang", pc.cast(lang, pa.string()))
     out = out.append_column("text", pc.cast(text, pa.string()))
     out = out.append_column("lat", lat)
     out = out.append_column("lon", lon)

@@ -117,3 +117,39 @@ class TestDataset:
         for u, la, lo in zip(got["url"].to_pylist(), lats, lons):
             wla, wlo = by_url[u]
             assert abs(la - wla) < 1e-9 and abs(lo - wlo) < 1e-9
+
+
+class TestFlagshipParity:
+    def test_warc_source_produces_identical_cells(self, ray_session, tmp_path):
+        """The north-star end-to-end claim: the flagship produces
+        IDENTICAL cell stats whether pages arrive as parquet or WARC
+        (lang recovered from the html meta on the archive path)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from data_model_ray.pipelines.flagship import (
+            FlagshipConfig,
+            pages_to_cells,
+        )
+
+        n = 3000
+        pages_t = fixtures.pages_batch(np.arange(n))
+        pq.write_table(pages_t, str(tmp_path / "pages.parquet"))
+        warc_dir = str(tmp_path / "warc")
+        write_warc_shards(pages_t, warc_dir, shard_rows=800)
+
+        cfg = FlagshipConfig(dedup_mode="shuffle")
+        def cells_of(ds):
+            _, cells = pages_to_cells(ds, cfg)
+            return (
+                cells.to_pandas()
+                .sort_values("cell")
+                .reset_index(drop=True)
+            )
+
+        a = cells_of(rd.read_parquet(str(tmp_path / "pages.parquet")))
+        b = cells_of(read_warc(warc_dir))
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
