@@ -24,6 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _PAGES_CACHE: dict[int, str] = {}
 
+#: pages-backed queries whose oracle SQL is pinned to the driver's sf0.01
+#: pages table (like the `pages_*` family): matched-scale parity lives in
+#: tests/test_all_oracles_hash.py; the sf0.001 value sweep skips them.
+PAGES_SCALE_PINNED = {
+    "host_links",
+    "host_degree",
+    "pagerank_hosts",
+    "two_hop_hosts",
+}
+
 
 def _pages_path(sf_dir: str) -> str:
     """Synthesize (once per scale) the pages table matching `sf_dir`'s scale."""
@@ -74,6 +84,34 @@ def _norm_table_fn(int64_cols=(), round6_cols=()):
         return t
 
     return fn
+
+
+def _host_links(sf_dir: str):
+    """Host→host edge multiplicities from <a href> anchors (link graph)."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.host_links(_pages_path(sf_dir))
+
+
+def _host_degree(sf_dir: str):
+    """Distinct-edge out/in degree per host."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.host_degree(_pages_path(sf_dir))
+
+
+def _pagerank_hosts(sf_dir: str):
+    """Fixed-point PageRank (5 iterations) over the distinct host graph."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.pagerank_hosts(_pages_path(sf_dir))
+
+
+def _two_hop_hosts(sf_dir: str):
+    """Distinct 2-hop reach per host (edge-table self-join)."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.two_hop_hosts(_pages_path(sf_dir))
 
 
 def _pages_assignments(sf_dir: str):
@@ -766,6 +804,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the hash-based ones (minhash/simhash LSH, s2 Hilbert ids, LSH ANN)
         # are DuckDB-oracled via data_model_ray.oracles at sf0.01 scale.
         "pages_assignments": _pages_assignments,
+        "host_links": _host_links,               # link-graph edge counts
+        "host_degree": _host_degree,             # distinct-edge degrees
+        "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
+        "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
         "pages_s2_cells": _pages_s2_cells,
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
@@ -924,6 +966,59 @@ _JACCARD_PAIRS_SQL = """
     JOIN cnt cb ON cb.doc_id = doc_b
     WHERE i / (ca.n + cb.n - i) >= 0.5
 """
+
+
+def _links_cte(n: int) -> str:
+    """Exploded (src_host, dst_host) link rows from the pages html —
+    byte-for-byte the rows `stages.extract.extract_links_batch` emits."""
+    return f"""links AS (
+        SELECT CAST(regexp_extract(url, 'host([0-9]+)\\.', 1) AS BIGINT) AS src_host,
+               CAST(UNNEST(regexp_extract_all(decode(html),
+                    '<a href="https://host([0-9]+)\\.example\\.com/">', 1)) AS BIGINT) AS dst_host
+        FROM read_parquet('/tmp/graft_pages/n{n}/*.parquet')
+    )"""
+
+
+def _pagerank_sql(n: int, iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank CTE chain mirroring
+    `pipelines/linkgraph.pagerank_hosts` VERBATIM: SCALE=10^12, alpha=17/20,
+    every step int64 floor division (`//`) — bit-identical by construction,
+    no float-summation-order slack to round away."""
+    scale = 10**12
+    cte = [
+        _links_cte(n),
+        "e AS (SELECT DISTINCT src_host, dst_host FROM links)",
+        """ew AS (SELECT src_host, dst_host,
+               CAST(COUNT(*) OVER (PARTITION BY src_host) AS BIGINT) AS d FROM e)""",
+        "nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT host, {scale} // nn.n AS r FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"""c{k} AS (
+            SELECT ew.dst_host AS host, CAST(SUM(r{p}.r // ew.d) AS BIGINT) AS contrib
+            FROM ew JOIN r{p} ON r{p}.host = ew.src_host GROUP BY 1)"""
+        )
+        cte.append(
+            f"""g{k} AS (
+            SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang FROM r{p}
+            WHERE host NOT IN (SELECT src_host FROM e))"""
+        )
+        cte.append(
+            f"""r{k} AS (
+            SELECT n2.host,
+                   (3 * ({scale} // nn.n)) // 20
+                   + (17 * (COALESCE(c{k}.contrib, 0) + g{k}.dang // nn.n)) // 20 AS r
+            FROM nodes n2 CROSS JOIN nn CROSS JOIN g{k}
+            LEFT JOIN c{k} ON c{k}.host = n2.host)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT host, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}"
+    )
 
 
 def _urlops_sql(final_select: str) -> str:
@@ -1461,6 +1556,31 @@ def oracle_sql() -> dict[str, str]:
         "pages_incremental_dedup": oracles.incremental_dedup_sql(_ORACLE_N),
         "pages_zonal_stats": oracles.pages_zonal_stats_sql(_ORACLE_N),
         "pages_assignments": oracles.pages_assignments_sql(_ORACLE_N),
+        "host_links": f"""
+            WITH {_links_cte(_ORACLE_N)}
+            SELECT src_host, dst_host, COUNT(*) AS n
+            FROM links GROUP BY 1, 2
+        """,
+        "host_degree": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            e AS (SELECT DISTINCT src_host, dst_host FROM links),
+            o AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_deg
+                  FROM e GROUP BY 1),
+            i AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_deg
+                  FROM e GROUP BY 1)
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(o.out_deg, 0) AS out_deg,
+                   COALESCE(i.in_deg, 0) AS in_deg
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        "pagerank_hosts": _pagerank_sql(_ORACLE_N),
+        "two_hop_hosts": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            e AS (SELECT DISTINCT src_host, dst_host FROM links)
+            SELECT a.src_host AS host, COUNT(DISTINCT b.dst_host) AS n_2hop
+            FROM e a JOIN e b ON a.dst_host = b.src_host
+            GROUP BY 1
+        """,
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
         "pages_raster": oracles.pages_raster_sql(_ORACLE_N),
         "pages_knn": oracles.pages_knn_sql(_ORACLE_N),

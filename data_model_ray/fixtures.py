@@ -87,6 +87,11 @@ PAGES_SCHEMA = pa.schema(
 _TS_BASE_US = 1704067200_000_000  # 2024-01-01T00:00:00Z in epoch micros
 _TS_RANGE_US = 366 * 86400 * 1_000_000  # one year
 
+#: bump whenever `pages_batch` output changes — `ensure_pages_parquet`
+#: stamps this into the `_DONE` marker so stale /tmp caches regenerate.
+FIXTURE_VERSION = 2
+MAX_OUTLINKS = 5  # 0..4 host-level anchors per page
+
 
 def _zipf_cdf(n: int, s: float) -> np.ndarray:
     w = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** s
@@ -98,6 +103,16 @@ _REGION_CDF = np.cumsum(REGION_WEIGHTS / REGION_WEIGHTS.sum())
 _LANG_CDF = np.cumsum(LANG_WEIGHTS / LANG_WEIGHTS.sum())
 
 
+def _flat_array(values: np.ndarray) -> pa.Array:
+    """``pa.array`` that is ALWAYS a single contiguous Array — pyarrow
+    silently returns a ChunkedArray for large numpy string inputs (seen at
+    ~7M elements), which ``LargeListArray.from_arrays`` rejects."""
+    arr = pa.array(values)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
 def canonical_id(ids: np.ndarray) -> np.ndarray:
     """Canonical row id: duplicate rows (id % 50 == 7, id > 0) alias id-1."""
     ids = np.asarray(ids, dtype=np.int64)
@@ -107,6 +122,9 @@ def canonical_id(ids: np.ndarray) -> np.ndarray:
 def pages_batch(ids: np.ndarray) -> pa.Table:
     """Generate pages rows for the given row ids (pure, vectorized)."""
     ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) == 0:
+        # np.char.mod returns float64 for empty inputs — short-circuit
+        return PAGES_SCHEMA.empty_table()
     canon = canonical_id(ids)
     ck = canon.astype(U64)
     ok = ids.astype(U64)
@@ -152,10 +170,35 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
         widx = (
             hash_stream(canon_rep + U64(0x51_7CC1B7) * pos.astype(U64), 11) % U64(64)
         ).astype(np.int64)
-    flat_words = pa.array(WORDS[widx])
+    flat_words = _flat_array(WORDS[widx])
     offsets = pa.array(row_starts, type=pa.int64())
     word_lists = pa.LargeListArray.from_arrays(offsets, flat_words)
     text = pc.binary_join(word_lists, " ")
+
+    # --- outlinks: 0-4 host-level anchors (keyed by canonical id) ---
+    # Targets draw from the SAME Zipf host universe as page hosts, so the
+    # derived host graph has realistic in-degree skew (hub hosts). Keyed by
+    # canonical id: duplicate urls carry identical anchors, preserving the
+    # byte-identical-html-per-url property the WARC round-trip relies on.
+    n_links = (hash_stream(ck, 12) % U64(MAX_OUTLINKS)).astype(np.int64)
+    ltotal = int(n_links.sum())
+    lstarts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_links, out=lstarts[1:])
+    lpos = np.arange(ltotal, dtype=np.int64) - np.repeat(lstarts[:-1], n_links)
+    lck = np.repeat(ck, n_links)
+    with np.errstate(over="ignore"):
+        lkey = lck + U64(0x51_7CC1B7) * lpos.astype(U64)
+    tgt = np.searchsorted(_HOST_CDF, uniform01(lkey, 13), side="right")
+    anchor = np.char.add(
+        np.char.add('<a href="https://host', tgt.astype("U4")),
+        '.example.com/">l</a>',
+    )
+    anchors = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            pa.array(lstarts, type=pa.int64()), _flat_array(anchor)
+        ),
+        "",
+    )
 
     # --- html wrapping text + geo/lang meta hints ---
     lat_s = pa.array(np.char.mod("%.6f", lat))
@@ -172,7 +215,9 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
         pa.array(lang),
         pa.array(np.full(len(ids), '"></head><body><p>')),
         text,
-        pa.array(np.full(len(ids), "</p></body></html>")),
+        pa.array(np.full(len(ids), "</p><nav>")),
+        anchors,
+        pa.array(np.full(len(ids), "</nav></body></html>")),
         "",
     )
 
@@ -185,6 +230,32 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
             "lang": pa.array(lang),
         }
     )
+
+
+def pages_expected_links(ids: np.ndarray) -> dict[str, np.ndarray]:
+    """Golden exploded outlinks per row id — independent of the extractor.
+
+    Returns ``src_host`` (the page's own host id, repeated per link) and
+    ``dst_host`` (anchor target host id), exactly the rows
+    ``stages.extract.extract_links_batch`` must produce for these ids.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    ck = canonical_id(ids).astype(U64)
+    host_id = np.searchsorted(_HOST_CDF, uniform01(ck, 1), side="right")
+    n_links = (hash_stream(ck, 12) % U64(MAX_OUTLINKS)).astype(np.int64)
+    lstarts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_links, out=lstarts[1:])
+    lpos = np.arange(int(n_links.sum()), dtype=np.int64) - np.repeat(
+        lstarts[:-1], n_links
+    )
+    lck = np.repeat(ck, n_links)
+    with np.errstate(over="ignore"):
+        lkey = lck + U64(0x51_7CC1B7) * lpos.astype(U64)
+    tgt = np.searchsorted(_HOST_CDF, uniform01(lkey, 13), side="right")
+    return {
+        "src_host": np.repeat(host_id, n_links).astype(np.int64),
+        "dst_host": tgt.astype(np.int64),
+    }
 
 
 def pages_expected_geo(ids: np.ndarray) -> dict[str, np.ndarray]:
@@ -365,8 +436,13 @@ def ensure_pages_parquet(n_rows: int, *, root: str = "/tmp/graft_pages") -> str:
     import shutil
 
     path = os.path.join(root, f"n{n_rows}")
-    if os.path.exists(os.path.join(path, "_DONE")):
-        return path
+    marker = os.path.join(path, "_DONE")
+    stamp = f"{n_rows} v{FIXTURE_VERSION}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return path
+        # stale cache from an older fixture version — regenerate below
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -381,7 +457,7 @@ def ensure_pages_parquet(n_rows: int, *, root: str = "/tmp/graft_pages") -> str:
     else:
         write_pages_parquet_direct(tmp, n_rows)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write(str(n_rows))
+        f.write(stamp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)

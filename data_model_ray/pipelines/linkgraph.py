@@ -1,0 +1,329 @@
+"""Web link-graph family: host edge list, degree stats, PageRank.
+
+A Common-Crawl-style corpus is also a GRAPH — every page's ``<a href>``
+anchors induce host→host edges — and the classic corpus-curation signals
+(in-degree, PageRank) are graph aggregates over it. This module derives the
+host graph from the pages table and computes those signals Ray-Data-first:
+
+- **Edges leave the scan as two int64 columns.** The link extraction kernel
+  (`stages/extract.py:extract_links_batch`) is a stateless vectorized map
+  over the html buffer; page payloads never enter any exchange in this
+  family — everything downstream shuffles integers bounded by the HOST
+  graph (≤ |hosts|² pairs, in practice ~E distinct edges), not the corpus.
+- **Per-block partials before every groupby** (the repo-wide discipline:
+  SURVEY.md §7.4): block-local Arrow/pandas group-counts shrink the
+  exchange to near-distinct rows before the shuffle.
+- **PageRank is FIXED-POINT integer arithmetic** (``SCALE = 10^12``,
+  ``alpha = 17/20``): every share/teleport/damping step is int64 floor
+  division, so ranks are bit-identical across engines, block orders,
+  retries and cluster sizes — the property that lets a DuckDB unrolled-CTE
+  oracle hash-match the distributed run exactly (float summation order
+  would not). Total mass stays ≤ SCALE, so ``17 * contrib`` fits int64
+  with 5 decimal orders to spare.
+- **Iteration state is model-sized, not data-sized** (the `stages/kmeans.py`
+  discipline): the rank vector is bounded by the host universe — the
+  analogue of k×dim centroids — broadcast via ``ray.put`` once per
+  iteration; contributions come back as block-local sparse partials whose
+  combined size is host-bounded. The edge dataset (with out-degrees
+  attached once) stays distributed and materialized in the object store
+  across iterations, exactly like the kmeans E-step corpus. Beyond a
+  rank-vector broadcast budget (~10^8 hosts) the iteration would swap to
+  a ranks⋈edges bucketed exchange per step; the fixed-point semantics are
+  partition-invariant either way, so both paths hash-identically.
+
+Reference analogue: the reference's multi-level derivation chain — each
+pyramid level is an aggregate of the previous level's state
+(/root/reference/src/eopf_geozarr/conversion/geozarr.py:262-382,
+`iterative_copy` level loop); PageRank iterates the same
+derive-from-previous-level shape over graph neighborhoods instead of
+pixel neighborhoods.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.fs import sized_read_parquet, to_pandas_cols
+from ..stages.extract import extract_links_batch
+
+# Fixed-point PageRank constants — mirrored VERBATIM in the DuckDB oracle
+# (__ray_entry__.pagerank_hosts_sql). Changing any of these changes results.
+PR_SCALE = 10**12
+PR_ALPHA_NUM = 17
+PR_ALPHA_DEN = 20
+
+
+def _edge_stream(pages_path: str):
+    """Exploded (src_host, dst_host) rows — the corpus-side map stage."""
+    ds = sized_read_parquet(pages_path, columns=["url", "html"])
+    return ds.map_batches(extract_links_batch, batch_format="pyarrow")
+
+
+def host_links(pages_path: str):
+    """Edge multiplicities: ``(src_host, dst_host, n)``.
+
+    Per-block Arrow group-count partials (bounded by distinct pairs per
+    block) → one groupby exchange keyed on ``src_host`` → in-group final
+    combine. Duplicate urls contribute their anchors per crawl row, same
+    as the SQL twin's per-page UNNEST.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src_host": t["src_host"].to_numpy(),
+                "dst_host": t["dst_host"].to_numpy(),
+            }
+        )
+        g = df.groupby(["src_host", "dst_host"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["src_host", "dst_host"], sort=False)
+        return g.agg(n=("n", "sum")).reset_index()
+
+    return (
+        _edge_stream(pages_path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("src_host")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def host_degree(pages_path: str):
+    """Distinct-edge degrees per host: ``(host, out_deg, in_deg)``.
+
+    Exchange 1 groups raw edges by ``src_host`` — every copy of an edge
+    shares its src, so the in-group dedup is globally exact. Each distinct
+    edge then emits two tagged degree rows (src: out, dst: in) and
+    exchange 2 sums them per host. Both exchanges carry host-graph-bounded
+    rows; block-level dedup partials shrink exchange 1 first.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src_host": t["src_host"].to_numpy(),
+                "dst_host": t["dst_host"].to_numpy(),
+            }
+        )
+        return df.drop_duplicates()
+
+    def distinct_to_degrees(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.drop_duplicates()  # exact: all copies of (src, *) are here
+        out = e.groupby("src_host", sort=False).size().rename("out_deg")
+        out_rows = pd.DataFrame(
+            {
+                "host": out.index.to_numpy(np.int64),
+                "out_deg": out.to_numpy(np.int64),
+                "in_deg": np.zeros(len(out), dtype=np.int64),
+            }
+        )
+        inc = e.groupby("dst_host", sort=False).size().rename("in_deg")
+        in_rows = pd.DataFrame(
+            {
+                "host": inc.index.to_numpy(np.int64),
+                "out_deg": np.zeros(len(inc), dtype=np.int64),
+                "in_deg": inc.to_numpy(np.int64),
+            }
+        )
+        return pd.concat([out_rows, in_rows], ignore_index=True)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("host", sort=False)
+        return g.agg(out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")).reset_index()
+
+    return (
+        _edge_stream(pages_path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("src_host")
+        .map_groups(distinct_to_degrees, batch_format="pandas")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def distinct_edges_with_deg(pages_path: str):
+    """Distinct edges carrying the src out-degree: ``(src_host, dst_host, d)``.
+
+    One exchange keyed on ``src_host``: dedup and degree are both exact
+    within the src group. This is the materialization PageRank re-scans
+    every iteration (kmeans-corpus discipline).
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src_host": t["src_host"].to_numpy(),
+                "dst_host": t["dst_host"].to_numpy(),
+            }
+        )
+        return df.drop_duplicates()
+
+    def attach_deg(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.drop_duplicates().reset_index(drop=True)
+        d = e.groupby("src_host", sort=False)["dst_host"].transform("size")
+        e["d"] = d.to_numpy(np.int64)
+        return e
+
+    return (
+        _edge_stream(pages_path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("src_host")
+        .map_groups(attach_deg, batch_format="pandas")
+    )
+
+
+def pagerank_hosts(pages_path: str, *, n_iters: int = 5):
+    """Fixed-point PageRank over the distinct host graph.
+
+    Semantics (mirrored exactly by the SQL oracle; all int64 floor
+    division)::
+
+        N        = |hosts appearing as src or dst|
+        r0(v)    = SCALE // N
+        share(s) = r(s) // d(s)                      (d = out-degree)
+        contrib(v) = sum of share(s) over in-edges (s, v)
+        dang     = sum of r(s) over hosts with no out-edges
+        r'(v)    = ((20-17) * (SCALE // N)) // 20
+                   + (17 * (contrib(v) + dang // N)) // 20
+
+    Returns a pandas DataFrame ``(host, rank_e12)`` — rank in SCALE units
+    as int64 (exactly reproducible; divide by 1e12 for the float view).
+
+    Scale shape: the edge dataset (host-graph-bounded) is materialized
+    once and re-scanned per iteration with the current rank vector
+    broadcast via ``ray.put``; per-block contributions come back as sparse
+    int64 partials (``np.add.at`` — exact, no float accumulation) and the
+    driver folds them into the next rank vector, holding exactly two
+    host-length arrays (the kmeans-centroid bound).
+    """
+    import ray
+
+    edges = distinct_edges_with_deg(pages_path).materialize()
+
+    # node universe + out-degree lookup (host-graph-bounded collects)
+    def node_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": np.union1d(
+                    t["src_host"].to_numpy(), t["dst_host"].to_numpy()
+                )
+            }
+        )
+
+    node_parts = to_pandas_cols(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        {"host": "int64"},
+    )
+    hosts = np.unique(node_parts["host"].to_numpy(np.int64))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": np.array([], dtype=np.int64),
+                             "rank_e12": np.array([], dtype=np.int64)})
+
+    # dangling mask: hosts never seen as src (degree lookup, host-bounded)
+    def src_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": np.unique(t["src_host"].to_numpy(zero_copy_only=False))}
+        )
+
+    src_hosts = np.unique(
+        to_pandas_cols(
+            edges.map_batches(src_partial, batch_format="pyarrow"),
+            {"host": "int64"},
+        )["host"].to_numpy(np.int64)
+    )
+    dangling = ~np.isin(hosts, src_hosts)
+
+    base = np.int64(PR_SCALE // n)
+    tele = np.int64(((PR_ALPHA_DEN - PR_ALPHA_NUM) * int(base)) // PR_ALPHA_DEN)
+    ranks = np.full(n, base, dtype=np.int64)
+    hosts_ref = ray.put(hosts)
+
+    for _ in range(n_iters):
+        ranks_ref = ray.put(ranks)
+
+        def contrib_partial(t: pa.Table) -> pd.DataFrame:
+            h = ray.get(hosts_ref)
+            r = ray.get(ranks_ref)
+            src = t["src_host"].to_numpy(zero_copy_only=False)
+            dst = t["dst_host"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            share = r[np.searchsorted(h, src)] // d
+            dst_u, inv = np.unique(dst, return_inverse=True)
+            acc = np.zeros(len(dst_u), dtype=np.int64)
+            np.add.at(acc, inv, share)  # exact int64 — no float accumulation
+            return pd.DataFrame({"host": dst_u.astype(np.int64), "contrib": acc})
+
+        parts = to_pandas_cols(
+            edges.map_batches(contrib_partial, batch_format="pyarrow"),
+            {"host": "int64", "contrib": "int64"},
+        )
+        contrib = np.zeros(n, dtype=np.int64)
+        if len(parts):
+            idx = np.searchsorted(hosts, parts["host"].to_numpy(np.int64))
+            np.add.at(contrib, idx, parts["contrib"].to_numpy(np.int64))
+        dang = np.int64(ranks[dangling].sum())
+        ranks = tele + (
+            np.int64(PR_ALPHA_NUM) * (contrib + dang // np.int64(n))
+        ) // np.int64(PR_ALPHA_DEN)
+
+    return pd.DataFrame({"host": hosts.astype(np.int64), "rank_e12": ranks})
+
+
+def two_hop_hosts(pages_path: str):
+    """Distinct 2-hop reach per host: ``(host, n_2hop)`` — the number of
+    distinct hosts reachable in exactly two edge traversals (a→mid→b,
+    self-loops and revisits counted once; b may equal a).
+
+    The self-join co-partitions BOTH sides of the join key (a.dst = b.src)
+    in one exchange via the tagged-union trick (`relational.py` hash-join
+    discipline): edge (s, d) lands in group d as an IN row and in group s
+    as an OUT row; each mid-group emits its in×out cross product
+    deduplicated locally, and a second exchange dedups (a, b) pairs
+    globally before the per-src count. Every stage is bounded by the host
+    graph (≤|hosts|² pairs), never the corpus.
+    """
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        dst = t["dst_host"].to_numpy(zero_copy_only=False)
+        e = pd.DataFrame({"src_host": src, "dst_host": dst}).drop_duplicates()
+        ins = pd.DataFrame(
+            {"key": e["dst_host"], "other": e["src_host"],
+             "side": np.zeros(len(e), dtype=np.int8)}
+        )
+        outs = pd.DataFrame(
+            {"key": e["src_host"], "other": e["dst_host"],
+             "side": np.ones(len(e), dtype=np.int8)}
+        )
+        return pd.concat([ins, outs], ignore_index=True)
+
+    def cross_mid(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates()  # exact: all copies of (x, mid) share mid
+        a = np.unique(g.loc[g["side"] == 0, "other"].to_numpy(np.int64))
+        b = np.unique(g.loc[g["side"] == 1, "other"].to_numpy(np.int64))
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"a": np.array([], dtype=np.int64), "b": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": np.repeat(a, len(b)), "b": np.tile(b, len(a))}
+        )
+
+    def count_per_src(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates()
+        out = g.groupby("a", sort=False).size().rename("n_2hop").reset_index()
+        return out.rename(columns={"a": "host"})
+
+    return (
+        _edge_stream(pages_path)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(cross_mid, batch_format="pandas")
+        .groupby("a")
+        .map_groups(count_per_src, batch_format="pandas")
+    )

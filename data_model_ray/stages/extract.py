@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 GEO_PATTERN = r'<meta name="geo\.position" content="(?P<lat>-?[0-9.]+);(?P<lon>-?[0-9.]+)">'
-TEXT_PATTERN = r"(?s)<body><p>(?P<text>.*)</p></body>"
+TEXT_PATTERN = r"(?s)<body><p>(?P<text>.*)</p>(?:<nav>|</body>)"
 TITLE_PATTERN = r"<title>(?P<title>[^<]*)</title>"
 LANG_PATTERN = r'<meta name="language" content="(?P<lang>[^"]*)">'
 
@@ -89,3 +89,51 @@ class HtmlExtract:
         return extract_batch(
             batch, verify_text=self.verify_text, keep_title=self.keep_title
         )
+
+
+# --------------------------------------------------------------------------
+# Outlink extraction (web link graph)
+# --------------------------------------------------------------------------
+
+_LINK_SPLIT = '<a href="https://host'
+_LINK_HOST_PATTERN = r"^(?P<h>[0-9]+)\.example\.com/"
+_URL_HOST_PATTERN = r"host(?P<h>[0-9]+)\."
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """Explode each page's ``<a href>`` anchors into ``(src_host, dst_host)``
+    edge rows — the corpus-side map of the link-graph family
+    (`pipelines/linkgraph.py`).
+
+    Fully vectorized over the Arrow string buffer: one ``split_pattern`` on
+    the anchor prefix yields k+1 fragments per page (fragment 0 = everything
+    before the first anchor, dropped with an offset mask), then one
+    ``extract_regex`` parses the target host id off each remaining fragment.
+    No Python row loop; html bytes never copied (zero-copy cast to string
+    view). The stage's output is the EDGE table only — html is dropped, so
+    downstream graph aggregations shuffle integers, never page payloads.
+    """
+    import numpy as np
+
+    html = pc.cast(batch["html"], pa.string())
+    pieces = pc.split_pattern(html, _LINK_SPLIT)
+    lengths = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+    total = int(lengths.sum())
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    keep = np.ones(total, dtype=bool)
+    keep[starts[:-1][lengths > 0]] = False  # fragment 0 of every page
+    keep_arr = pa.array(keep)
+    flat = pc.list_flatten(pieces).filter(keep_arr)
+    parent = pc.list_parent_indices(pieces).filter(keep_arr)
+    dst = pc.cast(
+        pc.struct_field(pc.extract_regex(flat, _LINK_HOST_PATTERN), "h"),
+        pa.int64(),
+    )
+    src = pc.cast(
+        pc.struct_field(
+            pc.extract_regex(batch["url"].take(parent), _URL_HOST_PATTERN), "h"
+        ),
+        pa.int64(),
+    )
+    return pa.table({"src_host": src, "dst_host": dst})

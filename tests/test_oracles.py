@@ -71,7 +71,9 @@ def oracle_names():
     return sorted(
         n
         for n in e.oracle_sql()
-        if not n.startswith("pages_") and n != "bpe_token_counts"
+        if not n.startswith("pages_")
+        and n != "bpe_token_counts"
+        and n not in e.PAGES_SCALE_PINNED
     )
 
 
