@@ -32,6 +32,7 @@ PAGES_SCALE_PINNED = {
     "host_degree",
     "pagerank_hosts",
     "two_hop_hosts",
+    "snapshot_diff",
 }
 
 
@@ -105,6 +106,13 @@ def _pagerank_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.pagerank_hosts(_pages_path(sf_dir))
+
+
+def _snapshot_diff(sf_dir: str):
+    """Crawl-over-crawl url diff (added / removed / both)."""
+    from data_model_ray.pipelines import urlops
+
+    return urlops.snapshot_diff(_pages_path(sf_dir))
 
 
 def _two_hop_hosts(sf_dir: str):
@@ -808,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree": _host_degree,             # distinct-edge degrees
         "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
+        "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
         "pages_s2_cells": _pages_s2_cells,
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
@@ -1580,6 +1589,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src_host AS host, COUNT(DISTINCT b.dst_host) AS n_2hop
             FROM e a JOIN e b ON a.dst_host = b.src_host
             GROUP BY 1
+        """,
+        "snapshot_diff": f"""
+            WITH s AS (
+                SELECT url,
+                       MAX(CASE WHEN warc_ts < TIMESTAMP '2024-07-01'
+                                THEN 1 ELSE 0 END) AS in_a,
+                       MAX(CASE WHEN warc_ts >= TIMESTAMP '2024-07-01'
+                                THEN 1 ELSE 0 END) AS in_b
+                FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')
+                GROUP BY url
+            )
+            SELECT url,
+                   CASE WHEN in_a = 1 AND in_b = 1 THEN 'both'
+                        WHEN in_a = 1 THEN 'removed'
+                        ELSE 'added' END AS status
+            FROM s
         """,
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
         "pages_raster": oracles.pages_raster_sql(_ORACLE_N),

@@ -311,3 +311,68 @@ def host_dedup(sf_dir: str, *, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (crawl CDC)
+# ---------------------------------------------------------------------------
+
+#: snapshot boundary for `snapshot_diff` — fixture timestamps span 2024
+SNAPSHOT_CUTOFF_US = 1719792000_000_000  # 2024-07-01T00:00:00Z epoch micros
+
+
+def snapshot_diff(pages_path: str):
+    """Crawl-over-crawl change detection: classify every url as ``added``
+    (second half-year only), ``removed`` (first only) or ``both``.
+
+    The CDC primitive of an incremental crawl pipeline: two snapshots of
+    the same corpus diffed BY KEY, not by row. One pass computes per-block
+    (url, in_a, in_b) presence partials (vectorized timestamp compare +
+    pandas max — near-distinct already), then a single url-keyed exchange
+    ORs the presence bits; page payloads never shuffle. Scale: the
+    exchange carries <= |distinct urls| 3-column rows, and at 100 TB the
+    same shape runs per url-hash bucket with the lineage writer so a
+    resumed diff skips finished buckets.
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+    cutoff = pa.scalar(SNAPSHOT_CUTOFF_US, type=pa.timestamp("us"))
+
+    from ..stages.dedup import _key_bucket
+
+    num_buckets = 256
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        in_a = pc.less(t["warc_ts"], cutoff)
+        df = pd.DataFrame(
+            {
+                "url": t["url"].to_pandas(),
+                "in_a": in_a.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        df["in_b"] = 1 - df["in_a"]
+        g = df.groupby("url", sort=False)
+        out = g.agg(in_a=("in_a", "max"), in_b=("in_b", "max")).reset_index()
+        out["__bucket"] = _key_bucket(pa.array(out["url"]), num_buckets)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas groupby per BUCKET (never per url group —
+        # a raw url-keyed map_groups costs one UDF call per distinct url)
+        g = group.groupby("url", sort=False)
+        s = g.agg(in_a=("in_a", "max"), in_b=("in_b", "max")).reset_index()
+        status = np.where(
+            (s["in_a"] == 1) & (s["in_b"] == 1),
+            "both",
+            np.where(s["in_a"] == 1, "removed", "added"),
+        )
+        return pd.DataFrame({"url": s["url"], "status": status})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
