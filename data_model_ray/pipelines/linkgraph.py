@@ -207,7 +207,13 @@ def distinct_edges_with_deg(pages_path: str):
     )
 
 
-def pagerank_hosts(pages_path: str, *, n_iters: int = 5):
+def pagerank_hosts(
+    pages_path: str,
+    *,
+    n_iters: int = 5,
+    method: str = "broadcast",
+    broadcast_node_budget: int = 50_000_000,
+):
     """Fixed-point PageRank over the distinct host graph.
 
     Semantics (mirrored exactly by the SQL oracle; all int64 floor
@@ -224,16 +230,33 @@ def pagerank_hosts(pages_path: str, *, n_iters: int = 5):
     Returns a pandas DataFrame ``(host, rank_e12)`` — rank in SCALE units
     as int64 (exactly reproducible; divide by 1e12 for the float view).
 
-    Scale shape: the edge dataset (host-graph-bounded) is materialized
-    once and re-scanned per iteration with the current rank vector
-    broadcast via ``ray.put``; per-block contributions come back as sparse
-    int64 partials (``np.add.at`` — exact, no float accumulation) and the
-    driver folds them into the next rank vector, holding exactly two
-    host-length arrays (the kmeans-centroid bound).
+    ``method="broadcast"`` (default): the edge dataset (host-graph-bounded)
+    is materialized once and re-scanned per iteration with the current rank
+    vector broadcast via ``ray.put``; per-block contributions come back as
+    sparse int64 partials (``np.add.at`` — exact, no float accumulation)
+    and the driver folds them into the next rank vector, holding exactly
+    two host-length arrays (the kmeans-centroid bound).
+
+    ``method="exchange"``: the rank vector NEVER lands on the driver — the
+    scale path for host universes past the broadcast budget (a real web
+    graph has ~10^8 hosts; two f64 vectors of that is fine, but the same
+    engine must also rank page-level graphs where it is not). Ranks live
+    as a bucketed Dataset co-partitioned with the edges on ``_hbucket``;
+    each iteration is two tagged-union bucket exchanges (ranks⋈edges on
+    the src bucket → contribution partials routed to the dst bucket →
+    next ranks) plus one streaming scalar aggregate for the dangling
+    mass. The fixed-point arithmetic makes the two modes BIT-IDENTICAL
+    (pinned by tests/test_linkgraph.py), so ``method="auto"`` can pick by
+    counting nodes against ``broadcast_node_budget`` without changing
+    results.
     """
     import ray
 
     edges = distinct_edges_with_deg(pages_path).materialize()
+    if method in ("exchange", "auto"):
+        node_deg, n_nodes = _node_deg_ds(edges)
+        if method == "exchange" or n_nodes > broadcast_node_budget:
+            return _pagerank_exchange(edges, node_deg, n_nodes, n_iters)
 
     # node universe + out-degree lookup (host-graph-bounded collects)
     def node_partial(t: pa.Table) -> pd.DataFrame:
@@ -303,6 +326,212 @@ def pagerank_hosts(pages_path: str, *, n_iters: int = 5):
         ) // np.int64(PR_ALPHA_DEN)
 
     return pd.DataFrame({"host": hosts.astype(np.int64), "rank_e12": ranks})
+
+
+def _node_deg_ds(edges):
+    """Distributed node universe with out-degrees: Dataset of
+    ``(host, d0, __b)`` (d0 = 0 for dangling hosts), plus the node count.
+    Built from the distinct-edge dataset with one host-bucket exchange —
+    hosts never collect on the driver."""
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        dst = t["dst_host"].to_numpy(zero_copy_only=False)
+        rows = pd.DataFrame(
+            {
+                "host": np.concatenate([src, dst]),
+                "one": np.concatenate(
+                    [np.ones(len(src), dtype=np.int64),
+                     np.zeros(len(dst), dtype=np.int64)]
+                ),
+            }
+        )
+        g = rows.groupby("host", sort=False)
+        out = g.agg(d0=("one", "sum")).reset_index()
+        out["__b"] = _hbucket(out["host"].to_numpy())
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("host", sort=False)
+        out = g.agg(d0=("d0", "sum")).reset_index()
+        out["__b"] = _hbucket(out["host"].to_numpy())
+        return out
+
+    # repartition(8) coalesces the empty per-partition blocks Ray's sort
+    # emits for key-less partitions — empty bundles bypass map fns entirely,
+    # so they can only be removed here, before the dataset is re-scanned
+    node_deg = (
+        edges.map_batches(emit, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+        .repartition(8)
+        .materialize()
+    )
+    return node_deg, node_deg.count()
+
+
+def _pagerank_exchange(edges, node_deg, n: int, n_iters: int):
+    """Ranks-as-Dataset PageRank iteration (see `pagerank_hosts` docstring).
+
+    Per iteration: union(ranks, edges) bucketed on the SRC bucket emits
+    per-bucket contribution partials routed to the DST bucket; union with
+    `node_deg` there produces the next rank rows. All rows are int64
+    triples bounded by the host graph; the driver holds only the scalars
+    (n, dangling mass, teleport constant). The output collect at the end
+    is N-bounded — a 10^8-host production run would `write_parquet` the
+    final ranks dataset instead (same pipeline, different sink).
+    """
+    if n == 0:
+        return pd.DataFrame(
+            {"host": np.array([], dtype=np.int64),
+             "rank_e12": np.array([], dtype=np.int64)}
+        )
+
+    base = PR_SCALE // n
+    tele = ((PR_ALPHA_DEN - PR_ALPHA_NUM) * base) // PR_ALPHA_DEN
+
+    def init_ranks(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": t["host"].to_numpy(zero_copy_only=False),
+                "r": np.full(t.num_rows, base, dtype=np.int64),
+                "d0": t["d0"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "__b": t["__b"].to_numpy(zero_copy_only=False).astype(np.int32),
+            }
+        )
+
+    ranks = node_deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    _EMPTY_CONTRIB = {"host": "int64", "contrib": "int64", "__b": "int32"}
+
+    def rank_side(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": t["host"].to_numpy(zero_copy_only=False),
+                "dst": np.full(t.num_rows, -1, dtype=np.int64),
+                "d": np.zeros(t.num_rows, dtype=np.int64),
+                "r": t["r"].to_numpy(zero_copy_only=False),
+                "side": np.zeros(t.num_rows, dtype=np.int8),
+                "__b": t["__b"].to_numpy(zero_copy_only=False).astype(np.int32),
+            }
+        )
+
+    def edge_side(t: pa.Table) -> pd.DataFrame:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "key": src,
+                "dst": t["dst_host"].to_numpy(zero_copy_only=False),
+                "d": t["d"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "r": np.zeros(len(src), dtype=np.int64),
+                "side": np.ones(len(src), dtype=np.int8),
+                "__b": _hbucket(src),
+            }
+        )
+
+    def bucket_contrib(group: pd.DataFrame) -> pd.DataFrame:
+        rk = group[group["side"] == 0]
+        ed = group[group["side"] == 1]
+        if len(ed) == 0:
+            return pd.DataFrame(
+                {k: np.array([], dtype=v) for k, v in _EMPTY_CONTRIB.items()}
+            )
+        hs = rk["key"].to_numpy(np.int64)
+        order = np.argsort(hs, kind="mergesort")
+        hs_sorted = hs[order]
+        rs_sorted = rk["r"].to_numpy(np.int64)[order]
+        src = ed["key"].to_numpy(np.int64)
+        share = rs_sorted[np.searchsorted(hs_sorted, src)] // ed["d"].to_numpy(
+            np.int64
+        )
+        dst = ed["dst"].to_numpy(np.int64)
+        dst_u, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(dst_u), dtype=np.int64)
+        np.add.at(acc, inv, share)
+        return pd.DataFrame(
+            {"host": dst_u, "contrib": acc, "__b": _hbucket(dst_u)}
+        )
+
+    def node_side(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": t["host"].to_numpy(zero_copy_only=False),
+                "contrib": np.zeros(t.num_rows, dtype=np.int64),
+                "d0": t["d0"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "side": np.zeros(t.num_rows, dtype=np.int8),
+                "__b": t["__b"].to_numpy(zero_copy_only=False).astype(np.int32),
+            }
+        )
+
+    def contrib_side(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": t["host"].to_numpy(zero_copy_only=False),
+                "contrib": t["contrib"].to_numpy(zero_copy_only=False),
+                "d0": np.zeros(t.num_rows, dtype=np.int64),
+                "side": np.ones(t.num_rows, dtype=np.int8),
+                "__b": t["__b"].to_numpy(zero_copy_only=False).astype(np.int32),
+            }
+        )
+
+    for _ in range(n_iters):
+        # dangling mass: streaming scalar over the ranks dataset, no exchange
+        def dang_partial(t: pa.Table) -> pd.DataFrame:
+            d0 = t["d0"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({"s": np.array([r[d0 == 0].sum()], dtype=np.int64)})
+
+        dang = int(
+            to_pandas_cols(
+                ranks.map_batches(dang_partial, batch_format="pyarrow"),
+                {"s": "int64"},
+            )["s"].sum()
+        )
+        contribs = (
+            ranks.map_batches(rank_side, batch_format="pyarrow")
+            .union(edges.map_batches(edge_side, batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(bucket_contrib, batch_format="pandas")
+        )
+
+        dang_n = dang // n
+
+        def next_rank(group: pd.DataFrame) -> pd.DataFrame:
+            nodes = group[group["side"] == 0]
+            cs = group[group["side"] == 1]
+            hs = nodes["host"].to_numpy(np.int64)
+            order = np.argsort(hs, kind="mergesort")
+            hs_sorted = hs[order]
+            contrib = np.zeros(len(hs_sorted), dtype=np.int64)
+            if len(cs):
+                idx = np.searchsorted(hs_sorted, cs["host"].to_numpy(np.int64))
+                np.add.at(contrib, idx, cs["contrib"].to_numpy(np.int64))
+            r = tele + (PR_ALPHA_NUM * (contrib + dang_n)) // PR_ALPHA_DEN
+            return pd.DataFrame(
+                {
+                    "host": hs_sorted,
+                    "r": r,
+                    "d0": nodes["d0"].to_numpy(np.int64)[order],
+                    "__b": nodes["__b"].to_numpy(np.int32)[order],
+                }
+            )
+
+        ranks = (
+            node_deg.map_batches(node_side, batch_format="pyarrow")
+            .union(contribs.map_batches(contrib_side, batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(next_rank, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+
+    out = to_pandas_cols(ranks, {"host": "int64", "r": "int64"})
+    return pd.DataFrame(
+        {
+            "host": out["host"].to_numpy(np.int64),
+            "rank_e12": out["r"].to_numpy(np.int64),
+        }
+    )
 
 
 def two_hop_hosts(pages_path: str):

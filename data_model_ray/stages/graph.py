@@ -371,12 +371,18 @@ def _keep_join_path(docs, losers, id_col: str, num_buckets: int):
         losers.map_batches(tag_losers, batch_format="pyarrow")
     )
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        lose = set(df.loc[df["__side"] == 0, id_col])
-        keep = df[(df["__side"] == 1) & ~df[id_col].isin(lose)]
-        return keep[names]
+    def anti(t: pa.Table) -> pa.Table:
+        # pure-Arrow in-bucket anti-join: exotic column types (binary html,
+        # timestamps, lists) pass through untouched — a pandas group stage
+        # would round-trip them through object dtype and could float-ify
+        # int columns that saw the loser rows' nulls.
+        side = pc.equal(t["__side"], pa.scalar(1, pa.int8()))
+        ids = pc.cast(t[id_col], pa.int64())
+        lose = pc.unique(ids.filter(pc.invert(side)))
+        keep = pc.and_(side, pc.invert(pc.is_in(ids, value_set=lose)))
+        return t.filter(keep).select(names)
 
-    out = tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
+    out = tagged.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
     def norm(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or set(names) - set(t.column_names):

@@ -2,6 +2,7 @@
 component structures, method equivalence, and edge cases."""
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pytest
 
@@ -197,3 +198,36 @@ def test_contract_auto_degrades_to_propagate(ray_session):
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(direct, exp)
+
+
+def test_keep_join_path_exotic_columns(ray_session):
+    """The join path must pass binary/timestamp columns through untouched
+    (the in-bucket anti-join is pure Arrow — no pandas object round-trip)."""
+    import ray.data as rd
+
+    from data_model_ray.stages.graph import keep_one_per_cluster
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "payload": pa.array([b"\x00a", b"bb", b"ccc", b"d"], pa.binary()),
+                "ts": pa.array([10, 20, 30, 40], pa.timestamp("us")),
+            }
+        )
+    )
+    comps = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "cluster_id": pa.array([1, 1], pa.int64()),
+            }
+        )
+    )
+    out = keep_one_per_cluster(docs, comps, method="join")
+    df = out.to_pandas()
+    assert sorted(df["doc_id"].tolist()) == [1, 3, 4]
+    row = df.set_index("doc_id")
+    assert row.loc[1, "payload"] == b"\x00a"
+    assert row.loc[3, "payload"] == b"ccc"
+    assert str(df["ts"].dtype).startswith("datetime64")

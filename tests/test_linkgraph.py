@@ -205,3 +205,37 @@ class TestTwoHop:
         counts = np.array([len(reach[h]) for h in hosts], dtype=np.int64)
         assert np.array_equal(got["host"].to_numpy(np.int64), hosts)
         assert np.array_equal(got["n_2hop"].to_numpy(np.int64), counts)
+
+
+class TestPageRankExchangeMode:
+    def test_modes_bit_identical(self, pages_path):
+        a = (
+            linkgraph.pagerank_hosts(pages_path, method="broadcast")
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        b = (
+            linkgraph.pagerank_hosts(pages_path, method="exchange")
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_auto_small_graph_uses_broadcast_result(self, pages_path):
+        a = linkgraph.pagerank_hosts(pages_path, method="auto")
+        b = linkgraph.pagerank_hosts(pages_path)
+        pd.testing.assert_frame_equal(
+            a.sort_values("host").reset_index(drop=True),
+            b.sort_values("host").reset_index(drop=True),
+        )
+
+    def test_auto_forced_exchange(self, pages_path):
+        # a 1-node budget forces the exchange path through auto
+        a = linkgraph.pagerank_hosts(
+            pages_path, method="auto", broadcast_node_budget=1
+        )
+        b = linkgraph.pagerank_hosts(pages_path)
+        pd.testing.assert_frame_equal(
+            a.sort_values("host").reset_index(drop=True),
+            b.sort_values("host").reset_index(drop=True),
+        )
