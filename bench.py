@@ -118,6 +118,18 @@ def run_queries() -> dict[str, float]:
         "incremental_dedup",
         lambda: webtext.incremental_dedup(pages_path_for_queries()),
     )
+    # link-graph family (round 4 part 2): anchor extraction over the full
+    # pages table -> fixed-point PageRank; crawl CDC over the same input
+    from data_model_ray.pipelines import linkgraph, urlops
+
+    timed(
+        "pagerank_hosts",
+        lambda: linkgraph.pagerank_hosts(pages_path_for_queries()),
+    )
+    timed(
+        "snapshot_diff",
+        lambda: urlops.snapshot_diff(pages_path_for_queries()),
+    )
     return out
 
 

@@ -55,21 +55,36 @@ PR_ALPHA_NUM = 17
 PR_ALPHA_DEN = 20
 
 
-NUM_BUCKETS = 64
+def _num_buckets() -> int:
+    """Exchange bucket count, sized to the session: 16x the CPU count,
+    floored at 64. Must exceed the Sort operator's partition count (which
+    scales with block count ~ 4x CPUs) so every sort partition covers
+    >= 1 key — key-less partitions emit schema-less empty bundles that
+    bypass user map fns (the repo-wide empty-partition rule). Kept LOW at
+    small sessions because Ray's map_groups invokes the UDF once per
+    group (~1 ms each). Bucket values only ROUTE rows; results are
+    bucket-count-invariant, so sizing this per session is safe."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(64, int(ray.cluster_resources().get("CPU", 4)) * 16)
+    except Exception:  # pragma: no cover
+        pass
+    return 64
 
 
-def _hbucket(hosts: np.ndarray) -> np.ndarray:
+def _hbucket(hosts: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic int32 exchange bucket per host id (splitmix mix so
-    consecutive hub ids spread). Grouping on ~64 buckets instead of raw
-    host keys keeps the final combines VECTORIZED — Ray's map_groups
-    invokes the UDF once per group, and a raw-key groupby over 10^5+
-    distinct keys costs one pandas call each (measured 120 s -> 4 s on
-    snapshot_diff when bucketed)."""
+    consecutive hub ids spread). Grouping on buckets instead of raw host
+    keys keeps the final combines VECTORIZED — a raw url-keyed groupby
+    over 10^5 distinct keys costs one pandas call each (measured
+    120 s -> 4 s on snapshot_diff when bucketed)."""
     from ..hashing import hash_stream
 
     return (
         hash_stream(np.asarray(hosts, dtype=np.int64).astype(np.uint64), 21)
-        % np.uint64(NUM_BUCKETS)
+        % np.uint64(num_buckets)
     ).astype(np.int32)
 
 
@@ -88,6 +103,8 @@ def host_links(pages_path: str):
     as the SQL twin's per-page UNNEST.
     """
 
+    nb = _num_buckets()
+
     def partial(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -97,7 +114,7 @@ def host_links(pages_path: str):
         )
         g = df.groupby(["src_host", "dst_host"], sort=False)
         out = g.size().rename("n").reset_index()
-        out["__b"] = _hbucket(out["src_host"].to_numpy())
+        out["__b"] = _hbucket(out["src_host"].to_numpy(), nb)
         return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
@@ -122,6 +139,8 @@ def host_degree(pages_path: str):
     rows; block-level dedup partials shrink exchange 1 first.
     """
 
+    nb = _num_buckets()
+
     def partial(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -130,7 +149,7 @@ def host_degree(pages_path: str):
             }
         )
         df = df.drop_duplicates()
-        df["__b"] = _hbucket(df["src_host"].to_numpy())
+        df["__b"] = _hbucket(df["src_host"].to_numpy(), nb)
         return df
 
     def distinct_to_degrees(group: pd.DataFrame) -> pd.DataFrame:
@@ -153,7 +172,7 @@ def host_degree(pages_path: str):
             }
         )
         rows = pd.concat([out_rows, in_rows], ignore_index=True)
-        rows["__b"] = _hbucket(rows["host"].to_numpy())
+        rows["__b"] = _hbucket(rows["host"].to_numpy(), nb)
         return rows
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
@@ -178,6 +197,8 @@ def distinct_edges_with_deg(pages_path: str):
     every iteration (kmeans-corpus discipline).
     """
 
+    nb = _num_buckets()
+
     def partial(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -186,7 +207,7 @@ def distinct_edges_with_deg(pages_path: str):
             }
         )
         df = df.drop_duplicates()
-        df["__b"] = _hbucket(df["src_host"].to_numpy())
+        df["__b"] = _hbucket(df["src_host"].to_numpy(), nb)
         return df
 
     def attach_deg(group: pd.DataFrame) -> pd.DataFrame:
@@ -213,6 +234,7 @@ def pagerank_hosts(
     n_iters: int = 5,
     method: str = "broadcast",
     broadcast_node_budget: int = 50_000_000,
+    checkpoint_dir: str | None = None,
 ):
     """Fixed-point PageRank over the distinct host graph.
 
@@ -249,10 +271,23 @@ def pagerank_hosts(
     (pinned by tests/test_linkgraph.py), so ``method="auto"`` can pick by
     counting nodes against ``broadcast_node_budget`` without changing
     results.
+
+    ``checkpoint_dir`` (broadcast mode): every completed iteration commits
+    ``ranks.npy`` + ``state.json`` atomically (temp + ``os.replace`` — the
+    `state/lineage.py` discipline, same as `stages/kmeans.kmeans_fit`); a
+    rerun resumes the chain from the last committed iteration instead of
+    re-running the corpus-scale extraction work already done. The state
+    embeds a GRAPH fingerprint (node count, host-array hash, dangling
+    mask, edge count), so a checkpoint from a different or changed corpus
+    is invalidated rather than silently resumed. Because the fixed-point
+    iteration is a pure chain, a checkpoint written at n_iters=2 validly
+    resumes a later n_iters=5 call.
     """
     import ray
 
-    edges = distinct_edges_with_deg(pages_path).materialize()
+    # repartition coalesces the empty blocks key-less sort partitions emit
+    # (empty bundles bypass map fns — they can only be removed here)
+    edges = distinct_edges_with_deg(pages_path).repartition(32).materialize()
     if method in ("exchange", "auto"):
         node_deg, n_nodes = _node_deg_ds(edges)
         if method == "exchange" or n_nodes > broadcast_node_budget:
@@ -297,7 +332,46 @@ def pagerank_hosts(
     ranks = np.full(n, base, dtype=np.int64)
     hosts_ref = ray.put(hosts)
 
-    for _ in range(n_iters):
+    start_iter = 0
+    fingerprint = None
+    if checkpoint_dir is not None:
+        import hashlib
+        import json
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        fp = hashlib.sha256()
+        fp.update(np.int64(n).tobytes())
+        fp.update(hosts.tobytes())
+        fp.update(dangling.tobytes())
+        fp.update(np.int64(edges.count()).tobytes())
+        fingerprint = fp.hexdigest()
+        sp = os.path.join(checkpoint_dir, "state.json")
+        rp = os.path.join(checkpoint_dir, "ranks.npy")
+        if os.path.exists(sp) and os.path.exists(rp):
+            with open(sp) as f:
+                state = json.load(f)
+            if state.get("fingerprint") == fingerprint:
+                done = min(int(state["next_iter"]), n_iters)
+                if done > 0:
+                    ranks = np.load(rp).astype(np.int64)
+                    start_iter = done
+
+    def _commit(next_iter: int) -> None:
+        if checkpoint_dir is None:
+            return
+        import json
+        import os
+
+        rp = os.path.join(checkpoint_dir, "ranks.npy")
+        sp = os.path.join(checkpoint_dir, "state.json")
+        np.save(rp + ".tmp.npy", ranks)
+        os.replace(rp + ".tmp.npy", rp)
+        with open(sp + ".tmp", "w") as f:
+            json.dump({"fingerprint": fingerprint, "next_iter": next_iter}, f)
+        os.replace(sp + ".tmp", sp)
+
+    for _it in range(start_iter, n_iters):
         ranks_ref = ray.put(ranks)
 
         def contrib_partial(t: pa.Table) -> pd.DataFrame:
@@ -324,6 +398,7 @@ def pagerank_hosts(
         ranks = tele + (
             np.int64(PR_ALPHA_NUM) * (contrib + dang // np.int64(n))
         ) // np.int64(PR_ALPHA_DEN)
+        _commit(_it + 1)
 
     return pd.DataFrame({"host": hosts.astype(np.int64), "rank_e12": ranks})
 
@@ -333,6 +408,8 @@ def _node_deg_ds(edges):
     ``(host, d0, __b)`` (d0 = 0 for dangling hosts), plus the node count.
     Built from the distinct-edge dataset with one host-bucket exchange —
     hosts never collect on the driver."""
+
+    nb = _num_buckets()
 
     def emit(t: pa.Table) -> pd.DataFrame:
         src = t["src_host"].to_numpy(zero_copy_only=False)
@@ -348,13 +425,13 @@ def _node_deg_ds(edges):
         )
         g = rows.groupby("host", sort=False)
         out = g.agg(d0=("one", "sum")).reset_index()
-        out["__b"] = _hbucket(out["host"].to_numpy())
+        out["__b"] = _hbucket(out["host"].to_numpy(), nb)
         return out
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("host", sort=False)
         out = g.agg(d0=("d0", "sum")).reset_index()
-        out["__b"] = _hbucket(out["host"].to_numpy())
+        out["__b"] = _hbucket(out["host"].to_numpy(), nb)
         return out
 
     # repartition(8) coalesces the empty per-partition blocks Ray's sort
@@ -381,6 +458,8 @@ def _pagerank_exchange(edges, node_deg, n: int, n_iters: int):
     is N-bounded — a 10^8-host production run would `write_parquet` the
     final ranks dataset instead (same pipeline, different sink).
     """
+
+    nb = _num_buckets()
     if n == 0:
         return pd.DataFrame(
             {"host": np.array([], dtype=np.int64),
@@ -425,7 +504,7 @@ def _pagerank_exchange(edges, node_deg, n: int, n_iters: int):
                 "d": t["d"].to_numpy(zero_copy_only=False).astype(np.int64),
                 "r": np.zeros(len(src), dtype=np.int64),
                 "side": np.ones(len(src), dtype=np.int8),
-                "__b": _hbucket(src),
+                "__b": _hbucket(src, nb),
             }
         )
 
@@ -449,7 +528,7 @@ def _pagerank_exchange(edges, node_deg, n: int, n_iters: int):
         acc = np.zeros(len(dst_u), dtype=np.int64)
         np.add.at(acc, inv, share)
         return pd.DataFrame(
-            {"host": dst_u, "contrib": acc, "__b": _hbucket(dst_u)}
+            {"host": dst_u, "contrib": acc, "__b": _hbucket(dst_u, nb)}
         )
 
     def node_side(t: pa.Table) -> pd.DataFrame:
@@ -548,6 +627,8 @@ def two_hop_hosts(pages_path: str):
     graph (≤|hosts|² pairs), never the corpus.
     """
 
+    nb = _num_buckets()
+
     def tag(t: pa.Table) -> pd.DataFrame:
         src = t["src_host"].to_numpy(zero_copy_only=False)
         dst = t["dst_host"].to_numpy(zero_copy_only=False)
@@ -561,7 +642,7 @@ def two_hop_hosts(pages_path: str):
              "side": np.ones(len(e), dtype=np.int8)}
         )
         rows = pd.concat([ins, outs], ignore_index=True)
-        rows["__b"] = _hbucket(rows["key"].to_numpy())
+        rows["__b"] = _hbucket(rows["key"].to_numpy(), nb)
         return rows
 
     def cross_mid(group: pd.DataFrame) -> pd.DataFrame:
@@ -586,7 +667,7 @@ def two_hop_hosts(pages_path: str):
         out = pd.DataFrame(
             {"a": np.concatenate(a_parts), "b": np.concatenate(b_parts)}
         ).drop_duplicates()
-        out["__b2"] = _hbucket(out["a"].to_numpy())
+        out["__b2"] = _hbucket(out["a"].to_numpy(), nb)
         return out
 
     def count_per_src(group: pd.DataFrame) -> pd.DataFrame:

@@ -239,3 +239,43 @@ class TestPageRankExchangeMode:
             a.sort_values("host").reset_index(drop=True),
             b.sort_values("host").reset_index(drop=True),
         )
+
+
+class TestPageRankCheckpoint:
+    def test_resume_continues_chain(self, pages_path, tmp_path):
+        ck = str(tmp_path / "pr_ck")
+        direct = linkgraph.pagerank_hosts(pages_path, n_iters=5)
+        # run 2 iterations, commit, then resume to 5 from the checkpoint
+        part = linkgraph.pagerank_hosts(pages_path, n_iters=2, checkpoint_dir=ck)
+        assert len(part) > 0
+        resumed = linkgraph.pagerank_hosts(pages_path, n_iters=5, checkpoint_dir=ck)
+        pd.testing.assert_frame_equal(
+            resumed.sort_values("host").reset_index(drop=True),
+            direct.sort_values("host").reset_index(drop=True),
+        )
+
+    def test_completed_checkpoint_short_circuits(self, pages_path, tmp_path):
+        import json
+
+        ck = str(tmp_path / "pr_ck2")
+        a = linkgraph.pagerank_hosts(pages_path, n_iters=5, checkpoint_dir=ck)
+        state = json.load(open(f"{ck}/state.json"))
+        assert state["next_iter"] == 5
+        b = linkgraph.pagerank_hosts(pages_path, n_iters=5, checkpoint_dir=ck)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_fingerprint_mismatch_invalidates(self, pages_path, tmp_path):
+        import json
+
+        ck = str(tmp_path / "pr_ck3")
+        linkgraph.pagerank_hosts(pages_path, n_iters=3, checkpoint_dir=ck)
+        # tamper: pretend the checkpoint came from a different graph
+        state = json.load(open(f"{ck}/state.json"))
+        state["fingerprint"] = "0" * 64
+        json.dump(state, open(f"{ck}/state.json", "w"))
+        fresh = linkgraph.pagerank_hosts(pages_path, n_iters=5, checkpoint_dir=ck)
+        direct = linkgraph.pagerank_hosts(pages_path, n_iters=5)
+        pd.testing.assert_frame_equal(
+            fresh.sort_values("host").reset_index(drop=True),
+            direct.sort_values("host").reset_index(drop=True),
+        )
