@@ -683,3 +683,57 @@ def two_hop_hosts(pages_path: str):
         .groupby("__b2")
         .map_groups(count_per_src, batch_format="pandas")
     )
+
+
+def build_host_graph(pages_path: str, out_dir: str, *, num_buckets: int = 16) -> dict:
+    """Materialize the distinct host graph (src_host, dst_host, d) as a
+    RESUMABLE bucketed parquet store — the link-graph family's durable
+    output, written through the lineage layer (`state/lineage.py`): one
+    atomically-committed partition per src-hash bucket, each carrying a
+    fingerprinted lineage record and row counters. A re-run skips valid
+    partitions; a deleted or corrupted partition rebuilds ALONE — the
+    north rule's resume-from-checkpoint contract applied to graph
+    extraction, so a 100 TB crawl's edge scan never repeats finished
+    work. Returns the resumable-write summary.
+
+    The fingerprint binds the output to the INPUT (pages row count +
+    total bytes) and the bucket layout, so a changed corpus invalidates
+    stale partitions instead of silently mixing builds (the invindex
+    store discipline, `pipelines/invindex.py`).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.lineage import resumable_write
+
+    files = (
+        sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    n_bytes = sum(os.path.getsize(f) for f in files)
+    fp = f"hostgraph:v1:rows={n_rows}:bytes={n_bytes}:buckets={num_buckets}"
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        src = t["src_host"].to_numpy(zero_copy_only=False)
+        b = _hbucket(src, num_buckets)
+        return t.drop_columns(["__b"]).append_column(
+            "bucket", pa.array(b, type=pa.int32())
+        ) if "__b" in t.column_names else t.append_column(
+            "bucket", pa.array(b, type=pa.int32())
+        )
+
+    edges = distinct_edges_with_deg(pages_path).map_batches(
+        rebucket, batch_format="pyarrow"
+    )
+    return resumable_write(edges, out_dir, partition_col="bucket", fingerprint=fp)
+
+
+def read_host_graph(out_dir: str):
+    """Read back a `build_host_graph` store as one Dataset."""
+    from ..state.lineage import read_output
+
+    return read_output(out_dir)

@@ -279,3 +279,37 @@ class TestPageRankCheckpoint:
             fresh.sort_values("host").reset_index(drop=True),
             direct.sort_values("host").reset_index(drop=True),
         )
+
+
+class TestHostGraphStore:
+    def test_build_resume_rebuild(self, pages_path, tmp_path):
+        import glob
+        import shutil
+
+        out = str(tmp_path / "hostgraph")
+        s1 = linkgraph.build_host_graph(pages_path, out, num_buckets=8)
+        assert s1["partitions_written"] > 0 and s1["partitions_skipped"] == 0
+        # full resume: nothing rewritten
+        s2 = linkgraph.build_host_graph(pages_path, out, num_buckets=8)
+        assert s2["partitions_written"] == 0
+        assert s2["partitions_skipped"] == s1["partitions_written"]
+        # surgical rebuild: delete one partition, only it is rewritten
+        victim = sorted(glob.glob(f"{out}/part=*"))[0]
+        shutil.rmtree(victim)
+        s3 = linkgraph.build_host_graph(pages_path, out, num_buckets=8)
+        assert s3["partitions_written"] == 1
+        assert s3["partitions_skipped"] == s1["partitions_written"] - 1
+        # readback equals the direct distinct-edge dataset
+        back = (
+            linkgraph.read_host_graph(out)
+            .to_pandas()[["src_host", "dst_host", "d"]]
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+        direct = (
+            linkgraph.distinct_edges_with_deg(pages_path)
+            .to_pandas()[["src_host", "dst_host", "d"]]
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(back, direct)
