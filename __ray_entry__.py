@@ -33,6 +33,8 @@ PAGES_SCALE_PINNED = {
     "pagerank_hosts",
     "two_hop_hosts",
     "snapshot_diff",
+    "hits_hosts",
+    "bfs_hosts",
 }
 
 
@@ -120,6 +122,20 @@ def _two_hop_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.two_hop_hosts(_pages_path(sf_dir))
+
+
+def _hits_hosts(sf_dir: str):
+    """Raw-sum HITS (2 rounds) over the distinct host graph."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.hits_hosts(_pages_path(sf_dir))
+
+
+def _bfs_hosts(sf_dir: str):
+    """Directed BFS levels (<=4 hops) from the hub host."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.bfs_levels(_pages_path(sf_dir))
 
 
 def _pages_assignments(sf_dir: str):
@@ -817,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
         "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
+        "hits_hosts": _hits_hosts,               # raw-sum HITS hub/authority
+        "bfs_hosts": _bfs_hosts,                 # BFS levels from hub host
         "pages_s2_cells": _pages_s2_cells,
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
@@ -1027,6 +1045,38 @@ def _pagerank_sql(n: int, iters: int = 5) -> str:
         "WITH "
         + ",\n".join(cte)
         + f"\nSELECT host, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}"
+    )
+
+
+def _bfs_sql(n: int, hops: int = 4, source: int = 0) -> str:
+    """Unrolled BFS LEAST/MIN CTE chain mirroring
+    `pipelines/linkgraph.bfs_levels` (sentinel 2^40, int64 exact)."""
+    inf = 1 << 40
+    cte = [
+        _links_cte(n),
+        "e AS (SELECT DISTINCT src_host, dst_host FROM links)",
+        "nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e)",
+        f"""d0 AS (SELECT host,
+               CASE WHEN host = {source} THEN 0 ELSE {inf} END AS dist
+               FROM nodes)""",
+    ]
+    for k in range(1, hops + 1):
+        p = k - 1
+        cte.append(
+            f"""d{k} AS (
+            SELECT n.host, LEAST(dp.dist, COALESCE(m.md, {inf})) AS dist
+            FROM nodes n
+            JOIN d{p} dp ON dp.host = n.host
+            LEFT JOIN (
+                SELECT e.dst_host AS host, MIN(d{p}.dist + 1) AS md
+                FROM e JOIN d{p} ON d{p}.host = e.src_host GROUP BY 1
+            ) m ON m.host = n.host)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT host, CAST(dist AS BIGINT) AS dist FROM d{hops}"
+        + f"\nWHERE dist < {inf}"
     )
 
 
@@ -1590,6 +1640,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.dst_host = b.src_host
             GROUP BY 1
         """,
+        "hits_hosts": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            e AS (SELECT DISTINCT src_host, dst_host FROM links),
+            nodes AS (SELECT src_host AS host FROM e
+                      UNION SELECT dst_host FROM e),
+            a1 AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM e GROUP BY 1),
+            h1 AS (SELECT e.src_host AS host, CAST(SUM(a1.a) AS BIGINT) AS h
+                   FROM e JOIN a1 ON a1.host = e.dst_host GROUP BY 1),
+            a2 AS (SELECT e.dst_host AS host,
+                          CAST(SUM(COALESCE(h1.h, 0)) AS BIGINT) AS a
+                   FROM e LEFT JOIN h1 ON h1.host = e.src_host GROUP BY 1),
+            h2 AS (SELECT e.src_host AS host,
+                          CAST(SUM(COALESCE(a2.a, 0)) AS BIGINT) AS h
+                   FROM e LEFT JOIN a2 ON a2.host = e.dst_host GROUP BY 1)
+            SELECT n.host, COALESCE(a2.a, 0) AS auth, COALESCE(h2.h, 0) AS hub
+            FROM nodes n
+            LEFT JOIN a2 ON a2.host = n.host
+            LEFT JOIN h2 ON h2.host = n.host
+        """,
+        "bfs_hosts": _bfs_sql(_ORACLE_N),
         "snapshot_diff": f"""
             WITH s AS (
                 SELECT url,

@@ -737,3 +737,132 @@ def read_host_graph(out_dir: str):
     from ..state.lineage import read_output
 
     return read_output(out_dir)
+
+
+def _graph_hosts(edges):
+    """Sorted node universe of a distinct-edge dataset (host-bounded collect)."""
+
+    def node_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": np.union1d(
+                    t["src_host"].to_numpy(), t["dst_host"].to_numpy()
+                )
+            }
+        )
+
+    parts = to_pandas_cols(
+        edges.map_batches(node_partial, batch_format="pyarrow"), {"host": "int64"}
+    )
+    return np.unique(parts["host"].to_numpy(np.int64))
+
+
+def _edge_accumulate(edges, hosts, vec, *, from_col, to_col, reduce, empty):
+    """One distributed edge pass: for every edge, take ``vec[from]`` and
+    fold it into the ``to`` endpoint (``reduce`` = "sum" | "min", int64
+    exact). Per-block pre-aggregated partials (np.add.at / np.minimum.at)
+    come back host-bounded and fold into a fresh host-length vector
+    initialized to ``empty`` — the pagerank-broadcast iteration shape,
+    shared by HITS and BFS."""
+    import ray
+
+    hosts_ref = ray.put(hosts)
+    vec_ref = ray.put(vec)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        h = ray.get(hosts_ref)
+        v = ray.get(vec_ref)
+        src = t[from_col].to_numpy(zero_copy_only=False)
+        dst = t[to_col].to_numpy(zero_copy_only=False)
+        vals = v[np.searchsorted(h, src)]
+        dst_u, inv = np.unique(dst, return_inverse=True)
+        if reduce == "sum":
+            acc = np.zeros(len(dst_u), dtype=np.int64)
+            np.add.at(acc, inv, vals)
+        else:
+            acc = np.full(len(dst_u), empty, dtype=np.int64)
+            np.minimum.at(acc, inv, vals)
+        return pd.DataFrame({"host": dst_u.astype(np.int64), "acc": acc})
+
+    parts = to_pandas_cols(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        {"host": "int64", "acc": "int64"},
+    )
+    out = np.full(len(hosts), empty, dtype=np.int64)
+    if len(parts):
+        idx = np.searchsorted(hosts, parts["host"].to_numpy(np.int64))
+        if reduce == "sum":
+            np.add.at(out, idx, parts["acc"].to_numpy(np.int64))
+        else:
+            np.minimum.at(out, idx, parts["acc"].to_numpy(np.int64))
+    return out
+
+
+def hits_hosts(pages_path: str, *, n_rounds: int = 2):
+    """Raw-sum HITS after ``n_rounds`` alternating rounds: ``(host, auth,
+    hub)`` with ``h0 = 1``, ``a_k(v) = Σ h_{k-1}(s) over in-edges``,
+    ``h_k(u) = Σ a_k(w) over out-edges`` — NO normalization, so every
+    value is an exact int64 and the DuckDB join-chain oracle matches
+    hash-for-hash (normalized HITS needs sqrt — float summation order
+    would break cross-engine equality).
+
+    Magnitude bound (documented like the substring gram-hash bound):
+    values grow ≤ max_degree^(2k); at the default 2 rounds int64 is exact
+    for max degree ≤ ~10^4. Production at web scale would rescale (shift
+    right) between rounds — same partition shape, different constants.
+    """
+    edges = distinct_edges_with_deg(pages_path).repartition(32).materialize()
+    hosts = _graph_hosts(edges)
+    if len(hosts) == 0:
+        return pd.DataFrame(
+            {
+                "host": np.array([], dtype=np.int64),
+                "auth": np.array([], dtype=np.int64),
+                "hub": np.array([], dtype=np.int64),
+            }
+        )
+    hub = np.ones(len(hosts), dtype=np.int64)
+    auth = np.zeros(len(hosts), dtype=np.int64)
+    for _ in range(n_rounds):
+        auth = _edge_accumulate(
+            edges, hosts, hub, from_col="src_host", to_col="dst_host",
+            reduce="sum", empty=0,
+        )
+        hub = _edge_accumulate(
+            edges, hosts, auth, from_col="dst_host", to_col="src_host",
+            reduce="sum", empty=0,
+        )
+    return pd.DataFrame({"host": hosts, "auth": auth, "hub": hub})
+
+
+BFS_UNREACHED = np.int64(1 << 40)  # sentinel far above any real distance
+
+
+def bfs_levels(pages_path: str, *, source_host: int = 0, max_hops: int = 4):
+    """Directed BFS levels from ``source_host``: ``(host, dist)`` for every
+    host reachable in ≤ ``max_hops`` edge traversals. Each hop is one
+    distributed edge pass folding ``dist[src] + 1`` into dst with an
+    int64 MIN — exact, partition-invariant, and replayable as an unrolled
+    LEAST/MIN CTE chain in SQL.
+    """
+    edges = distinct_edges_with_deg(pages_path).repartition(32).materialize()
+    hosts = _graph_hosts(edges)
+    if len(hosts) == 0:
+        return pd.DataFrame(
+            {
+                "host": np.array([], dtype=np.int64),
+                "dist": np.array([], dtype=np.int64),
+            }
+        )
+    dist = np.full(len(hosts), BFS_UNREACHED, dtype=np.int64)
+    src_idx = np.searchsorted(hosts, source_host)
+    if src_idx < len(hosts) and hosts[src_idx] == source_host:
+        dist[src_idx] = 0
+    for _ in range(max_hops):
+        step = _edge_accumulate(
+            edges, hosts, dist + 1, from_col="src_host", to_col="dst_host",
+            reduce="min", empty=BFS_UNREACHED,
+        )
+        dist = np.minimum(dist, step)
+    keep = dist < BFS_UNREACHED
+    return pd.DataFrame({"host": hosts[keep], "dist": dist[keep]})

@@ -313,3 +313,63 @@ class TestHostGraphStore:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(back, direct)
+
+
+class TestHits:
+    def test_matches_reference(self, pages_path):
+        _, e = _reference_graph(N)
+        hosts = np.unique(e)
+        idx = {h: i for i, h in enumerate(hosts)}
+        src = np.array([idx[s] for s in e[:, 0]])
+        dst = np.array([idx[d] for d in e[:, 1]])
+        hub = np.ones(len(hosts), dtype=np.int64)
+        for _ in range(2):
+            auth = np.zeros(len(hosts), dtype=np.int64)
+            np.add.at(auth, dst, hub[src])
+            hub = np.zeros(len(hosts), dtype=np.int64)
+            np.add.at(hub, src, auth[dst])
+        got = (
+            linkgraph.hits_hosts(pages_path)
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(got["host"].to_numpy(np.int64), hosts)
+        assert np.array_equal(got["auth"].to_numpy(np.int64), auth)
+        assert np.array_equal(got["hub"].to_numpy(np.int64), hub)
+
+    def test_hub_host_dominates(self, pages_path):
+        got = linkgraph.hits_hosts(pages_path).set_index("host")
+        assert got.loc[0, "auth"] > 10 * got["auth"].median()
+
+
+class TestBfs:
+    def test_matches_reference(self, pages_path):
+        import collections
+
+        _, e = _reference_graph(N)
+        adj = collections.defaultdict(list)
+        for s, d in e:
+            adj[s].append(d)
+        dist = {0: 0}
+        frontier = [0]
+        for lvl in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = lvl
+                        nxt.append(v)
+            frontier = nxt
+        got = (
+            linkgraph.bfs_levels(pages_path)
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        hosts = np.array(sorted(dist), dtype=np.int64)
+        dists = np.array([dist[h] for h in hosts], dtype=np.int64)
+        assert np.array_equal(got["host"].to_numpy(np.int64), hosts)
+        assert np.array_equal(got["dist"].to_numpy(np.int64), dists)
+
+    def test_absent_source_returns_empty(self, pages_path):
+        out = linkgraph.bfs_levels(pages_path, source_host=10**9)
+        assert len(out) == 0
