@@ -35,6 +35,7 @@ PAGES_SCALE_PINNED = {
     "snapshot_diff",
     "hits_hosts",
     "bfs_hosts",
+    "rank_filtered_pages",
 }
 
 
@@ -136,6 +137,13 @@ def _bfs_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.bfs_levels(_pages_path(sf_dir))
+
+
+def _rank_filtered_lang_counts(sf_dir: str):
+    """Per-lang page counts over above-uniform-PageRank hosts."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.rank_filtered_lang_counts(_pages_path(sf_dir))
 
 
 def _pages_assignments(sf_dir: str):
@@ -835,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
         "hits_hosts": _hits_hosts,               # raw-sum HITS hub/authority
         "bfs_hosts": _bfs_hosts,                 # BFS levels from hub host
+        "rank_filtered_pages": _rank_filtered_lang_counts,  # signal -> corpus
         "pages_s2_cells": _pages_s2_cells,
         "pages_cell_stats": _pages_cell_stats,
         "pages_knn": _pages_knn,
@@ -1011,6 +1020,16 @@ def _pagerank_sql(n: int, iters: int = 5) -> str:
     `pipelines/linkgraph.pagerank_hosts` VERBATIM: SCALE=10^12, alpha=17/20,
     every step int64 floor division (`//`) — bit-identical by construction,
     no float-summation-order slack to round away."""
+    cte, last = _pagerank_ctes(n, iters)
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT host, CAST(r AS BIGINT) AS rank_e12 FROM {last}"
+    )
+
+
+def _pagerank_ctes(n: int, iters: int = 5) -> tuple[list[str], str]:
+    """The shared PageRank CTE chain; returns (ctes, final rank CTE name)."""
     scale = 10**12
     cte = [
         _links_cte(n),
@@ -1041,10 +1060,25 @@ def _pagerank_sql(n: int, iters: int = 5) -> str:
             FROM nodes n2 CROSS JOIN nn CROSS JOIN g{k}
             LEFT JOIN c{k} ON c{k}.host = n2.host)"""
         )
+    return cte, f"r{iters}"
+
+
+def _rank_filter_sql(n: int, iters: int = 5) -> str:
+    """PageRank chain + signal application: per-lang page counts over
+    above-uniform hosts (`linkgraph.rank_filtered_lang_counts` twin)."""
+    cte, last = _pagerank_ctes(n, iters)
     return (
         "WITH "
         + ",\n".join(cte)
-        + f"\nSELECT host, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}"
+        + f"""
+        SELECT p.lang, COUNT(*) AS n_pages
+        FROM read_parquet('/tmp/graft_pages/n{n}/*.parquet') p
+        JOIN {last} ON {last}.host =
+            CAST(regexp_extract(p.url, 'host([0-9]+)\\.', 1) AS BIGINT)
+        CROSS JOIN nn
+        WHERE {last}.r >= 1000000000000 // nn.n
+        GROUP BY 1
+    """
     )
 
 
@@ -1661,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h2 ON h2.host = n.host
         """,
         "bfs_hosts": _bfs_sql(_ORACLE_N),
+        "rank_filtered_pages": _rank_filter_sql(_ORACLE_N),
         "snapshot_diff": f"""
             WITH s AS (
                 SELECT url,

@@ -866,3 +866,55 @@ def bfs_levels(pages_path: str, *, source_host: int = 0, max_hops: int = 4):
         dist = np.minimum(dist, step)
     keep = dist < BFS_UNREACHED
     return pd.DataFrame({"host": hosts[keep], "dist": dist[keep]})
+
+
+def rank_filtered_lang_counts(pages_path: str):
+    """Apply the graph signal back to the corpus: per-lang page counts
+    over ABOVE-UNIFORM hosts (final PageRank ≥ SCALE // N — hosts that
+    gained rank). The canonical curation shape: a model computed once
+    from the corpus (host ranks, N-bounded) broadcasts via ``ray.put``
+    and the corpus streams through a single lookup/filter/partial-count
+    map — pages never shuffle; the only exchange carries (lang, n)
+    partials. Returns ``(lang, n_pages)``.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.extract import _URL_HOST_PATTERN
+
+    ranks = pagerank_hosts(pages_path)
+    hosts = ranks["host"].to_numpy(np.int64)
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame(
+            {"lang": np.array([], dtype=object), "n_pages": np.array([], np.int64)}
+        )
+    keep_hosts = hosts[ranks["rank_e12"].to_numpy(np.int64) >= PR_SCALE // n]
+    keep_ref = ray.put(np.sort(keep_hosts))
+
+    ds = sized_read_parquet(pages_path, columns=["url", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        kh = ray.get(keep_ref)
+        h = pc.cast(
+            pc.struct_field(pc.extract_regex(t["url"], _URL_HOST_PATTERN), "h"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        if len(kh) == 0:
+            keep = np.zeros(len(h), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(kh, h), 0, len(kh) - 1)
+            keep = kh[pos] == h
+        df = pd.DataFrame({"lang": t["lang"].to_pandas()[keep]})
+        g = df.groupby("lang", sort=False)
+        return g.size().rename("n_pages").reset_index()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("lang", sort=False)
+        return g.agg(n_pages=("n_pages", "sum")).reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -373,3 +373,27 @@ class TestBfs:
     def test_absent_source_returns_empty(self, pages_path):
         out = linkgraph.bfs_levels(pages_path, source_host=10**9)
         assert len(out) == 0
+
+
+class TestRankFilter:
+    def test_matches_reference(self, pages_path):
+        import collections
+        import re
+
+        _, e = _reference_graph(N)
+        ref = _reference_pagerank(e)
+        keep = set(
+            ref.loc[
+                ref["rank_e12"] >= linkgraph.PR_SCALE // len(ref), "host"
+            ].tolist()
+        )
+        t = fixtures.pages_batch(np.arange(N))
+        hosts = [
+            int(re.search(r"host(\d+)\.", u).group(1))
+            for u in t["url"].to_pylist()
+        ]
+        cnt = collections.Counter(
+            l for h, l in zip(hosts, t["lang"].to_pylist()) if h in keep
+        )
+        got = linkgraph.rank_filtered_lang_counts(pages_path).to_pandas()
+        assert dict(zip(got["lang"], got["n_pages"])) == dict(cnt)
