@@ -758,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": ana.intersect_users,
         "except_users": ana.except_users,
         "running_total": ana.running_total,
+        "sessionize_events": ana.sessionize_events,
         "events_monthly": ana.events_monthly,
         "bigram_topk": ana.bigram_topk,
         "above_user_median": ana.above_user_median,
@@ -1308,6 +1309,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 6) AS run_sum
             FROM events
+        """,
+        "sessionize_events": """
+            WITH x AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS session_idx
+                FROM x
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM y GROUP BY 1, 2
         """,
         "events_monthly": """
             SELECT EXTRACT(YEAR FROM ts) AS year,

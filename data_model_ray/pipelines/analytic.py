@@ -1009,3 +1009,78 @@ def value_histogram(sf_dir: str, width: float = 25.0):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+# --- gap-based sessionization -------------------------------------------------
+
+
+def sessionize_events(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64):
+    """Gap-based sessionization: a user's events split into sessions wherever
+    the gap to the previous event exceeds ``gap_minutes``; emits one row per
+    session ``(user_id, session_idx, n_events, first_ts, last_ts,
+    total_value)``.
+
+    Shape: ONE hash exchange bucketed on ``user_id`` (all of a user's events
+    co-locate; the per-bucket kernel is a single vectorized lexsort +
+    boundary scan over EVERY user in the bucket — no per-user pandas calls,
+    per the measured bucketed-exchange rule in BASELINE.md). Session sums
+    run left-to-right in (ts, event_id) order via ``np.add.reduceat`` so the
+    float summation order is deterministic; 6dp rounding shared with the
+    DuckDB oracle. Scale: rows per bucket are corpus/num_buckets; no state
+    beyond the bucket ever materializes.
+    """
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__b", pa.array((u & (num_buckets - 1)).astype(np.int32))
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # zero-row table: emit the schema, no sessions
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "session_idx": np.array([], dtype=np.int64),
+                    "n_events": np.array([], dtype=np.int64),
+                    "first_ts": np.array([], dtype="datetime64[us]"),
+                    "last_ts": np.array([], dtype="datetime64[us]"),
+                    "total_value": np.array([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        val = df["value"].to_numpy(np.float64)
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        cs = np.cumsum(brk)  # global session counter across the bucket
+        # per-user session index: counter minus the counter just before
+        # the user's first session
+        ustarts = np.flatnonzero(new_user)
+        base = cs[ustarts] - 1
+        sidx = cs - base[np.cumsum(new_user) - 1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:] - 1, n - 1)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_idx": sidx[starts].astype(np.int64),
+                "n_events": np.diff(np.append(starts, n)).astype(np.int64),
+                "first_ts": ts[starts].astype("datetime64[us]"),
+                "last_ts": ts[ends].astype("datetime64[us]"),
+                "total_value": np.add.reduceat(val, starts).round(6),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
