@@ -36,6 +36,7 @@ PAGES_SCALE_PINNED = {
     "hits_hosts",
     "bfs_hosts",
     "rank_filtered_pages",
+    "triangle_hosts",
 }
 
 
@@ -123,6 +124,13 @@ def _two_hop_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.two_hop_hosts(_pages_path(sf_dir))
+
+
+def _triangle_hosts(sf_dir: str):
+    """Per-host triangle counts (degree-oriented wedge closure)."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.triangle_hosts(_pages_path(sf_dir))
 
 
 def _hits_hosts(sf_dir: str):
@@ -842,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
         "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
+        "triangle_hosts": _triangle_hosts,       # degree-oriented triangle counts
         "hits_hosts": _hits_hosts,               # raw-sum HITS hub/authority
         "bfs_hosts": _bfs_hosts,                 # BFS levels from hub host
         "rank_filtered_pages": _rank_filtered_lang_counts,  # signal -> corpus
@@ -1696,6 +1705,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src_host AS host, COUNT(DISTINCT b.dst_host) AS n_2hop
             FROM e a JOIN e b ON a.dst_host = b.src_host
             GROUP BY 1
+        """,
+        "triangle_hosts": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            ue AS (
+                SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                                GREATEST(src_host, dst_host) AS b
+                FROM links WHERE src_host <> dst_host
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ue e1
+                JOIN ue e2 ON e2.a = e1.b
+                JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS host FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM corners GROUP BY 1
         """,
         "hits_hosts": f"""
             WITH {_links_cte(_ORACLE_N)},

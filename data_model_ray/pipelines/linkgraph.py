@@ -918,3 +918,227 @@ def rank_filtered_lang_counts(pages_path: str):
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def undirected_edges(pages_path: str):
+    """Distinct UNDIRECTED host edges ``(a, b)`` with ``a < b`` (self-loops
+    dropped). One exchange bucketed on ``a`` — every directed copy of an
+    undirected edge canonicalizes to the same (a, b), so the in-bucket
+    dedup is globally exact. Per-block dedup partials shrink the exchange
+    first (the repo-wide discipline)."""
+    nb = _num_buckets()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s = t["src_host"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_host"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+        df["__b"] = _hbucket(df["a"].to_numpy(), nb)
+        return df
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["a", "b"]].drop_duplicates()
+
+    return (
+        _edge_stream(pages_path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def triangle_hosts(pages_path: str):
+    """Per-host triangle participation counts over the undirected host
+    graph: ``(host, n_tri)`` — each triangle {u, v, w} increments all three
+    corners; triangle-free hosts are absent (matching the SQL twin).
+
+    Distributed shape (Schank–Wagner / Latapy degree orientation):
+
+    1. distinct undirected edges (one bucketed exchange, above);
+    2. undirected degrees fold into a host-length vector on the driver
+       (host-bounded, the PageRank rank-vector budget) and broadcast via
+       ``ray.put``;
+    3. each edge orients from its (deg, id)-smaller endpoint — wedge
+       fan-out is then bounded by sum-of-C(out_deg⁺, 2) = O(E^1.5)
+       TOTAL regardless of hub skew, the property that makes triangle
+       counting survive a power-law web graph (id-orientation would be
+       quadratic in the hub in-degree);
+    4. wedges (v, w | u) generate per src-bucket with a vectorized
+       offset-scan (a loop over the max ORIENTED degree, each step fully
+       vectorized — never a per-node Python loop);
+    5. wedges and oriented edges co-partition on the (v, w) pair hash in
+       ONE tagged-union exchange; an in-bucket merge closes triangles;
+    6. per-corner count partials ride one final host-bucket exchange.
+
+    Every exchange carries host-graph-bounded int64 rows; page payloads
+    never shuffle (they end at the anchor-extraction scan).
+    """
+    import ray
+
+    nb = _num_buckets()
+    edges = undirected_edges(pages_path).repartition(8).materialize()
+
+    def node_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": np.union1d(t["a"].to_numpy(), t["b"].to_numpy())}
+        )
+
+    parts = to_pandas_cols(
+        edges.map_batches(node_partial, batch_format="pyarrow"), {"host": "int64"}
+    )
+    hosts = np.unique(parts["host"].to_numpy(np.int64))
+    empty = pd.DataFrame(
+        {"host": np.array([], dtype=np.int64), "n_tri": np.array([], dtype=np.int64)}
+    )
+    if len(hosts) == 0:
+        return empty
+
+    # undirected degree vector (host-bounded driver fold, = the PageRank
+    # rank-vector discipline; beyond ~10^8 hosts this becomes a bucketed
+    # join, same as pagerank's method="exchange")
+    def deg_partial(t: pa.Table) -> pd.DataFrame:
+        both = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()]).astype(np.int64)
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"host": u, "acc": c.astype(np.int64)})
+
+    dparts = to_pandas_cols(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        {"host": "int64", "acc": "int64"},
+    )
+    deg = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(
+        deg,
+        np.searchsorted(hosts, dparts["host"].to_numpy(np.int64)),
+        dparts["acc"].to_numpy(np.int64),
+    )
+    hosts_ref = ray.put(hosts)
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pd.DataFrame:
+        """(deg, id)-orientation + src-bucket tag for the wedge exchange."""
+        h = ray.get(hosts_ref)
+        dg = ray.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dg[np.searchsorted(h, a)]
+        db = dg[np.searchsorted(h, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        out = pd.DataFrame({"src": src, "dst": dst})
+        out["__b"] = _hbucket(src, nb)
+        return out
+
+    oriented = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+
+    def _pair_bucket(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+        from ..hashing import hash_stream
+
+        mixed = hash_stream(v.astype(np.uint64), 33) ^ hash_stream(
+            w.astype(np.uint64), 47
+        )
+        return (mixed % np.uint64(nb)).astype(np.int32)
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hosts_ref)
+        dg = ray.get(deg_ref)
+        src = group["src"].to_numpy(np.int64)
+        dst = group["dst"].to_numpy(np.int64)
+        # sort by (src, rank(dst)) so within-segment pairs come out
+        # rank-ordered (v before w), matching the oriented closing edge
+        dr = dg[np.searchsorted(h, dst)]
+        order = np.lexsort((dst, dr, src))
+        src, dst = src[order], dst[order]
+        n = len(src)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        segid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        k = np.diff(np.append(starts, n))[segid]
+        pos = np.arange(n) - starts[segid]
+        vs, ws, us = [], [], []
+        dmax = int(k.max()) if n else 0
+        for d in range(1, dmax):
+            idx = np.flatnonzero(pos + d < k)
+            if len(idx) == 0:
+                break
+            vs.append(dst[idx])
+            ws.append(dst[idx + d])
+            us.append(src[idx])
+        if not vs:
+            return pd.DataFrame(
+                {
+                    "v": np.array([], dtype=np.int64),
+                    "w": np.array([], dtype=np.int64),
+                    "u": np.array([], dtype=np.int64),
+                    "side": np.array([], dtype=np.int8),
+                    "__pb": np.array([], dtype=np.int32),
+                }
+            )
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        u = np.concatenate(us)
+        return pd.DataFrame(
+            {
+                "v": v,
+                "w": w,
+                "u": u,
+                "side": np.ones(len(v), dtype=np.int8),
+                "__pb": _pair_bucket(v, w),
+            }
+        )
+
+    wedge_ds = oriented.groupby("__b").map_groups(wedges, batch_format="pandas")
+
+    def edge_side(t: pa.Table) -> pd.DataFrame:
+        v = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "v": v,
+                "w": w,
+                "u": np.full(len(v), -1, dtype=np.int64),
+                "side": np.zeros(len(v), dtype=np.int8),
+                "__pb": _pair_bucket(v, w),
+            }
+        )
+
+    both = wedge_ds.union(oriented.map_batches(edge_side, batch_format="pyarrow"))
+
+    def close(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.loc[group["side"] == 0, ["v", "w"]]
+        wd = group.loc[group["side"] == 1, ["v", "w", "u"]]
+        if len(e) == 0 or len(wd) == 0:
+            return pd.DataFrame(
+                {
+                    "host": np.array([], np.int64),
+                    "n": np.array([], np.int64),
+                    "__hb": np.array([], np.int32),
+                }
+            )
+        m = wd.merge(e, on=["v", "w"])  # matched wedges ARE the triangles
+        corners = np.concatenate(
+            [m["u"].to_numpy(np.int64), m["v"].to_numpy(np.int64), m["w"].to_numpy(np.int64)]
+        )
+        hu, cnt = np.unique(corners, return_counts=True)
+        out = pd.DataFrame({"host": hu, "n": cnt.astype(np.int64)})
+        out["__hb"] = _hbucket(hu, nb)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("host", sort=False)
+        return g.agg(n_tri=("n", "sum")).reset_index()
+
+    return (
+        both.groupby("__pb")
+        .map_groups(close, batch_format="pandas")
+        .groupby("__hb")
+        .map_groups(final, batch_format="pandas")
+    )

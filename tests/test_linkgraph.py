@@ -397,3 +397,50 @@ class TestRankFilter:
         )
         got = linkgraph.rank_filtered_lang_counts(pages_path).to_pandas()
         assert dict(zip(got["lang"], got["n_pages"])) == dict(cnt)
+
+
+class TestTriangles:
+    def test_matches_reference(self, pages_path):
+        _, e = _reference_graph(N)
+        # undirected brute force: id-canonical edges -> set, count closures
+        a = np.minimum(e[:, 0], e[:, 1])
+        b = np.maximum(e[:, 0], e[:, 1])
+        keep = a != b
+        und = set(zip(a[keep].tolist(), b[keep].tolist()))
+        adj: dict[int, set[int]] = {}
+        for x, y in und:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        counts: dict[int, int] = {}
+        for x, y in und:
+            for z in adj[x] & adj[y]:
+                if z > y:  # each triangle once: x < y < z by construction
+                    for h in (x, y, z):
+                        counts[h] = counts.get(h, 0) + 1
+        want = (
+            pd.DataFrame(
+                {"host": list(counts.keys()), "n_tri": list(counts.values())}
+            )
+            .astype(np.int64)
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        got = (
+            linkgraph.triangle_hosts(pages_path)
+            .to_pandas()
+            .astype(np.int64)
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_graph(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = fixtures.pages_batch(np.arange(0))
+        d = tmp_path / "empty_tri"
+        d.mkdir()
+        pq.write_table(t, str(d / "p.parquet"))
+        out = linkgraph.triangle_hosts(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["host", "n_tri"]
