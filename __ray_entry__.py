@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": wtx.substring_dedup,
         "weighted_sample": wtx.weighted_sample,
         "doc_logprob": wtx.doc_logprob,
+        "bm25_docs": wtx.bm25_docs,
         "inverted_index": _inverted_index,
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
@@ -1522,6 +1523,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE token IN ('data', 'query', 'fast')
             GROUP BY doc_id
             HAVING COUNT(*) = 3
+        """,
+        # BM25: constants spelled as the SAME source literals as the engine
+        # ((1.2 + 1), (1 - 0.75)) — composite constants like 2.2 differ from
+        # 1.2 + 1 in the last ulp and would break the hash past rounding
+        "bm25_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x = 'data')) AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x = 'merge')) AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x = 'window')) AS DOUBLE) AS tf2,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x = 'spark')) AS DOUBLE) AS tf3
+                FROM documents
+            ),
+            g AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                       CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+                       CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+                FROM s
+            )
+            SELECT doc_id,
+                   ROUND(
+                       LN(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                           * (tf0 * (1.2 + 1))
+                           / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                     + LN(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                           * (tf1 * (1.2 + 1))
+                           / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                     + LN(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                           * (tf2 * (1.2 + 1))
+                           / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                     + LN(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+                           * (tf3 * (1.2 + 1))
+                           / (tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)),
+                   6) AS bm25
+            FROM s, g
+            WHERE tf0 + tf1 + tf2 + tf3 > 0
         """,
         "doc_logprob": """
             WITH toks AS (

@@ -1243,3 +1243,103 @@ def doc_logprob(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+
+#: fixed benchmark query — terms chosen across the fixture vocabulary's
+#: frequency range so idf spread is real (mirrored VERBATIM in the oracle)
+BM25_QUERY_TERMS = ("data", "merge", "window", "spark")
+
+
+def bm25_docs(sf_dir: str, *, terms=BM25_QUERY_TERMS, k1: float = 1.2, b: float = 0.75):
+    """Exact BM25 scores for every document matching >= 1 query term:
+    ``(doc_id, bm25)`` — the retrieval-scoring rung beside the inverted
+    index (which answers WHICH docs match; this ranks them).
+
+    Two corpus passes, the ``doc_logprob`` discipline — text never enters
+    an exchange:
+
+    1. per-block (n_docs, sum_dl, df_t) scalar partials collect driver-side
+       (|terms|+2 ints per block) and fold into the idf / avgdl constants;
+    2. a stateless scoring map recomputes per-doc term frequencies with one
+       vectorized token-equality scan per term and applies the closed-form
+       score.
+
+    Cross-engine float discipline: N, df, tf, dl are exact integers; avgdl
+    is an exact-integer ratio; every remaining op is the IDENTICAL scalar
+    expression on both engines, composite constants are spelled as the
+    same source literals (``1.2 + 1``, not ``2.2`` — they differ in the
+    last ulp), the per-term sum runs in fixed term order, and the result
+    rounds to 6dp half-away-from-zero (the repo's oracle convention).
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    nt = len(terms)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tf_dl(t: pa.Table):
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        dl = np.diff(offs)
+        flat = lists.flatten()
+        row_of = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        tf = np.zeros((len(dl), nt), dtype=np.int64)
+        for i, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool)
+            if m.any():
+                np.add.at(tf[:, i], row_of[m], 1)
+        return tf, dl
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tf, dl = _tf_dl(t)
+        row = {"n_docs": [len(dl)], "sum_dl": [int(dl.sum())]}
+        for i in range(nt):
+            row[f"df{i}"] = [int((tf[:, i] > 0).sum())]
+        return pd.DataFrame(row)
+
+    schema = {"n_docs": "int64", "sum_dl": "int64"}
+    schema.update({f"df{i}": "int64" for i in range(nt)})
+    parts = to_pandas_cols(ds.map_batches(partial, batch_format="pyarrow"), schema)
+    n = float(parts["n_docs"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"doc_id": np.array([], dtype=np.int64), "bm25": np.array([], np.float64)}
+        )
+    avgdl = float(parts["sum_dl"].sum()) / n
+    idf = np.array(
+        [
+            np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for df in parts[[f"df{i}" for i in range(nt)]].sum().to_numpy(np.float64)
+        ]
+    )
+    consts = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_v, ad = ray.get(consts)
+        tf, dl = _tf_dl(t)
+        dlf = dl.astype(np.float64)
+        norm = k1 * ((1.0 - b) + b * dlf / ad)
+        s = np.zeros(len(dlf), dtype=np.float64)
+        for i in range(nt):  # fixed term order = the oracle's + chain
+            tfi = tf[:, i].astype(np.float64)
+            s = s + idf_v[i] * (tfi * (k1 + 1)) / (tfi + norm)
+        keep = tf.sum(axis=1) > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "bm25": pc.round(
+                    pa.array(s[keep]), ndigits=6, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -478,3 +478,57 @@ def test_norm_text_dedup_bites(ray_session):
         pa.array(["A  B c.", "a b c", "  x!y  ", "P,q"])
     ).to_pylist()
     assert got == ["a b c", "a b c", "x y", "p q"]
+
+
+class TestBM25:
+    def test_matches_plain_reference(self, ray_session, tmp_path):
+        import math
+
+        from data_model_ray.pipelines.webtext import bm25_docs
+
+        docs = [
+            (1, "data merge data window"),
+            (2, "spark spark spark spark spark spark"),
+            (3, "the quick brown fox"),          # no query term -> absent
+            (4, "data"),
+            (5, "merge window spark data all four terms here"),
+        ]
+        df = pd.DataFrame(docs, columns=["doc_id", "text"])
+        d = tmp_path / "bm25"
+        d.mkdir()
+        df.to_parquet(d / "documents.parquet", index=False)
+
+        out = bm25_docs(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1, 2, 4, 5]
+
+        # plain-python replay of the documented formula
+        terms = ("data", "merge", "window", "spark")
+        toks = {i: t.split(" ") for i, t in docs}
+        n = float(len(docs))
+        dl = {i: float(len(w)) for i, w in toks.items()}
+        avgdl = sum(dl.values()) / n
+        dfs = [sum(1.0 for w in toks.values() if t in w) for t in terms]
+        want = {}
+        for i, w in toks.items():
+            s = 0.0
+            for t, dft in zip(terms, dfs):
+                tf = float(w.count(t))
+                idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+                s = s + idf * (tf * (1.2 + 1)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl[i] / avgdl))
+            if any(t in w for t in terms):
+                want[i] = s
+        got = dict(zip(out["doc_id"], out["bm25"]))
+        for i, v in want.items():
+            assert abs(got[i] - v) < 1e-6, (i, got[i], v)
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from data_model_ray.pipelines.webtext import bm25_docs
+
+        d = tmp_path / "bm25e"
+        d.mkdir()
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object")}).to_parquet(
+            d / "documents.parquet", index=False)
+        out = bm25_docs(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "bm25"]
