@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": wtx.weighted_sample,
         "doc_logprob": wtx.doc_logprob,
         "bm25_docs": wtx.bm25_docs,
+        "paragraph_dedup": wtx.paragraph_dedup,
         "inverted_index": _inverted_index,
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
@@ -1523,6 +1524,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE token IN ('data', 'query', 'fast')
             GROUP BY doc_id
             HAVING COUNT(*) = 3
+        """,
+        "paragraph_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            p AS (
+                SELECT doc_id, i AS pidx,
+                       array_to_string(ws[(16*i+1):(16*i+16)], ' ') AS para
+                FROM w, UNNEST(range(CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i)
+            ),
+            g AS (
+                SELECT para, COUNT(*) AS c,
+                       MIN(doc_id * 1048576 + pidx) AS wk
+                FROM p GROUP BY 1
+            ),
+            k AS (
+                SELECT p.doc_id, p.pidx, p.para
+                FROM p JOIN g ON g.para = p.para
+                WHERE g.c = 1 OR p.doc_id * 1048576 + p.pidx = g.wk
+            ),
+            agg AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       STRING_AGG(para, ' ' ORDER BY pidx) AS kept_text
+                FROM k GROUP BY 1
+            ),
+            np AS (
+                SELECT doc_id,
+                       CAST(ceil(len(ws) / 16.0) AS BIGINT) AS n_paras
+                FROM w
+            )
+            SELECT np.doc_id, np.n_paras,
+                   CAST(np.n_paras - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(agg.kept_text, '') AS kept_text
+            FROM np LEFT JOIN agg ON agg.doc_id = np.doc_id
         """,
         # BM25: constants spelled as the SAME source literals as the engine
         # ((1.2 + 1), (1 - 0.75)) — composite constants like 2.2 differ from

@@ -130,6 +130,18 @@ def run_queries() -> dict[str, float]:
         "snapshot_diff",
         lambda: urlops.snapshot_diff(pages_path_for_queries()),
     )
+    # round-4 part-3 additions: degree-oriented triangle closure over the
+    # host graph; CCNet-style paragraph dedup, BM25 scoring and gap
+    # sessionization over the relational tables
+    from data_model_ray.pipelines import analytic
+
+    timed(
+        "triangle_hosts",
+        lambda: linkgraph.triangle_hosts(pages_path_for_queries()),
+    )
+    timed("paragraph_dedup", lambda: webtext.paragraph_dedup(SF_DIR))
+    timed("bm25_docs", lambda: webtext.bm25_docs(SF_DIR))
+    timed("sessionize_events", lambda: analytic.sessionize_events(SF_DIR))
     return out
 
 

@@ -1343,3 +1343,137 @@ def bm25_docs(sf_dir: str, *, terms=BM25_QUERY_TERMS, k1: float = 1.2, b: float 
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- paragraph-level dedup (CCNet-style) --------------------------------------
+
+#: paragraph-key packing bound (mirrored in the oracle): pidx < 2^20, so
+#: doc_id must stay < 2^43 for the keep-first key to be collision-free
+PARA_KEY_SHIFT = 1_048_576
+
+
+def _paragraphs_of(t: pa.Table, para_words: int):
+    """Per-block paragraph explode: the fixed-width ``para_words``-token
+    windows of every doc, as (doc_row, pidx, para-string) arrays plus the
+    per-doc paragraph counts. One tokenize + one pandas group-join; shared
+    verbatim by both passes so the dedup key is derived identically."""
+    arr = (
+        t["text"].combine_chunks()
+        if isinstance(t["text"], pa.ChunkedArray)
+        else t["text"]
+    )
+    lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+    offs = np.asarray(lists.offsets).astype(np.int64)
+    ntok = np.diff(offs)
+    flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
+    n_paras = (ntok + para_words - 1) // para_words
+    row_of_tok = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+    pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], ntok)
+    pidx_of_tok = pos_in_doc // para_words
+    # global paragraph id per token: doc's paragraph base + local index
+    base = np.concatenate([[0], np.cumsum(n_paras)[:-1]])
+    gpid = np.repeat(base, ntok) + pidx_of_tok
+    para = (
+        pd.Series(flat)
+        .groupby(gpid, sort=True)
+        .agg(" ".join)
+        .to_numpy(dtype=object)
+    )
+    doc_row = np.repeat(np.arange(len(ntok), dtype=np.int64), n_paras)
+    pidx = np.concatenate([np.arange(k, dtype=np.int64) for k in n_paras]) if len(
+        n_paras
+    ) else np.array([], dtype=np.int64)
+    return doc_row, pidx, para, n_paras
+
+
+def paragraph_dedup(sf_dir: str, *, para_words: int = 16, num_buckets: int = 64):
+    """CCNet-style PARAGRAPH-level dedup: every ``para_words``-token window
+    ("paragraph") that occurs more than once corpus-wide is removed except
+    its globally-first occurrence (min ``doc_id * 2^20 + pidx`` key);
+    output is ``(doc_id, n_paras, n_removed, kept_text)`` per doc — the
+    granularity rung between byte-exact doc dedup and substring-span
+    removal (real CC pipelines dedup boilerplate paragraphs this way).
+
+    Shape (the ``substring_spans`` broadcast discipline):
+
+    1. per-block distinct (para, cnt, minkey) partials → ONE exchange
+       bucketed on the paragraph-string hash → global winner table,
+       filtered to cnt > 1 — bounded by CROSS-DOC DUPLICATE paragraphs,
+       the sparse set in the web regime — broadcast once via ``ray.put``
+       (string-exact semantics: whole paragraphs travel, not hashes, so
+       there is no collision caveat);
+    2. a stateless map re-derives each doc's paragraphs with the SAME
+       kernel, drops losers by sorted-array membership, and rebuilds
+       ``kept_text`` — corpus text never enters any exchange.
+
+    doc_id must stay < 2^43 (key packing bound, documented like the
+    ``substring_spans`` bound). A heavy-boilerplate corpus whose dup table
+    outgrows the broadcast budget would grow a ``method="join"`` fallback
+    exactly like ``substring_spans``; the fixture-scale default keeps the
+    single broadcast.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        doc_row, pidx, para, _ = _paragraphs_of(t, para_words)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        key = ids[doc_row] * PARA_KEY_SHIFT + pidx
+        df = pd.DataFrame({"para": para, "key": key})
+        g = df.groupby("para", sort=False)["key"]
+        out = g.agg(cnt="size", minkey="min").reset_index()
+        out["__b"] = (
+            pd.util.hash_array(out["para"].to_numpy(dtype=object))
+            & (num_buckets - 1)
+        ).astype(np.int32)
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("para", sort=False)
+        out = g.agg(cnt=("cnt", "sum"), minkey=("minkey", "min")).reset_index()
+        return out[out["cnt"] > 1][["para", "minkey"]]
+
+    dups = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas"),
+        {"para": "object", "minkey": "int64"},
+    )
+    dup_paras = dups["para"].to_numpy(dtype=object).astype("U")
+    order = np.argsort(dup_paras, kind="mergesort")
+    ref = ray.put((dup_paras[order], dups["minkey"].to_numpy(np.int64)[order]))
+
+    def apply(t: pa.Table) -> pd.DataFrame:
+        dpar, dkey = ray.get(ref)
+        doc_row, pidx, para, n_paras = _paragraphs_of(t, para_words)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(dpar):
+            pu = para.astype("U")
+            pos = np.clip(np.searchsorted(dpar, pu), 0, len(dpar) - 1)
+            isdup = dpar[pos] == pu
+            key = ids[doc_row] * PARA_KEY_SHIFT + pidx
+            removed = isdup & (key != dkey[pos])
+        else:
+            removed = np.zeros(len(para), dtype=bool)
+        kept = pd.DataFrame(
+            {"row": doc_row[~removed], "para": para[~removed]}
+        )
+        # pidx-ordered by construction (paragraphs emit in doc order)
+        ktext = kept.groupby("row", sort=True)["para"].agg(" ".join)
+        n_rem = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(n_rem, doc_row[removed], 1)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_paras": n_paras.astype(np.int64),
+                "n_removed": n_rem,
+                "kept_text": np.full(len(ids), "", dtype=object),
+            }
+        )
+        out.loc[ktext.index, "kept_text"] = ktext.to_numpy(dtype=object)
+        return out
+
+    return ds.map_batches(apply, batch_format="pyarrow")

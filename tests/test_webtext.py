@@ -532,3 +532,47 @@ class TestBM25:
         out = bm25_docs(str(d))
         assert len(out) == 0
         assert list(out.columns) == ["doc_id", "bm25"]
+
+
+class TestParagraphDedup:
+    def _run(self, tmp_path, docs, **kw):
+        from data_model_ray.pipelines.webtext import paragraph_dedup
+
+        d = tmp_path / "pdedup"
+        d.mkdir(exist_ok=True)
+        pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+            d / "documents.parquet", index=False
+        )
+        return (
+            paragraph_dedup(str(d), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_keep_first_across_docs(self, ray_session, tmp_path):
+        boiler = " ".join(f"b{i}" for i in range(16))
+        uniq1 = " ".join(f"u{i}" for i in range(16))
+        uniq2 = " ".join(f"v{i}" for i in range(16))
+        out = self._run(
+            tmp_path,
+            [
+                (10, f"{uniq1} {boiler}"),   # first occurrence of boiler: kept
+                (20, f"{boiler} {uniq2}"),   # later occurrence: removed
+            ],
+        )
+        assert out.loc[0].tolist() == [10, 2, 0, f"{uniq1} {boiler}"]
+        assert out.loc[1].tolist() == [20, 2, 1, uniq2]
+
+    def test_within_doc_repeat_and_short_tail(self, ray_session, tmp_path):
+        para = " ".join(f"x{i}" for i in range(16))
+        tail = "short tail"
+        out = self._run(tmp_path, [(1, f"{para} {para} {tail}")])
+        # second copy removed (same doc, higher pidx); short tail kept
+        assert out.loc[0].tolist() == [1, 3, 1, f"{para} {tail}"]
+
+    def test_all_paragraphs_removed(self, ray_session, tmp_path):
+        para = " ".join(f"y{i}" for i in range(16))
+        out = self._run(tmp_path, [(1, para), (2, para)])
+        assert out.loc[0].tolist() == [1, 1, 0, para]
+        assert out.loc[1].tolist() == [2, 1, 1, ""]
