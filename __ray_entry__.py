@@ -37,6 +37,8 @@ PAGES_SCALE_PINNED = {
     "bfs_hosts",
     "rank_filtered_pages",
     "triangle_hosts",
+    "clustering_coef_hosts",
+    "per_host_cap",
 }
 
 
@@ -112,6 +114,13 @@ def _pagerank_hosts(sf_dir: str):
     return linkgraph.pagerank_hosts(_pages_path(sf_dir))
 
 
+def _per_host_cap(sf_dir: str):
+    """Politeness cap: first k=3 crawl rows per host by (warc_ts, url)."""
+    from data_model_ray.pipelines import urlops
+
+    return urlops.per_host_cap(_pages_path(sf_dir))
+
+
 def _snapshot_diff(sf_dir: str):
     """Crawl-over-crawl url diff (added / removed / both)."""
     from data_model_ray.pipelines import urlops
@@ -131,6 +140,13 @@ def _triangle_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.triangle_hosts(_pages_path(sf_dir))
+
+
+def _clustering_coef_hosts(sf_dir: str):
+    """Local clustering coefficient per deg>=2 host."""
+    from data_model_ray.pipelines import linkgraph
+
+    return linkgraph.clustering_coef_hosts(_pages_path(sf_dir))
 
 
 def _hits_hosts(sf_dir: str):
@@ -748,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": olap.rank_orders,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
+        "p95_value_by_type": olap.p95_value_by_type,
         "percent_rank_orders": olap.percent_rank_orders,
         "argmax_order_per_priority": olap.argmax_order_per_priority,
         "ntile_orders": olap.ntile_orders,
@@ -852,7 +869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
         "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
+        "per_host_cap": _per_host_cap,           # politeness quota per host
         "triangle_hosts": _triangle_hosts,       # degree-oriented triangle counts
+        "clustering_coef_hosts": _clustering_coef_hosts,  # 2T/(d(d-1))
         "hits_hosts": _hits_hosts,               # raw-sum HITS hub/authority
         "bfs_hosts": _bfs_hosts,                 # BFS levels from hub host
         "rank_filtered_pages": _rank_filtered_lang_counts,  # signal -> corpus
@@ -1320,6 +1339,10 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 6) AS run_sum
             FROM events
+        """,
+        "p95_value_by_type": """
+            SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY 1
         """,
         "sessionize_events": """
             WITH x AS (
@@ -1809,6 +1832,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
             FROM corners GROUP BY 1
         """,
+        "clustering_coef_hosts": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            ue AS (
+                SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                                GREATEST(src_host, dst_host) AS b
+                FROM links WHERE src_host <> dst_host
+            ),
+            deg AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS d
+                FROM (SELECT a AS host FROM ue UNION ALL SELECT b FROM ue)
+                GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ue e1
+                JOIN ue e2 ON e2.a = e1.b
+                JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
+                FROM (
+                    SELECT x AS host FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY 1
+            )
+            SELECT deg.host,
+                   ROUND(2.0 * COALESCE(tc.n_tri, 0) / (deg.d * (deg.d - 1)),
+                         6) AS coef
+            FROM deg LEFT JOIN tc ON tc.host = deg.host
+            WHERE deg.d >= 2
+        """,
         "hits_hosts": f"""
             WITH {_links_cte(_ORACLE_N)},
             e AS (SELECT DISTINCT src_host, dst_host FROM links),
@@ -1831,6 +1886,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bfs_hosts": _bfs_sql(_ORACLE_N),
         "rank_filtered_pages": _rank_filter_sql(_ORACLE_N),
+        "per_host_cap": f"""
+            SELECT SPLIT_PART(url, '/', 3) AS host, url, warc_ts
+            FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY SPLIT_PART(url, '/', 3)
+                ORDER BY warc_ts, url
+            ) <= 3
+        """,
         "snapshot_diff": f"""
             WITH s AS (
                 SELECT url,

@@ -975,6 +975,14 @@ def triangle_hosts(pages_path: str):
     Every exchange carries host-graph-bounded int64 rows; page payloads
     never shuffle (they end at the anchor-extraction scan).
     """
+    return _triangles(pages_path)[2]
+
+
+def _triangles(pages_path: str):
+    """Shared triangle machinery: returns ``(hosts, deg, tri)`` — the sorted
+    host universe, its undirected-degree vector, and the per-host triangle
+    count result (a lazy Dataset, or an empty DataFrame on an empty graph).
+    See ``triangle_hosts`` for the distributed shape."""
     import ray
 
     nb = _num_buckets()
@@ -993,7 +1001,7 @@ def triangle_hosts(pages_path: str):
         {"host": np.array([], dtype=np.int64), "n_tri": np.array([], dtype=np.int64)}
     )
     if len(hosts) == 0:
-        return empty
+        return hosts, np.array([], dtype=np.int64), empty
 
     # undirected degree vector (host-bounded driver fold, = the PageRank
     # rank-vector discipline; beyond ~10^8 hosts this becomes a bucketed
@@ -1136,9 +1144,54 @@ def triangle_hosts(pages_path: str):
         g = group.groupby("host", sort=False)
         return g.agg(n_tri=("n", "sum")).reset_index()
 
-    return (
+    tri = (
         both.groupby("__pb")
         .map_groups(close, batch_format="pandas")
         .groupby("__hb")
         .map_groups(final, batch_format="pandas")
+    )
+    return hosts, deg, tri
+
+
+def clustering_coef_hosts(pages_path: str):
+    """Local clustering coefficient per host with undirected degree >= 2:
+    ``coef = 2 * triangles / (deg * (deg - 1))``, 6dp half-away rounding
+    (the oracle convention) — the classic graph-quality signal (spam/link
+    farms cluster; organic hubs don't).
+
+    Rides the ``triangle_hosts`` machinery unchanged; the final fold joins
+    the host-bounded triangle counts against the degree vector on the
+    driver (the HITS-vector discipline — host-bounded, never corpus-sized).
+    Degree-1 / isolated hosts are excluded (coefficient undefined), hosts
+    in no triangle emit 0.
+    """
+    hosts, deg, tri = _triangles(pages_path)
+    empty = pd.DataFrame(
+        {"host": np.array([], dtype=np.int64), "coef": np.array([], np.float64)}
+    )
+    if len(hosts) == 0:
+        return empty
+    tdf = (
+        tri
+        if isinstance(tri, pd.DataFrame)
+        else to_pandas_cols(tri, {"host": "int64", "n_tri": "int64"})
+    )
+    ntri = np.zeros(len(hosts), dtype=np.int64)
+    if len(tdf):
+        ntri[np.searchsorted(hosts, tdf["host"].to_numpy(np.int64))] = tdf[
+            "n_tri"
+        ].to_numpy(np.int64)
+    keep = deg >= 2
+    if not keep.any():
+        return empty
+    import pyarrow.compute as pc
+
+    coef = 2.0 * ntri[keep] / (deg[keep] * (deg[keep] - 1))
+    return pd.DataFrame(
+        {
+            "host": hosts[keep],
+            "coef": pc.round(
+                pa.array(coef), ndigits=6, round_mode="half_towards_infinity"
+            ).to_numpy(zero_copy_only=False),
+        }
     )

@@ -601,3 +601,40 @@ def embedding_dim_stats(sf_dir: str):
         .repartition(1)
         .map_batches(combine, batch_format="pandas", batch_size=None)
     )
+
+
+def p95_value_by_type(sf_dir: str, q: float = 0.95):
+    """Exact interpolated per-group percentile (PERCENTILE_CONT / DuckDB
+    ``quantile_cont``): p95 of ``value`` per ``event_type``.
+
+    The group key is low-cardinality (event types), so one key exchange
+    co-locates each type and an in-group vectorized sort computes the
+    order statistic exactly; interpolation is DuckDB's own
+    ``lo*(1-frac) + hi*frac`` form (measured — ``lo + (hi-lo)*frac``
+    differs in the last ulp), rounded 6dp half-away. Scale note: a
+    HIGH-cardinality exact percentile goes through the distributed
+    order-statistics machinery (`analytic.quantile_cont_prices`) or the
+    KLL sketch (`approx_quantiles`) — this operator is the co-located
+    exact rung, its per-group memory bounded by the largest group.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64), kind="mergesort")
+            n = len(v)
+            idx = (n - 1) * q
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            hi = min(lo + 1, n - 1)
+            out_rows.append((et, v[lo] * (1 - frac) + v[hi] * frac))
+        out = pd.DataFrame(out_rows, columns=["event_type", "p95"])
+        out["p95"] = pc.round(
+            pa.array(out["p95"].to_numpy(np.float64)),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        ).to_numpy(zero_copy_only=False)
+        return out
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")

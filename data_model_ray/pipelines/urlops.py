@@ -376,3 +376,65 @@ def snapshot_diff(pages_path: str):
         .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def per_host_cap(pages_path: str, *, k: int = 3, num_buckets: int = 64):
+    """Crawl politeness / boilerplate cap: keep at most ``k`` crawl rows
+    per host, earliest-first by ``(warc_ts, url)`` — the per-domain quota
+    every RefinedWeb-style pipeline applies so mega-hosts don't dominate
+    the training mix. Output: ``(host, url, warc_ts)``.
+
+    Per-block per-host top-k partials (<= k rows per (block, host) — the
+    ``topk_orders`` partial-top-k discipline) -> ONE host-hash bucket
+    exchange -> the same vectorized run-scan picks the global first k.
+    Exact ties beyond (warc_ts, url) are impossible in the output because
+    those two columns ARE the sort key — tied rows are byte-identical, so
+    either k-subset is the same multiset (matching the SQL ROW_NUMBER
+    twin). html payloads never enter the exchange (column-pruned read).
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    def _first_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "warc_ts", "url"], kind="mergesort")
+        h = df["host"].to_numpy()
+        n = len(h)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = h[1:] != h[:-1]
+        segid = np.cumsum(new) - 1 if n else np.array([], dtype=np.int64)
+        starts = np.flatnonzero(new)
+        pos = np.arange(n) - (starts[segid] if n else 0)
+        return df.iloc[pos < k]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        parts = pc.split_pattern(t["url"], pattern="/")
+        host = pc.list_element(parts, 2).to_pandas().astype(str)
+        df = pd.DataFrame(
+            {
+                "host": host,
+                "url": t["url"].to_pandas().astype(str),
+                "warc_ts": t["warc_ts"].to_pandas(),
+            }
+        )
+        out = _first_k(df)
+        out = out.assign(
+            __b=(
+                pd.util.hash_array(out["host"].to_numpy(dtype=object))
+                & (num_buckets - 1)
+            ).astype(np.int32)
+        )
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return _first_k(group)[["host", "url", "warc_ts"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

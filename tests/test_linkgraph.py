@@ -444,3 +444,47 @@ class TestTriangles:
         out = linkgraph.triangle_hosts(str(d))
         assert len(out) == 0
         assert list(out.columns) == ["host", "n_tri"]
+
+
+class TestClusteringCoef:
+    def test_matches_reference(self, pages_path):
+        _, e = _reference_graph(N)
+        a = np.minimum(e[:, 0], e[:, 1])
+        b = np.maximum(e[:, 0], e[:, 1])
+        keep = a != b
+        und = set(zip(a[keep].tolist(), b[keep].tolist()))
+        adj: dict[int, set[int]] = {}
+        for x, y in und:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        tric: dict[int, int] = {}
+        for x, y in und:
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    for h in (x, y, z):
+                        tric[h] = tric.get(h, 0) + 1
+        rows = []
+        for h, nb in sorted(adj.items()):
+            d = len(nb)
+            if d >= 2:
+                rows.append((h, 2.0 * tric.get(h, 0) / (d * (d - 1))))
+        want = pd.DataFrame(rows, columns=["host", "coef"])
+        got = (
+            linkgraph.clustering_coef_hosts(pages_path)
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert got["host"].tolist() == want["host"].tolist()
+        assert np.allclose(got["coef"].to_numpy(), want["coef"].to_numpy(), atol=1e-6)
+        # triangle-free hosts with deg>=2 must appear with coef 0
+        assert ((got["coef"] == 0.0) == (want["coef"] == 0.0)).all()
+
+    def test_empty_graph(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = fixtures.pages_batch(np.arange(0))
+        d = tmp_path / "empty_cc"
+        d.mkdir()
+        pq.write_table(t, str(d / "p.parquet"))
+        out = linkgraph.clustering_coef_hosts(str(d))
+        assert len(out) == 0 and list(out.columns) == ["host", "coef"]

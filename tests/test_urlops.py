@@ -154,3 +154,32 @@ class TestProperties:
         chunked = pa.chunked_array([urls[:5], urls[5:40], urls[40:]])
         b = canonicalize_urls(chunked).to_pylist()
         assert a == b
+
+
+class TestPerHostCap:
+    def test_matches_pandas_reference(self, ray_session):
+        from data_model_ray import fixtures
+        from data_model_ray.pipelines.urlops import per_host_cap
+
+        path = fixtures.ensure_pages_parquet(4000)
+        got = (
+            per_host_cap(path, k=3)
+            .to_pandas()
+            .sort_values(["host", "warc_ts", "url"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(path, columns=["url", "warc_ts"]).to_pandas()
+        df["host"] = df["url"].str.split("/").str[2]
+        want = (
+            df.sort_values(["host", "warc_ts", "url"], kind="mergesort")
+            .groupby("host", sort=True)
+            .head(3)[["host", "url", "warc_ts"]]
+            .sort_values(["host", "warc_ts", "url"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # the cap must actually bite: some host has > 3 crawl rows
+        assert len(want) < len(df)
