@@ -173,7 +173,10 @@ def main() -> None:
     # push-based shuffle: ~15-20% faster all-to-all on this pipeline
     # (measured 16.3s -> 12.9s at 1M rows); same results (test-verified).
     # GRAFT_PUSH_SHUFFLE=0 opts out for A/B measurement.
-    ctx.use_push_based_shuffle = os.environ.get("GRAFT_PUSH_SHUFFLE", "1") != "0"
+    if os.environ.get("GRAFT_PUSH_SHUFFLE", "1") != "0":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     # Ray's per-operator resource reservation starves the map operators
     # when the CPU budget is small relative to the operator count: at 8
     # CPUs the flagship ran its enrich stage near-serially (measured 30s
@@ -328,7 +331,9 @@ def endurance() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.use_push_based_shuffle = True
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     ctx.op_resource_reservation_enabled = False
 
     from data_model_ray import fixtures

@@ -47,8 +47,10 @@ def _init_ray(cpus: int) -> None:
             )
     from ray.data import DataContext
 
+    from ray.data.context import ShuffleStrategy
+
     DataContext.get_current().enable_progress_bars = False
-    DataContext.get_current().use_push_based_shuffle = True
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
 
 def cmd_run(args) -> int:
