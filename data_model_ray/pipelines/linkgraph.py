@@ -988,24 +988,11 @@ def _triangles(pages_path: str):
     nb = _num_buckets()
     edges = undirected_edges(pages_path).repartition(8).materialize()
 
-    def node_partial(t: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"host": np.union1d(t["a"].to_numpy(), t["b"].to_numpy())}
-        )
-
-    parts = to_pandas_cols(
-        edges.map_batches(node_partial, batch_format="pyarrow"), {"host": "int64"}
-    )
-    hosts = np.unique(parts["host"].to_numpy(np.int64))
-    empty = pd.DataFrame(
-        {"host": np.array([], dtype=np.int64), "n_tri": np.array([], dtype=np.int64)}
-    )
-    if len(hosts) == 0:
-        return hosts, np.array([], dtype=np.int64), empty
-
     # undirected degree vector (host-bounded driver fold, = the PageRank
     # rank-vector discipline; beyond ~10^8 hosts this becomes a bucketed
-    # join, same as pagerank's method="exchange")
+    # join, same as pagerank's method="exchange"). Every node of the
+    # undirected graph carries deg >= 1, so ONE pass yields both the host
+    # universe and the degrees.
     def deg_partial(t: pa.Table) -> pd.DataFrame:
         both = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()]).astype(np.int64)
         u, c = np.unique(both, return_counts=True)
@@ -1015,6 +1002,12 @@ def _triangles(pages_path: str):
         edges.map_batches(deg_partial, batch_format="pyarrow"),
         {"host": "int64", "acc": "int64"},
     )
+    hosts = np.unique(dparts["host"].to_numpy(np.int64))
+    empty = pd.DataFrame(
+        {"host": np.array([], dtype=np.int64), "n_tri": np.array([], dtype=np.int64)}
+    )
+    if len(hosts) == 0:
+        return hosts, np.array([], dtype=np.int64), empty
     deg = np.zeros(len(hosts), dtype=np.int64)
     np.add.at(
         deg,
@@ -1125,30 +1118,28 @@ def _triangles(pages_path: str):
         wd = group.loc[group["side"] == 1, ["v", "w", "u"]]
         if len(e) == 0 or len(wd) == 0:
             return pd.DataFrame(
-                {
-                    "host": np.array([], np.int64),
-                    "n": np.array([], np.int64),
-                    "__hb": np.array([], np.int32),
-                }
+                {"host": np.array([], np.int64), "n": np.array([], np.int64)}
             )
         m = wd.merge(e, on=["v", "w"])  # matched wedges ARE the triangles
         corners = np.concatenate(
             [m["u"].to_numpy(np.int64), m["v"].to_numpy(np.int64), m["w"].to_numpy(np.int64)]
         )
         hu, cnt = np.unique(corners, return_counts=True)
-        out = pd.DataFrame({"host": hu, "n": cnt.astype(np.int64)})
-        out["__hb"] = _hbucket(hu, nb)
-        return out
+        return pd.DataFrame({"host": hu, "n": cnt.astype(np.int64)})
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("host", sort=False)
         return g.agg(n_tri=("n", "sum")).reset_index()
 
+    # the per-corner partials are HOST-bounded (<= |hosts| rows per bucket
+    # task) — one single-task combine beats a third all-to-all exchange
+    # (the value_histogram discipline); at a >10^8-host scale this becomes
+    # a host-bucket groupby again
     tri = (
         both.groupby("__pb")
         .map_groups(close, batch_format="pandas")
-        .groupby("__hb")
-        .map_groups(final, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
     )
     return hosts, deg, tri
 
