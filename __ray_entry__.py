@@ -39,6 +39,7 @@ PAGES_SCALE_PINNED = {
     "triangle_hosts",
     "clustering_coef_hosts",
     "per_host_cap",
+    "host_quality_filter",
 }
 
 
@@ -112,6 +113,13 @@ def _pagerank_hosts(sf_dir: str):
     from data_model_ray.pipelines import linkgraph
 
     return linkgraph.pagerank_hosts(_pages_path(sf_dir))
+
+
+def _host_quality_filter(sf_dir: str):
+    """Domain-level quality gate: hosts at/above the corpus mean token count."""
+    from data_model_ray.pipelines import urlops
+
+    return urlops.host_quality_filter(_pages_path(sf_dir))
 
 
 def _per_host_cap(sf_dir: str):
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_users": ana.except_users,
         "running_total": ana.running_total,
         "sessionize_events": ana.sessionize_events,
+        "hourly_gapfill": ana.hourly_gapfill,
         "events_monthly": ana.events_monthly,
         "bigram_topk": ana.bigram_topk,
         "above_user_median": ana.above_user_median,
@@ -870,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
         "snapshot_diff": _snapshot_diff,         # crawl CDC: url added/removed
         "per_host_cap": _per_host_cap,           # politeness quota per host
+        "host_quality_filter": _host_quality_filter,  # domain quality gate
         "triangle_hosts": _triangle_hosts,       # degree-oriented triangle counts
         "clustering_coef_hosts": _clustering_coef_hosts,  # 2T/(d(d-1))
         "hits_hosts": _hits_hosts,               # raw-sum HITS hub/authority
@@ -1339,6 +1349,26 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    ), 6) AS run_sum
             FROM events
+        """,
+        "hourly_gapfill": """
+            WITH b AS (
+                SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            lim AS (
+                SELECT MIN(date_trunc('hour', ts)) AS lo,
+                       MAX(date_trunc('hour', ts)) AS hi
+                FROM events
+            ),
+            hours AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                FROM lim
+            ),
+            types AS (SELECT DISTINCT event_type FROM events)
+            SELECT h.hr, t.event_type, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+            FROM hours h
+            CROSS JOIN types t
+            LEFT JOIN b ON b.hr = h.hr AND b.event_type = t.event_type
         """,
         "p95_value_by_type": """
             SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95
@@ -1886,6 +1916,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bfs_hosts": _bfs_sql(_ORACLE_N),
         "rank_filtered_pages": _rank_filter_sql(_ORACLE_N),
+        "host_quality_filter": f"""
+            WITH s AS (
+                SELECT SPLIT_PART(url, '/', 3) AS host,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')
+            ),
+            h AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                       CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+                FROM s GROUP BY 1
+            ),
+            g AS (
+                SELECT CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gm
+                FROM s
+            )
+            SELECT host, n_pages, ROUND(m, 6) AS mean_tokens
+            FROM h, g WHERE h.m >= g.gm
+        """,
         "per_host_cap": f"""
             SELECT SPLIT_PART(url, '/', 3) AS host, url, warc_ts
             FROM read_parquet('/tmp/graft_pages/n{_ORACLE_N}/*.parquet')

@@ -1084,3 +1084,62 @@ def sessionize_events(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+# --- time-scaffold gap fill ----------------------------------------------------
+
+
+def hourly_gapfill(sf_dir: str):
+    """Zero-filled hourly event counts per ``event_type`` — the resample /
+    date-scaffold operator: every (hour, type) cell between the corpus'
+    first and last hour appears, absent cells as 0 (dashboards and
+    anomaly detectors need the explicit zeros that ``window_hourly``'s
+    observed-only groupby cannot emit).
+
+    Shape: per-block (hour, type, count) Arrow partials — bounded by
+    hours x types per block — fold on the driver (the grid-bounded
+    pyramid-rollup discipline: the scaffold is CALENDAR-sized, not
+    corpus-sized, so the driver fold is the cheapest correct exchange);
+    the dense scaffold is built with one vectorized meshgrid + searchsorted
+    scatter. Raw events never shuffle.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hr = (ts.astype(np.int64) // hour_us) * hour_us
+        df = pd.DataFrame(
+            {"hr": hr, "event_type": t["event_type"].to_pandas().astype(str)}
+        )
+        g = df.groupby(["hr", "event_type"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    parts = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"hr": "int64", "event_type": "object", "n": "int64"},
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "hr": np.array([], dtype="datetime64[us]"),
+                "event_type": np.array([], dtype=object),
+                "n": np.array([], dtype=np.int64),
+            }
+        )
+    agg = parts.groupby(["hr", "event_type"], sort=True)["n"].sum().reset_index()
+    hrs = np.arange(agg["hr"].min(), agg["hr"].max() + hour_us, hour_us)
+    types = np.unique(agg["event_type"].to_numpy(dtype=object).astype("U"))
+    dense = np.zeros((len(hrs), len(types)), dtype=np.int64)
+    hi = np.searchsorted(hrs, agg["hr"].to_numpy(np.int64))
+    ti = np.searchsorted(types, agg["event_type"].to_numpy(dtype=object).astype("U"))
+    dense[hi, ti] = agg["n"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "hr": np.repeat(hrs, len(types)).astype("datetime64[us]"),
+            "event_type": np.tile(types, len(hrs)).astype(object),
+            "n": dense.reshape(-1),
+        }
+    )

@@ -438,3 +438,61 @@ def per_host_cap(pages_path: str, *, k: int = 3, num_buckets: int = 64):
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def host_quality_filter(pages_path: str):
+    """C4/RefinedWeb-style DOMAIN-level quality gate: keep hosts whose mean
+    page token count is at or above the corpus mean — whole low-quality
+    domains (stub/boilerplate farms) drop in one decision instead of
+    page-by-page. Output: ``(host, n_pages, mean_tokens)`` for kept hosts.
+
+    Shape: per-block (host, n_pages, sum_tokens) integer partials fold on
+    the driver (host-bounded — the HITS-vector discipline; beyond ~10^8
+    hosts this becomes one host-bucket exchange). No corpus exchange at
+    all; the threshold compare runs on exact-integer ratios so both
+    engines make the identical keep/drop decision, and the reported mean
+    rounds 6dp half-away (oracle convention).
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.fs import sized_read_parquet, to_pandas_cols
+
+    ds = sized_read_parquet(pages_path, columns=["url", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        parts = pc.split_pattern(t["url"], pattern="/")
+        host = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        host = pc.list_element(host, 2).to_pandas().astype(str)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"host": host, "ntok": ntok})
+        g = df.groupby("host", sort=False)["ntok"]
+        return g.agg(n_pages="size", sum_tokens="sum").reset_index()
+
+    parts = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"host": "object", "n_pages": "int64", "sum_tokens": "int64"},
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "host": np.array([], dtype=object),
+                "n_pages": np.array([], dtype=np.int64),
+                "mean_tokens": np.array([], dtype=np.float64),
+            }
+        )
+    h = parts.groupby("host", sort=True).agg(
+        n_pages=("n_pages", "sum"), sum_tokens=("sum_tokens", "sum")
+    )
+    gm = float(h["sum_tokens"].sum()) / float(h["n_pages"].sum())
+    m = h["sum_tokens"].to_numpy(np.float64) / h["n_pages"].to_numpy(np.float64)
+    keep = m >= gm
+    return pd.DataFrame(
+        {
+            "host": h.index.to_numpy(dtype=object)[keep],
+            "n_pages": h["n_pages"].to_numpy(np.int64)[keep],
+            "mean_tokens": pa.compute.round(
+                pa.array(m[keep]), ndigits=6, round_mode="half_towards_infinity"
+            ).to_numpy(zero_copy_only=False),
+        }
+    )
