@@ -837,6 +837,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_type": ana.mode_user_per_type,
         "corr_group": ana.corr_qty_price,
         "value_histogram": ana.value_histogram,
+        # web-analytics family (pipelines/analytic.py): ordered funnel,
+        # day-grain cohort retention, exponential-decay freshness score,
+        # per-source language entropy, Pareto skyline, six-table star join
+        "funnel_stages": ana.funnel_stages,
+        "cohort_retention": ana.cohort_retention,
+        "decayed_count": ana.decayed_count_by_type,
+        "source_lang_entropy": ana.source_lang_entropy,
+        "skyline_orders": ana.skyline_orders,
+        "q5_nation_revenue": ana.q5_nation_revenue,
         # SQL-oracled operator families (SURVEY.md section 2)
         "filter_project": rel.filter_project,            # M-group map/filter
         "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
@@ -2288,5 +2297,100 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
+        """,
+        # --- web-analytics family (pipelines/analytic.py) ---
+        "funnel_stages": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT 'signup' AS stage,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 'view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+                FROM events GROUP BY 1
+            ),
+            a AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        "decayed_count": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('day', date_trunc('day', ts),
+                           (SELECT MAX(date_trunc('day', ts)) FROM events))
+                           AS age,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   ROUND(SUM(n * POWER(2.0, -age / 7.0)), 6) AS decayed_n
+            FROM d GROUP BY 1
+        """,
+        "source_lang_entropy": """
+            WITH c AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+            SELECT c.source,
+                   ROUND(SUM(-(c.n / t.tot) * LN(c.n / t.tot)), 6) AS entropy
+            FROM c JOIN t ON c.source = t.source
+            GROUP BY 1
+        """,
+        "skyline_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders o
+            WHERE o_orderpriority = '1-URGENT'
+              AND NOT EXISTS (
+                SELECT 1 FROM orders b
+                WHERE b.o_orderpriority = '1-URGENT'
+                  AND b.o_totalprice >= o.o_totalprice
+                  AND b.o_orderdate <= o.o_orderdate
+                  AND (b.o_totalprice > o.o_totalprice
+                       OR b.o_orderdate < o.o_orderdate)
+              )
+        """,
+        # exact-integer revenue units (cents x (100 - discount pct)) summed
+        # as BIGINT on both engines -> the final 2dp round is order-free
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
         """,
     }

@@ -142,6 +142,10 @@ def run_queries() -> dict[str, float]:
     timed("paragraph_dedup", lambda: webtext.paragraph_dedup(SF_DIR))
     timed("bm25_docs", lambda: webtext.bm25_docs(SF_DIR))
     timed("sessionize_events", lambda: analytic.sessionize_events(SF_DIR))
+    # round-4 part-4 additions: six-table star join (TPC-H Q5 shape) and
+    # day-grain cohort retention over the events table
+    timed("q5_nation_revenue", lambda: analytic.q5_nation_revenue(SF_DIR))
+    timed("cohort_retention", lambda: analytic.cohort_retention(SF_DIR))
     return out
 
 

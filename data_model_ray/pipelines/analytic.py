@@ -1143,3 +1143,533 @@ def hourly_gapfill(sf_dir: str):
             "n": dense.reshape(-1),
         }
     )
+
+
+# --- web-analytics family: funnel / cohort / decay ---------------------------
+
+
+def funnel_stages(sf_dir: str, *, num_buckets: int = 64):
+    """Ordered three-stage funnel (signup -> view -> purchase): how many
+    users completed each prefix of the sequence, where each later stage
+    must happen STRICTLY AFTER the user's first completion of the previous
+    one (the product-analytics funnel, not a mere per-type distinct count).
+
+    Shape: one hash exchange bucketed on ``user_id`` (all of a user's
+    events co-locate; only rows of the three funnel types are read past
+    the filter). The per-bucket kernel is three vectorized
+    min-after-anchor reductions over every user in the bucket; each bucket
+    emits ONE partial row of three counters, folded on the driver
+    (<= num_buckets rows). Raw events cross the exchange once; nothing
+    user-level leaves the bucket.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    stages = ("signup", "view", "purchase")
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(stages)))
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__b", pa.array((u & (num_buckets - 1)).astype(np.int32))
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_signup": pd.Series([], dtype=np.int64),
+                "n_view": pd.Series([], dtype=np.int64),
+                "n_purchase": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        # first-completion anchor per user, then min ts strictly after the
+        # anchor for the next stage; users absent from a stage drop out.
+        anchor = (
+            df[df["event_type"] == stages[0]].groupby("user_id")["ts"].min()
+        )
+        counts = [len(anchor)]
+        for nxt in stages[1:]:
+            ev = df[df["event_type"] == nxt][["user_id", "ts"]]
+            ev = ev.join(anchor.rename("prev"), on="user_id", how="inner")
+            ev = ev[ev["ts"] > ev["prev"]]
+            anchor = ev.groupby("user_id")["ts"].min()
+            counts.append(len(anchor))
+        return pd.DataFrame(
+            {
+                "n_signup": [np.int64(counts[0])],
+                "n_view": [np.int64(counts[1])],
+                "n_purchase": [np.int64(counts[2])],
+            }
+        )
+
+    parts = to_pandas_cols(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas"),
+        {"n_signup": "int64", "n_view": "int64", "n_purchase": "int64"},
+    )
+    totals = parts.sum()
+    return pd.DataFrame(
+        {
+            "stage": np.array(stages, dtype=object),
+            "n_users": np.array(
+                [totals["n_signup"], totals["n_view"], totals["n_purchase"]],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def cohort_retention(sf_dir: str, *, num_buckets: int = 64):
+    """Day-grain cohort retention: users cohorted by the day of their FIRST
+    event; for each (cohort_day, day_offset) the count of cohort users
+    active day_offset days later (offset 0 = the cohort day itself).
+
+    Shape: one hash exchange bucketed on ``user_id``; the per-bucket kernel
+    derives each user's first day and distinct active days vectorized
+    (lexsort + boundary masks, no per-user loop) and emits calendar-bounded
+    (cohort_day, day_offset, n) partials — at most days^2 rows per bucket
+    regardless of corpus size — folded on the driver like the pyramid
+    rollups (`hourly_gapfill` discipline: the fold is CALENDAR-sized).
+    """
+    from ..sources.fs import to_pandas_cols
+
+    day_us = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__b", pa.array((u & (num_buckets - 1)).astype(np.int32))
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_day": pd.Series([], dtype=np.int64),
+                "day_offset": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        day = (
+            df["ts"].to_numpy("datetime64[us]").astype(np.int64) // day_us
+        ) * day_us
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        first_day = day[new_user][np.cumsum(new_user) - 1]  # per-row cohort day
+        keep = np.empty(len(u), dtype=bool)  # distinct (user, day) rows only
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        cd = first_day[keep]
+        off = (day[keep] - cd) // day_us
+        part = (
+            pd.DataFrame({"cohort_day": cd, "day_offset": off})
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return part.astype(
+            {"cohort_day": np.int64, "day_offset": np.int64, "n": np.int64}
+        )
+
+    parts = to_pandas_cols(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas"),
+        {"cohort_day": "int64", "day_offset": "int64", "n": "int64"},
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "cohort_day": np.array([], dtype="datetime64[us]"),
+                "day_offset": np.array([], dtype=np.int64),
+                "n_users": np.array([], dtype=np.int64),
+            }
+        )
+    agg = (
+        parts.groupby(["cohort_day", "day_offset"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "cohort_day": agg["cohort_day"].to_numpy(np.int64).astype("datetime64[us]"),
+            "day_offset": agg["day_offset"].to_numpy(np.int64),
+            "n_users": agg["n"].to_numpy(np.int64),
+        }
+    )
+
+
+def decayed_count_by_type(sf_dir: str, *, half_life_days: int = 7):
+    """Freshness score per event type: each event contributes
+    ``2^(-age_days / half_life)`` where ``age_days`` is the INTEGER number
+    of whole days between the event's day and the corpus' last day — the
+    standard exponential-recency score of ranking pipelines.
+
+    Hash-parity design: ages are integers, so the score is a dot product of
+    EXACT per-(type, age) integer counts with a <=|days|-long weight vector
+    — both engines sum the same ~30 exactly-representable products, so the
+    6dp round is stable (a per-row float decay would make the sum order
+    visible at 10^12 rows). Shape: per-block Arrow partial counts (bounded
+    by types x days), driver fold; raw events never shuffle; the corpus max
+    ts comes from the same partials (no second pass).
+    """
+    from ..sources.fs import to_pandas_cols
+
+    day_us = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.astype(np.int64) // day_us
+        df = pd.DataFrame(
+            {"day": day, "event_type": t["event_type"].to_pandas().astype(str)}
+        )
+        g = df.groupby(["day", "event_type"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    parts = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"day": "int64", "event_type": "object", "n": "int64"},
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": np.array([], dtype=object),
+                "decayed_n": np.array([], dtype=np.float64),
+            }
+        )
+    agg = parts.groupby(["day", "event_type"], sort=True)["n"].sum().reset_index()
+    last_day = agg["day"].max()
+    age = (last_day - agg["day"].to_numpy(np.int64)).astype(np.float64)
+    w = np.power(2.0, -age / float(half_life_days))
+    agg["score"] = w * agg["n"].to_numpy(np.int64)
+    out = (
+        agg.groupby("event_type", sort=True)["score"]
+        .sum()
+        .round(6)
+        .rename("decayed_n")
+        .reset_index()
+    )
+    out["event_type"] = out["event_type"].astype(object)
+    return out
+
+
+def source_lang_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each source's language distribution — the
+    corpus-balance diagnostic a multilingual curation pipeline tracks per
+    provenance bucket.
+
+    Shape: per-block (source, lang) Arrow count partials, driver fold
+    (bounded by |sources| x |langs|), then a deterministic lang-sorted
+    -sum(p ln p) per source. Documents never shuffle; only count rows move.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas().astype(str),
+                "lang": t["lang"].to_pandas().astype(str),
+            }
+        )
+        return df.groupby(["source", "lang"], sort=False).size().rename("n").reset_index()
+
+    parts = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"source": "object", "lang": "object", "n": "int64"},
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "source": np.array([], dtype=object),
+                "entropy": np.array([], dtype=np.float64),
+            }
+        )
+    agg = parts.groupby(["source", "lang"], sort=True)["n"].sum().reset_index()
+    tot = agg.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    p = agg["n"].to_numpy(np.int64) / tot
+    agg["term"] = -p * np.log(p)
+    out = (
+        agg.groupby("source", sort=True)["term"]
+        .sum()
+        .round(6)
+        .rename("entropy")
+        .reset_index()
+    )
+    out["source"] = out["source"].astype(object)
+    return out
+
+
+# --- skyline (Pareto frontier) ------------------------------------------------
+
+
+def skyline_indices(price, date_i, key):
+    """Indices of the Pareto frontier on (maximize price, minimize date).
+
+    Dominance: b beats r iff b.price >= r.price AND b.date <= r.date,
+    strict on at least one axis; exact (price, date) duplicates all
+    survive. Sorted by (price desc, date asc), r survives iff its date is
+    the min of its equal-price run (same price + strictly smaller date
+    dominates) AND strictly below every higher-price run's min date.
+    O(n log n); ``key`` only fixes the intra-tie sort order.
+    """
+    order = np.lexsort((key, date_i, -price))
+    p, d = price[order], date_i[order]
+    n = len(p)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(new_grp) - 1
+    starts = np.flatnonzero(new_grp)
+    grp_min = d[starts]  # date asc within a run -> run min is its head
+    prefix = np.minimum.accumulate(grp_min)
+    inf = np.int64(np.iinfo(np.int64).max)
+    best_before = np.concatenate(([inf], prefix[:-1]))[gid]
+    keep = (d == grp_min[gid]) & (d < best_before)
+    return order[keep]
+
+
+def skyline_orders(sf_dir: str, *, priority: str = "1-URGENT"):
+    """Pareto frontier of one priority class's orders on (maximize
+    o_totalprice, minimize o_orderdate): an order survives iff no other
+    order strictly dominates it (>= on both axes with > on at least one).
+    Duplicate (price, date) points all survive, matching the NOT EXISTS
+    oracle exactly.
+
+    Shape: per-block LOCAL skyline (sort desc price / asc date + running
+    min-date scan — O(b log b) per block, output ~O(log b) expected), then
+    one driver-side fold of the concatenated local frontiers with the same
+    kernel. The fold input is frontier-sized, not corpus-sized (a point
+    dominated globally is dominated inside its own block too, so local
+    pruning is lossless); the corpus never shuffles.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["o_orderpriority"], pa.scalar(priority)))
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_totalprice": pd.Series([], dtype=np.float64),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        date_i = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = skyline_indices(price, date_i, key)
+        return pd.DataFrame(
+            {
+                "o_orderkey": key[idx],
+                "o_totalprice": price[idx],
+                "o_orderdate": date_i[idx].astype("datetime64[us]"),
+            }
+        )
+
+    cand = to_pandas_cols(
+        ds.map_batches(local, batch_format="pyarrow"),
+        {
+            "o_orderkey": "int64",
+            "o_totalprice": "float64",
+            "o_orderdate": "datetime64[us]",
+        },
+    )
+    if len(cand) == 0:
+        return cand
+    price = cand["o_totalprice"].to_numpy(np.float64)
+    date_i = cand["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+    key = cand["o_orderkey"].to_numpy(np.int64)
+    idx = skyline_indices(price, date_i, key)
+    out = pd.DataFrame(
+        {
+            "o_orderkey": key[idx],
+            "o_totalprice": price[idx],
+            "o_orderdate": date_i[idx].astype("datetime64[us]"),
+        }
+    )
+    return out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
+# --- six-table star join (TPC-H Q5 shape) --------------------------------------
+
+
+def q5_nation_revenue(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    # 256 (not CPU-scaled 16): fewer distinct bucket values than sort
+    # partitions leaves empty schema-less partitions Ray warns on (see
+    # flagship.dedup_buckets); measured cost-free at this exchange size
+    num_buckets: int = 256,
+):
+    """Revenue per nation for one region/year where the supplier and the
+    customer share a nation (TPC-H Q5): customer ⋈ orders ⋈ lineitem ⋈
+    supplier ⋈ nation ⋈ region with the cross-branch equality
+    ``c_nationkey = s_nationkey``.
+
+    Shape: region->nation and supplier->nation maps broadcast once via
+    ``ray.put`` (dimension-sized); the customer->nation map is broadcast
+    too (dimension-sized here — at fact-scale customer the documented
+    fallback is the ``hash_join_revenue`` bucketed exchange on custkey).
+    Orders (date-filtered) carry the customer nation; lineitem pre-folds
+    EXACT integer revenue units per (orderkey, supplier-nation) per batch
+    — price/discount are 2-decimal fixtures, so cents x (100-pct) sums are
+    order-free int64 and both engines round the same double at the end.
+    The two fact sides cross ONE bucketed exchange on orderkey; the
+    nation-equality filter and per-nation fold run inside the bucket;
+    the driver folds <=|nations| rows.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nat = to_pandas_cols(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        {"n_nationkey": "int32", "n_name": "object", "n_regionkey": "int32"},
+    )
+    reg = to_pandas_cols(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        {"r_regionkey": "int32", "r_name": "object"},
+    )
+    keys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(keys)]
+    nation_name = dict(
+        zip(nat["n_nationkey"].astype(np.int64), nat["n_name"].astype(str))
+    )
+    nation_keys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
+
+    sup = to_pandas_cols(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "int64", "s_nationkey": "int32"},
+    )
+    sup = sup[sup["s_nationkey"].astype(np.int64).pipe(np.isin, nation_keys)]
+    sup = sup.sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (sup["s_suppkey"].to_numpy(np.int64), sup["s_nationkey"].to_numpy(np.int64))
+    )
+
+    cust = to_pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        {"c_custkey": "int64", "c_nationkey": "int32"},
+    )
+    cust = cust[cust["c_nationkey"].astype(np.int64).pipe(np.isin, nation_keys)]
+    cust = cust.sort_values("c_custkey")
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_nationkey"].to_numpy(np.int64))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        o_cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, o_cust)
+        pos = np.clip(pos, 0, max(len(ck) - 1, 0))
+        hit = (len(ck) > 0) & (ck[pos] == o_cust)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "nat": pa.array(cn[pos[hit]], pa.int64()),
+                "rev_units": pa.nulls(int(hit.sum()), pa.int64()),
+                "side": pa.array(np.zeros(int(hit.sum()), dtype=np.int8)),
+                "bucket": pa.array((keys & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        l_sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, l_sup)
+        pos = np.clip(pos, 0, max(len(sk) - 1, 0))
+        hit = (len(sk) > 0) & (sk[pos] == l_sup)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[hit]
+        pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )[hit]
+        part = (
+            pd.DataFrame(
+                {
+                    "key": t["l_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                    "nat": sn[pos[hit]],
+                    "rev_units": cents * (100 - pct),
+                }
+            )
+            .groupby(["key", "nat"], sort=False)["rev_units"]
+            .sum()
+            .reset_index()
+        )
+        keys = part["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "nat": pa.array(part["nat"].to_numpy(np.int64), pa.int64()),
+                "rev_units": pa.array(part["rev_units"].to_numpy(np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(part), dtype=np.int8)),
+                "bucket": pa.array((keys & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "nat"]]
+        right = g[g["side"] == 1][["key", "nat", "rev_units"]]
+        m = right.merge(left, on=["key", "nat"], how="inner")  # c_nat == s_nat
+        out = m.groupby("nat", sort=False)["rev_units"].sum().reset_index()
+        return out.astype({"nat": np.int64, "rev_units": np.int64})
+
+    parts = to_pandas_cols(
+        both.groupby("bucket").map_groups(join_bucket, batch_format="pandas"),
+        {"nat": "int64", "rev_units": "int64"},
+    )
+    agg = parts.groupby("nat", sort=True)["rev_units"].sum().reset_index()
+    out = pd.DataFrame(
+        {
+            "n_name": agg["nat"].map(nation_name).astype(object),
+            "revenue": (agg["rev_units"].to_numpy(np.int64) / 10000.0).round(2),
+        }
+    )
+    return out.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

@@ -81,3 +81,62 @@ class TestScaleOffsetProperties:
         dec = decode_scale_offset(enc, scale_factor=scale)
         got = dec.to_numpy(zero_copy_only=False)
         np.testing.assert_allclose(got, vals, atol=scale / 2 + 1e-12)
+
+
+class TestSkylineProperties:
+    """skyline_indices (pipelines/analytic.py) vs O(n^2) brute-force
+    dominance, plus losslessness of the per-block local-prune + fold."""
+
+    pts = st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=60,
+    )
+
+    @staticmethod
+    def _brute(price, date_i):
+        n = len(price)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            dominated = (
+                (price >= price[i])
+                & (date_i <= date_i[i])
+                & ((price > price[i]) | (date_i < date_i[i]))
+            )
+            keep[i] = not dominated.any()
+        return keep
+
+    @given(pts=pts)
+    @settings(max_examples=200, deadline=None)
+    def test_matches_bruteforce(self, pts):
+        from data_model_ray.pipelines.analytic import skyline_indices
+
+        price = np.array([p for p, _ in pts], dtype=np.float64)
+        date_i = np.array([d for _, d in pts], dtype=np.int64)
+        key = np.arange(len(pts), dtype=np.int64)
+        got = np.zeros(len(pts), dtype=bool)
+        got[skyline_indices(price, date_i, key)] = True
+        np.testing.assert_array_equal(got, self._brute(price, date_i))
+
+    @given(pts=pts, cut=st.integers(0, 60))
+    @settings(max_examples=200, deadline=None)
+    def test_local_prune_is_lossless(self, pts, cut):
+        """skyline(skyline(A) U skyline(B)) == skyline(A U B) for any split
+        — the distributed fold's correctness invariant."""
+        from data_model_ray.pipelines.analytic import skyline_indices
+
+        price = np.array([p for p, _ in pts], dtype=np.float64)
+        date_i = np.array([d for _, d in pts], dtype=np.int64)
+        key = np.arange(len(pts), dtype=np.int64)
+        cut = min(cut, len(pts))
+        keep_parts = []
+        for sl in (slice(0, cut), slice(cut, len(pts))):
+            if sl.stop - (sl.start or 0) > 0:
+                keep_parts.append(
+                    np.asarray(sl.start or 0)
+                    + skyline_indices(price[sl], date_i[sl], key[sl])
+                )
+        cand = np.sort(np.concatenate(keep_parts)) if keep_parts else key[:0]
+        fold = cand[skyline_indices(price[cand], date_i[cand], key[cand])]
+        whole = skyline_indices(price, date_i, key)
+        np.testing.assert_array_equal(np.sort(fold), np.sort(whole))
