@@ -304,6 +304,78 @@ def _pages_raster(sf_dir: str):
     )(raster)
 
 
+def _pages_focal_stats(sf_dir: str):
+    """3x3 focal (k-ring) smoothing of per-cell page density."""
+    from data_model_ray.pipelines.spatial import focal_stats
+
+    return focal_stats(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
+def _pages_hotspot(sf_dir: str):
+    """Getis-Ord-Gi*-style hot-spot z-scores per occupied cell."""
+    from data_model_ray.pipelines.spatial import hotspot_cells
+
+    return hotspot_cells(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
+def _pages_idw(sf_dir: str):
+    """Fixed-point IDW text_len interpolation at occupied cell centers."""
+    from data_model_ray.pipelines.spatial import idw_cells
+
+    return idw_cells(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
+def _pages_distance_pairs(sf_dir: str):
+    """Bounded-radius spatial self-join over the deterministic host subset
+    (each pair once, url_a < url_b; ring-1 candidacy mirrored by the oracle)."""
+    from data_model_ray.oracles import KNN_HOST_PREFIX
+    from data_model_ray.pipelines.spatial import distance_pairs
+
+    return distance_pairs(_pages_path(sf_dir), host_prefix=KNN_HOST_PREFIX)
+
+
+def _pages_host_dispersion(sf_dir: str):
+    """Per-host centroid + max-radius geographic spread."""
+    from data_model_ray.pipelines.spatial import host_dispersion
+
+    return host_dispersion(_pages_path(sf_dir))
+
+
+def _pages_vectorize(sf_dir: str):
+    """Raster->vector round trip: rasterize the base cell level, vectorize
+    the tiles back to cells, decode centers (grid.geocell_center)."""
+    import pyarrow as pa
+    import ray
+
+    from data_model_ray.grid import geocell_center
+    from data_model_ray.pipelines.rasterize import rasterize_level, vectorize_tiles
+
+    cells = _pages_cell_stats(sf_dir).materialize()
+    table = pa.concat_tables(
+        [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    back = vectorize_tiles(rasterize_level(table))
+    cell = back["cell"].to_numpy(zero_copy_only=False)
+    lat_ctr, lon_ctr = geocell_center(cell)
+    out = pa.table(
+        {
+            "cell": pa.array(cell.astype("int64")),
+            "lat_ctr": pa.array(lat_ctr),
+            "lon_ctr": pa.array(lon_ctr),
+            "pages": back["pages"],
+            "text_bytes": back["text_bytes"],
+        }
+    )
+    return out
+
+
 def _langid_docs(sf_dir: str):
     import ray.data as rd
 
@@ -908,6 +980,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _simhash_docs,
         "simhash_pairs_docs": _simhash_pairs,
         "pages_raster": _pages_raster,
+        "pages_focal_stats": _pages_focal_stats,
+        "pages_hotspot": _pages_hotspot,
+        "pages_idw": _pages_idw,
+        "pages_distance_pairs": _pages_distance_pairs,
+        "pages_host_dispersion": _pages_host_dispersion,
+        "pages_vectorize": _pages_vectorize,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -1970,6 +2048,12 @@ def oracle_sql() -> dict[str, str]:
         "pages_cell_stats": oracles.pages_cell_stats_sql(_ORACLE_N),
         "pages_raster": oracles.pages_raster_sql(_ORACLE_N),
         "pages_knn": oracles.pages_knn_sql(_ORACLE_N),
+        "pages_focal_stats": oracles.pages_focal_stats_sql(_ORACLE_N),
+        "pages_hotspot": oracles.pages_hotspot_sql(_ORACLE_N),
+        "pages_idw": oracles.pages_idw_sql(_ORACLE_N),
+        "pages_distance_pairs": oracles.pages_distance_pairs_sql(_ORACLE_N),
+        "pages_host_dispersion": oracles.pages_host_dispersion_sql(_ORACLE_N),
+        "pages_vectorize": oracles.pages_vectorize_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

@@ -146,6 +146,27 @@ def run_queries() -> dict[str, float]:
     # day-grain cohort retention over the events table
     timed("q5_nation_revenue", lambda: analytic.q5_nation_revenue(SF_DIR))
     timed("cohort_retention", lambda: analytic.cohort_retention(SF_DIR))
+    # spatial-analytics family (round 4 part 5): raster focal hot-spot
+    # statistics and the bounded-radius distance self-join over the full
+    # pages table
+    from data_model_ray.pipelines import spatial
+
+    timed(
+        "pages_hotspot",
+        lambda: spatial.hotspot_cells(pages_path_for_queries()),
+    )
+    # distance join over the deterministic host subset (the driver-query
+    # shape): the full-corpus join is output-bound by construction —
+    # ~877M pairs at 1M rows / 25 km on the clustered fixture — so the
+    # bench measures the join machinery, not pair materialization
+    from data_model_ray.oracles import KNN_HOST_PREFIX
+
+    timed(
+        "pages_distance_pairs",
+        lambda: spatial.distance_pairs(
+            pages_path_for_queries(), host_prefix=KNN_HOST_PREFIX
+        ),
+    )
     return out
 
 

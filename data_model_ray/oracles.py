@@ -21,6 +21,10 @@ from __future__ import annotations
 
 GRAFT_ROOT = "/tmp/graft_pages"
 EARTH_DEG = "111.19492664455873"  # stages.knn.EARTH_DEG, exact literal
+# exponent form parses as DOUBLE in DuckDB (the plain literal becomes
+# DECIMAL(17,14), and a DOUBLE*DECIMAL multiply diverges in the last ulp
+# — measured on SQRT(maxd2)*EARTH_DEG); bit-equal to the python float
+EARTH_DEG_DOUBLE = "1.1119492664455873e2"
 H3_BASE = 7 << 56  # GeoCell res-7 id prefix (grid.py id layout)
 KNN_HOST_PREFIX = "https://host3."  # deterministic kNN query subset
 
@@ -312,4 +316,242 @@ SELECT DISTINCT url,
        CAST(len(regexp_extract_all(url, '[0-9]+')) AS BIGINT) AS n_digit_runs,
        regexp_replace(url, '[0-9]+', '#', 'g') AS redacted_url
 FROM read_parquet('{pages_glob}')
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial-analytics family (pipelines/spatial.py) — every expression below
+# mirrors the engine kernel operand-for-operand; see that module's docstring
+# for the cross-engine exactness discipline (fixed-point IDW weights,
+# int64-exact moments, microdegree centroids)
+# ---------------------------------------------------------------------------
+
+_OFFSETS_CTE = """
+  off AS (
+    SELECT a.di, b.dj
+    FROM (VALUES (-1), (0), (1)) a(di), (VALUES (-1), (0), (1)) b(dj)
+  )"""
+
+_FOCAL_CTES = f"""
+  cells AS (
+    SELECT h3_7 AS cell, CAST(COUNT(*) AS BIGINT) AS pages FROM h3 GROUP BY h3_7
+  ),
+  ij AS (
+    SELECT cell, pages,
+           (cell - {H3_BASE}) // 268435456 AS i,
+           (cell - {H3_BASE}) % 268435456 AS j
+    FROM cells
+  ),
+{_OFFSETS_CTE},
+  scat AS (
+    SELECT i + di AS ti, (j + dj + 1024) % 1024 AS tj, pages
+    FROM ij, off WHERE i + di BETWEEN 0 AND 511
+  ),
+  fs AS (
+    SELECT ti, tj,
+           CAST(SUM(pages) AS BIGINT) AS focal_pages,
+           CAST(COUNT(*) AS BIGINT) AS focal_cells
+    FROM scat GROUP BY ti, tj
+  )"""
+
+
+def pages_focal_stats_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """3x3 focal smoothing of per-cell counts (spatial.focal_stats):
+    scatter each occupied cell's count to its lat-clipped / lon-wrapped
+    9-neighborhood, fold, keep occupied cells only."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_FOCAL_CTES}
+SELECT c.cell, c.pages, fs.focal_pages, fs.focal_cells,
+       CAST(fs.focal_pages AS DOUBLE) / CAST(fs.focal_cells AS DOUBLE) AS focal_mean
+FROM ij c JOIN fs ON fs.ti = c.i AND fs.tj = c.j
+"""
+
+
+def pages_hotspot_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Getis-Ord-Gi*-style z-score (spatial.hotspot_cells): moments are
+    int64-exact sums; mu/S/z replicate the engine's expression order so the
+    doubles agree bitwise before the 6dp round."""
+    den = (
+        "p.s * SQRT((CAST(p.n AS DOUBLE) * CAST(fs.focal_cells AS DOUBLE)"
+        " - CAST(fs.focal_cells AS DOUBLE) * CAST(fs.focal_cells AS DOUBLE))"
+        " / (CAST(p.n AS DOUBLE) - 1.0))"
+    )
+    num = (
+        "CAST(fs.focal_pages AS DOUBLE)"
+        " - CAST(fs.focal_cells AS DOUBLE) * p.mu"
+    )
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_FOCAL_CTES},
+  mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pages) AS BIGINT) AS sp,
+           CAST(SUM(pages * pages) AS BIGINT) AS spp
+    FROM cells
+  ),
+  par AS (
+    SELECT n,
+           CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+           CAST(spp AS DOUBLE) / CAST(n AS DOUBLE) AS m2
+    FROM mom
+  ),
+  par2 AS (
+    SELECT n, mu,
+           CASE WHEN m2 - mu * mu > 0.0 THEN SQRT(m2 - mu * mu) ELSE 0.0 END AS s
+    FROM par
+  )
+SELECT c.cell, c.pages, fs.focal_pages, fs.focal_cells,
+       ROUND(CASE WHEN p.n > 1 AND {den} > 0.0
+                  THEN ({num}) / ({den})
+                  ELSE 0.0 END, 6) AS gi_z
+FROM ij c JOIN fs ON fs.ti = c.i AND fs.tj = c.j CROSS JOIN par2 p
+"""
+
+
+def pages_idw_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """IDW text_len at occupied cell centers (spatial.idw_cells):
+    fixed-point planar-degree weights FLOOR(1e6/(1+d2)) -> int64-exact
+    weighted sums; one exact double division at the end."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  p AS (
+    SELECT url, lat, lon, text_len,
+           (h3_7 - {H3_BASE}) // 268435456 AS i,
+           (h3_7 - {H3_BASE}) % 268435456 AS j
+    FROM h3
+  ),
+{_OFFSETS_CTE},
+  scat AS (
+    SELECT i + di AS ti, (j + dj + 1024) % 1024 AS tj,
+           CASE WHEN di = 0 AND dj = 0 THEN 1 ELSE 0 END AS own,
+           text_len, lat, lon
+    FROM p, off WHERE i + di BETWEEN 0 AND 511
+  ),
+  wgt0 AS (
+    SELECT ti, tj, own, text_len,
+           (lat - ((ti + 0.5) / 512.0 * 180.0 - 90.0)) AS dlat,
+           (lon - ((tj + 0.5) / 1024.0 * 360.0 - 180.0)) AS dlon0
+    FROM scat
+  ),
+  wgt AS (
+    -- branch wrap (single add/sub): bit-exact vs the engine's _wrap_deg,
+    -- unlike the %360 double-mod whose +360 round trip can lose a bit
+    SELECT ti, tj, own, text_len, dlat,
+           CASE WHEN dlon0 > 180.0 THEN dlon0 - 360.0
+                WHEN dlon0 < -180.0 THEN dlon0 + 360.0
+                ELSE dlon0 END AS dlon
+    FROM wgt0
+  ),
+  w2 AS (
+    SELECT ti, tj, own, text_len,
+           CAST(FLOOR(1000000.0 / (1.0 + (dlat * dlat + dlon * dlon))) AS BIGINT) AS w
+    FROM wgt
+  ),
+  agg AS (
+    SELECT ti, tj,
+           CAST(SUM(own) AS BIGINT) AS pages,
+           CAST(SUM(w) AS BIGINT) AS wsum,
+           CAST(SUM(w * text_len) AS BIGINT) AS wv
+    FROM w2 GROUP BY ti, tj
+  )
+SELECT {H3_BASE} + ti * 268435456 + tj AS cell, pages,
+       CAST(wv AS DOUBLE) / CAST(wsum AS DOUBLE) AS idw_value
+FROM agg WHERE pages > 0
+"""
+
+
+def pages_distance_pairs_sql(
+    n_rows: int,
+    root: str = GRAFT_ROOT,
+    *,
+    radius_km: float = 25.0,
+    host_prefix: str = KNN_HOST_PREFIX,
+) -> str:
+    """Bounded-radius distance self-join (spatial.distance_pairs): ring-1
+    candidacy via the 9-cell equi-join (same as pages_knn), url_a < url_b
+    emits each pair once, the equirectangular metric matches
+    stages.knn._equirect_dist2 operand-for-operand."""
+    e = EARTH_DEG
+    r = repr(radius_km)
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  q AS (
+    SELECT DISTINCT url, lat, lon FROM extracted
+    WHERE starts_with(url, '{host_prefix}')
+  ),
+  qc AS (
+    SELECT url, lat, lon,
+           GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 512.0) AS BIGINT), 511), 0) AS i_lat,
+           GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * 1024.0) AS BIGINT), 1023), 0) AS i_lon
+    FROM q
+  ),
+  pairs AS (
+    SELECT a.url AS url_a, b.url AS url_b,
+           ((b.lat - a.lat) * {e}) AS dy,
+           ((((b.lon - a.lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * {e}
+             * COS(RADIANS((a.lat + b.lat) / 2.0))) AS dx
+    FROM qc a JOIN qc b
+      ON b.i_lat BETWEEN a.i_lat - 1 AND a.i_lat + 1
+     AND ((b.i_lon - a.i_lon + 1024) % 1024) IN (0, 1, 1023)
+     AND a.url < b.url
+  )
+SELECT url_a, url_b FROM pairs WHERE dx * dx + dy * dy <= {r} * {r}
+"""
+
+
+def pages_host_dispersion_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-host centroid + max-radius spread (spatial.host_dispersion):
+    integer-microdegree centroid sums, planar-degree max deviation,
+    radius_km = SQRT(maxd2) * EARTH_DEG (all IEEE-deterministic)."""
+    e = EARTH_DEG_DOUBLE
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  hq AS (
+    SELECT CAST(regexp_extract(url, '^https://host([0-9]+)\\.', 1) AS BIGINT) AS host,
+           lat, lon,
+           CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT) AS latq,
+           CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT) AS lonq
+    FROM h3
+  ),
+  cent AS (
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(latq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS lat_c,
+           CAST(SUM(lonq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS lon_c
+    FROM hq GROUP BY host
+  ),
+  dev0 AS (
+    -- branch wrap (see pages_idw_sql): bit-exact vs the engine's _wrap_deg
+    SELECT q.host, (q.lat - c.lat_c) AS dlat,
+           CASE WHEN (q.lon - c.lon_c) > 180.0 THEN (q.lon - c.lon_c) - 360.0
+                WHEN (q.lon - c.lon_c) < -180.0 THEN (q.lon - c.lon_c) + 360.0
+                ELSE (q.lon - c.lon_c) END AS dlon
+    FROM hq q JOIN cent c USING (host)
+  ),
+  dev AS (
+    SELECT host, MAX(dlat * dlat + dlon * dlon) AS maxd2
+    FROM dev0 GROUP BY host
+  )
+SELECT c.host, c.n_pages, c.lat_c, c.lon_c, SQRT(d.maxd2) * {e} AS radius_km
+FROM cent c JOIN dev d USING (host)
+"""
+
+
+def pages_vectorize_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Raster->vector round trip (rasterize_level -> vectorize_tiles ->
+    geocell_center): cell ids survive the tile/pixel decomposition and the
+    centers replay grid.geocell_center's (i + 0.5) / n * span - origin."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+{_TEXT_STATS_CTES},
+  rc AS (
+    SELECT cell, pages, text_bytes,
+           (cell - {H3_BASE}) // 268435456 AS i,
+           (cell - {H3_BASE}) % 268435456 AS j
+    FROM cell_stats
+  )
+SELECT cell, (i + 0.5) / 512.0 * 180.0 - 90.0 AS lat_ctr,
+       (j + 0.5) / 1024.0 * 360.0 - 180.0 AS lon_ctr,
+       pages, text_bytes
+FROM rc
 """

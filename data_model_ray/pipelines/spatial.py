@@ -1,0 +1,499 @@
+"""Spatial-analytics family over the geotagged pages corpus.
+
+Six vector/raster analytics operators the reference's raster-pyramid
+surface (``/root/reference/src/eopf_geozarr/conversion/geozarr.py:797-838``
+overview ladder, ``:1340-1370`` grid-mapping derivation) does not cover but
+any production geospatial corpus needs:
+
+- ``distance_pairs``     — bounded-radius spatial self-join (pairs within R km)
+- ``cell_counts``        — per-cell page density (the shared base aggregate)
+- ``focal_stats``        — 3x3 focal (k-ring) smoothing of cell density
+- ``hotspot_cells``      — Getis-Ord-Gi*-style hot-spot z-scores per cell
+- ``idw_cells``          — inverse-distance-weighted interpolation at cell
+                           centers from ring-1 pages (fixed-point weights)
+- ``host_dispersion``    — per-host centroid + max-radius geographic spread
+
+Ray-Data shapes (all stream; nothing materializes the corpus):
+
+- Raw pages cross at most ONE exchange per operator, always pre-reduced:
+  ``cell_counts``/``focal_stats``/``hotspot_cells``/``idw_cells`` exchange
+  only grid-bounded per-block partials (<= 512*1024 res-7 cells, with a 9x
+  ring fan-out on the *cell table*, never on pages); ``host_dispersion``
+  exchanges slim (host, lat, lon) triples bucketed by host hash;
+  ``distance_pairs`` replicates each point into its ring-1 cells (9x on a
+  3-column table) exactly like ``stages.knn.knn_per_cell``.
+- Global scalars (hot-spot moments) fold per-block partials into three
+  numbers on the driver — the kmeans-centroid state bound, not a collect.
+
+Cross-engine exactness discipline: every expression is mirrored
+operand-for-operand by a DuckDB oracle (``data_model_ray/oracles.py``).
+Transcendentals are avoided where a boundary comparison or rounding could
+flip on a last-ulp difference: IDW weights use a *planar-degree* metric
+(add/mul/div only -> IEEE-deterministic) quantized to integer units by an
+explicit ``FLOOR(1e6 / (1 + d2))`` so weighted sums are int64-exact in any
+accumulation order (the PageRank fixed-point discipline); hot-spot moments
+are int64-exact sums; dispersion centroids quantize coordinates to integer
+microdegrees with ``FLOOR(x*1e6 + 0.5)`` (fixture coordinates carry exactly
+6 decimals, so no value sits on a rounding boundary). ``distance_pairs``
+keeps the latitude-corrected equirectangular metric (cos enters the radius
+comparison; a pair flips only within ~1 ulp of the radius boundary —
+probability ~1e-13 per pair, documented like pages_knn's tie caveat).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..grid import H3_RES, geocell_encode
+from ..sources.fs import sized_read_parquet
+from ..stages.dedup import dedup_exact
+from ..stages.extract import extract_batch
+from ..stages.knn import EARTH_DEG, _equirect_dist2
+
+U64 = np.uint64
+_MASK28 = U64((1 << 28) - 1)
+H3_BASE = U64(H3_RES) << U64(56)
+N_LAT = 4 << H3_RES  # 512 rows at res 7
+N_LON = 8 << H3_RES  # 1024 cols at res 7
+#: IDW weight quantum: w = floor(1e6 / (1 + d2_deg)) — int64-exact sums
+IDW_SCALE = 1_000_000.0
+#: default distance-join radius; ring-1 candidacy is exhaustive for radii
+#: up to one cell dimension (39.1 km lat; 39.1*cos(lat) km lon at res 7) —
+#: beyond that the semantics are explicitly ring-1-bounded (oracle mirrors
+#: the same candidacy, so parity holds at any radius)
+RADIUS_KM = 25.0
+
+
+def _points(pages_path: str, *, columns=("url", "lat", "lon"), host_prefix=None):
+    """Deduped (one row per url) slim point table from the pages corpus.
+
+    Duplicate urls carry byte-identical html (fixture invariant the WARC
+    round-trip relies on), so any representative yields the same (lat, lon);
+    dedup order_col is therefore immaterial — 'lat' keeps the exchange slim.
+    """
+    ds = sized_read_parquet(pages_path)
+    cols = list(columns)
+
+    def prep(b: pa.Table) -> pa.Table:
+        if host_prefix is not None:
+            b = b.filter(pc.starts_with(b["url"], pattern=host_prefix))
+        b = extract_batch(b, verify_text=False)
+        return b.select(cols)
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+    return dedup_exact(pts, key="url", order_col="lat", num_buckets=8)
+
+
+def _rename(ds, mapping: dict):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cell_ij(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    cell = cell.astype(U64)
+    return (
+        ((cell >> U64(28)) & _MASK28).astype(np.int64),
+        (cell & _MASK28).astype(np.int64),
+    )
+
+
+def _wrap_deg(dlon: np.ndarray) -> np.ndarray:
+    """Antimeridian-wrapped lon delta in degrees — branch-based.
+
+    Deliberately NOT the ``% 360`` idiom: DuckDB's double-mod
+    ``(x % 360 + 360) % 360`` round-trips through ``+360`` and can lose the
+    last bit vs numpy's single floor-mod (measured: 165.99289735531914 vs
+    ...917), which flips MAX/FLOOR decisions downstream. Coordinate deltas
+    are already in (-360, 360), so one conditional +-360 — a single add/sub,
+    IEEE-exact and branch-identical in SQL (CASE) — wraps losslessly.
+    """
+    return np.where(
+        dlon > 180.0, dlon - 360.0, np.where(dlon < -180.0, dlon + 360.0, dlon)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-cell density + focal statistics + hot spots
+# ---------------------------------------------------------------------------
+
+
+def cell_counts(pages_path: str):
+    """Per-res-7-cell page counts: per-block ``np.unique`` partials, then one
+    grid-bounded ``groupby(cell).sum`` — raw pages never shuffle."""
+    pts = _points(pages_path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(geocell_encode(lat, lon, H3_RES), return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = pts.map_batches(partial, batch_format="pyarrow").groupby("cell").sum("n")
+    return _rename(agg, {"sum(n)": "pages"})
+
+
+def focal_stats(pages_path: str):
+    """3x3 focal (ring-1, self included) smoothing of per-cell page counts.
+
+    Scatter-gather over the CELL table (grid-bounded, <= 512*1024 rows at
+    res 7): each cell contributes its count to its 9-neighborhood targets
+    (latitude clipped at the poles, longitude wrapped — exactly
+    ``grid.geocell_neighbors`` semantics), one ``groupby(cell).sum`` folds
+    contributions, and only cells that hold pages surface in the output.
+
+    Output: (cell, pages, focal_pages, focal_cells, focal_mean) where
+    focal_mean = focal_pages / focal_cells over *occupied* neighbors —
+    int/int double division, exact on both engines.
+    """
+    counts = cell_counts(pages_path)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(U64)
+        n = t["pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i, j = _cell_ij(cell)
+        cells_out = [cell]
+        own_out = [n]
+        fs_out = [np.zeros(len(n), dtype=np.int64)]
+        fc_out = [np.zeros(len(n), dtype=np.int64)]
+        for di in (-1, 0, 1):
+            ti = i + di
+            ok = (ti >= 0) & (ti < N_LAT)
+            for dj in (-1, 0, 1):
+                tj = (j[ok] + dj) % N_LON
+                tc = H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                cells_out.append(tc)
+                own_out.append(np.zeros(int(ok.sum()), dtype=np.int64))
+                fs_out.append(n[ok])
+                fc_out.append(np.ones(int(ok.sum()), dtype=np.int64))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells_out)),
+                "own": pa.array(np.concatenate(own_out)),
+                "fsum": pa.array(np.concatenate(fs_out)),
+                "fcnt": pa.array(np.concatenate(fc_out)),
+            }
+        )
+
+    agg = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby("cell")
+        .sum(["own", "fsum", "fcnt"])
+    )
+    agg = _rename(
+        agg,
+        {"sum(own)": "pages", "sum(fsum)": "focal_pages", "sum(fcnt)": "focal_cells"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["pages"], 0))
+        fp = t["focal_pages"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fc = t["focal_cells"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("focal_mean", pa.array(fp / fc))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hotspot_cells(pages_path: str):
+    """Getis-Ord-Gi*-style hot-spot z-score per occupied cell.
+
+    z = (W_c - k_c*mu) / (S * sqrt((N*k_c - k_c^2) / (N - 1))) with
+    W_c = focal_pages, k_c = focal_cells (occupied neighbors = the realized
+    weight count), and mu / S the mean / population std of per-cell counts.
+    All moment inputs (N, sum, sum of squares) are int64-exact, so mu/S and
+    every z derive from the same doubles on both engines (sqrt is
+    correctly-rounded IEEE); z rounds to 6dp. Degenerate denominators
+    (N < 2, k_c = N, S = 0) yield z = 0.0 on both sides.
+
+    The focal table is grid-bounded, so the three global moments fold from
+    per-block partials into scalars on the driver (state-bound, no collect).
+    """
+    focal = focal_stats(pages_path).materialize()
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        p = t["pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(p)], type=pa.int64()),
+                "sp": pa.array([int(p.sum())], type=pa.int64()),
+                "spp": pa.array([int((p * p).sum())], type=pa.int64()),
+            }
+        )
+
+    mom = focal.map_batches(moment_partial, batch_format="pyarrow").to_pandas()
+    n = int(mom["n"].sum())
+    sp = int(mom["sp"].sum())
+    spp = int(mom["spp"].sum())
+    nf = float(n)
+    mu = float(sp) / nf if n else 0.0
+    var = (float(spp) / nf - mu * mu) if n else 0.0
+    s = float(np.sqrt(var)) if var > 0.0 else 0.0
+
+    def zscore(t: pa.Table) -> pa.Table:
+        w = t["focal_pages"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["focal_cells"].to_numpy(zero_copy_only=False).astype(np.float64)
+        num = w - k * mu
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den = (
+                s * np.sqrt((nf * k - k * k) / (nf - 1.0))
+                if n > 1
+                else np.zeros_like(k)
+            )
+            z = np.where(den > 0.0, num / den, 0.0)
+        out = t.drop_columns(["focal_mean"])
+        return out.append_column("gi_z", pc.round(pa.array(z), ndigits=6))
+
+    return focal.map_batches(zscore, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation at cell centers
+# ---------------------------------------------------------------------------
+
+
+def idw_cells(pages_path: str, *, value_col: str = "text_len"):
+    """Inverse-distance-weighted ``value_col`` estimate at each occupied
+    cell's center, from all pages in the cell's ring-1 neighborhood.
+
+    Fixed-point weights: w = floor(1e6 / (1 + d2)) with d2 the squared
+    *planar-degree* delta (dlat^2 + wrapped_dlon^2 — add/mul only, no
+    transcendental, so w is bit-identical across engines; at ring-1 spans
+    the latitude-correction factor is locally constant, leaving weight
+    *ratios* materially unchanged). Numerator sum(w * value) and
+    denominator sum(w) are int64 (exact in any accumulation order; bound:
+    w <= 1e6, so 1e6 * max_value * ring_pages must stay < 2^63 — ~9e12
+    value-bytes per neighborhood, documented like substring_spans' packing
+    bound). Pages scatter as pre-aggregated per-block partials keyed by
+    target cell — the only exchange is grid-bounded.
+    """
+    pts = _points(pages_path, columns=("url", "lat", "lon", value_col))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i, j = _cell_ij(geocell_encode(lat, lon, H3_RES))
+        tc_all, w_all, wv_all, own_all = [], [], [], []
+        for di in (-1, 0, 1):
+            ti = i + di
+            ok = (ti >= 0) & (ti < N_LAT)
+            for dj in (-1, 0, 1):
+                tj = (j[ok] + dj) % N_LON
+                clat = (ti[ok] + 0.5) / 512.0 * 180.0 - 90.0
+                clon = (tj + 0.5) / 1024.0 * 360.0 - 180.0
+                dlat = lat[ok] - clat
+                dlon = _wrap_deg(lon[ok] - clon)
+                d2 = dlat * dlat + dlon * dlon
+                w = np.floor(IDW_SCALE / (1.0 + d2)).astype(np.int64)
+                tc_all.append(
+                    H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                )
+                w_all.append(w)
+                wv_all.append(w * val[ok])
+                own_all.append(
+                    np.full(int(ok.sum()), 1 if di == 0 and dj == 0 else 0, np.int64)
+                )
+        tc = np.concatenate(tc_all)
+        w = np.concatenate(w_all)
+        wv = np.concatenate(wv_all)
+        own = np.concatenate(own_all)
+        # per-block pre-aggregation: the exchange carries cells, not pages
+        uniq, inv = np.unique(tc, return_inverse=True)
+        w_s = np.zeros(len(uniq), dtype=np.int64)
+        wv_s = np.zeros(len(uniq), dtype=np.int64)
+        own_s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(w_s, inv, w)
+        np.add.at(wv_s, inv, wv)
+        np.add.at(own_s, inv, own)
+        return pa.table(
+            {
+                "cell": pa.array(uniq),
+                "own": pa.array(own_s),
+                "w": pa.array(w_s),
+                "wv": pa.array(wv_s),
+            }
+        )
+
+    agg = (
+        pts.map_batches(scatter, batch_format="pyarrow")
+        .groupby("cell")
+        .sum(["own", "w", "wv"])
+    )
+    agg = _rename(agg, {"sum(own)": "pages", "sum(w)": "w", "sum(wv)": "wv"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["pages"], 0))
+        wv = t["wv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = t.select(["cell", "pages"])
+        return out.append_column("idw_value", pa.array(wv / w))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bounded-radius distance self-join
+# ---------------------------------------------------------------------------
+
+
+def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix=None):
+    """All page pairs within ``radius_km`` (url_a < url_b, each pair once).
+
+    Ring-1 grid join (the knn_per_cell discipline): every point replicates
+    into its 9-neighborhood cells as a candidate and stays a query only in
+    its home cell; a pair (a, b) with a.url < b.url is emitted exactly once,
+    from a's home-cell group (the ring relation is symmetric). Distance is
+    the latitude-corrected equirectangular metric of ``stages.knn``
+    (oracle-mirrored operand-for-operand; the radius comparison can flip
+    only within ~1 ulp of the boundary — documented, like pages_knn's
+    dist_km exclusion).
+    """
+    pts = _points(pages_path, host_prefix=host_prefix)
+    r2 = radius_km * radius_km
+
+    def expand(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["url", "lat", "lon"]).to_pandas()
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        i, j = _cell_ij(geocell_encode(lat, lon, H3_RES))
+        parts = []
+        for di in (-1, 0, 1):
+            ti = i + di
+            ok = (ti >= 0) & (ti < N_LAT)
+            for dj in (-1, 0, 1):
+                tj = (j[ok] + dj) % N_LON
+                part = df.loc[ok].copy()
+                part["__cell"] = (
+                    H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                )
+                part["__is_query"] = di == 0 and dj == 0
+                parts.append(part)
+        return pd.concat(parts, ignore_index=True)
+
+    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+        q = group[group["__is_query"]]
+        empty = pd.DataFrame({"url_a": pd.Series([], dtype=object),
+                              "url_b": pd.Series([], dtype=object)})
+        if q.empty:
+            return empty
+        c_lat = group["lat"].to_numpy()
+        c_lon = group["lon"].to_numpy()
+        c_url = group["url"].to_numpy()
+        # factorize urls once: every query row is also a candidate row, so
+        # integer codes order-isomorphic to the url strings compare the
+        # whole pair matrix without Python string comparisons
+        _, c_code = np.unique(c_url, return_inverse=True)
+        is_q = group["__is_query"].to_numpy()
+        q_lat = c_lat[is_q]
+        q_lon = c_lon[is_q]
+        q_url = c_url[is_q]
+        q_code = c_code[is_q]
+        out_a, out_b = [], []
+        CHUNK = 512  # mega-cell memory guard (chunked pair matrix)
+        for s in range(0, len(q), CHUNK):
+            d2 = _equirect_dist2(
+                q_lat[s : s + CHUNK, None],
+                q_lon[s : s + CHUNK, None],
+                c_lat[None, :],
+                c_lon[None, :],
+            )
+            mask = (d2 <= r2) & (q_code[s : s + CHUNK, None] < c_code[None, :])
+            qi, ci = np.nonzero(mask)
+            out_a.append(q_url[s + qi])
+            out_b.append(c_url[ci])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"url_a": np.concatenate(out_a), "url_b": np.concatenate(out_b)}
+        )
+
+    return (
+        pts.map_batches(expand, batch_format="pyarrow")
+        .groupby("__cell")
+        .map_groups(per_cell, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-host geographic dispersion
+# ---------------------------------------------------------------------------
+
+
+def host_dispersion(pages_path: str, *, num_buckets: int = 64):
+    """Per-host page count, centroid, and max-radius geographic spread.
+
+    Centroids average integer-microdegree coordinates (``floor(x*1e6+0.5)``
+    — fixture coordinates carry exactly 6 decimals, so the +0.5-floor is an
+    exact decimal round on both engines and the sums are int64-exact in any
+    order). One host-hash-bucketed exchange of slim (host, lat, lon)
+    triples; each bucket computes centroid and max squared planar-degree
+    deviation vectorized (radius_km = sqrt(max_d2) * EARTH_DEG — sqrt/mul
+    are IEEE-deterministic).
+    """
+    pts = _points(pages_path)
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["url"], r"^https://host(?P<h>[0-9]+)\."), "h"
+            ),
+            pa.int64(),
+        )
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        h = host.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": host,
+                "lat": t["lat"],
+                "lon": t["lon"],
+                "latq": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+                "lonq": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+                "__b": pa.array((h % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(df["host"].to_numpy(), kind="stable")
+        host = df["host"].to_numpy()[order]
+        lat = df["lat"].to_numpy()[order]
+        lon = df["lon"].to_numpy()[order]
+        latq = df["latq"].to_numpy()[order]
+        lonq = df["lonq"].to_numpy()[order]
+        uniq, start = np.unique(host, return_index=True)
+        seg = np.zeros(len(host), dtype=np.int64)
+        seg[start[1:]] = 1
+        seg = np.cumsum(seg)
+        n = np.bincount(seg).astype(np.int64)
+        slat = np.zeros(len(uniq), dtype=np.int64)
+        slon = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(slat, seg, latq)
+        np.add.at(slon, seg, lonq)
+        lat_c = slat.astype(np.float64) / n.astype(np.float64) / 1e6
+        lon_c = slon.astype(np.float64) / n.astype(np.float64) / 1e6
+        dlat = lat - lat_c[seg]
+        dlon = _wrap_deg(lon - lon_c[seg])
+        d2 = dlat * dlat + dlon * dlon
+        maxd2 = np.zeros(len(uniq), dtype=np.float64)
+        np.maximum.at(maxd2, seg, d2)
+        return pd.DataFrame(
+            {
+                "host": uniq,
+                "n_pages": n,
+                "lat_c": lat_c,
+                "lon_c": lon_c,
+                "radius_km": np.sqrt(maxd2) * EARTH_DEG,
+            }
+        )
+
+    return (
+        pts.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

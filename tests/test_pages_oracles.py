@@ -61,6 +61,12 @@ QUERY_CASES = [
     ("pages_raster", lambda: oracles.pages_raster_sql(N)),
     ("pages_knn", lambda: oracles.pages_knn_sql(N)),
     ("pages_host_counts", _host_counts_sql),
+    ("pages_focal_stats", lambda: oracles.pages_focal_stats_sql(N)),
+    ("pages_hotspot", lambda: oracles.pages_hotspot_sql(N)),
+    ("pages_idw", lambda: oracles.pages_idw_sql(N)),
+    ("pages_distance_pairs", lambda: oracles.pages_distance_pairs_sql(N)),
+    ("pages_host_dispersion", lambda: oracles.pages_host_dispersion_sql(N)),
+    ("pages_vectorize", lambda: oracles.pages_vectorize_sql(N)),
     ("langid_docs", oracles.langid_docs_sql),
     ("embedding_near_dups", lambda: oracles.embedding_near_dups_sql(0.4)),
 ]

@@ -1,0 +1,223 @@
+"""Independent (brute-force / closed-form) references for the
+spatial-analytics family (pipelines/spatial.py).
+
+The oracle parity lives in test_pages_oracles.py; these tests verify the
+SEMANTICS against implementations that share no code with the engine
+kernels: dense-grid convolution for focal stats, O(n^2) pair scans for the
+distance join and IDW, and a pandas groupby for host dispersion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_model_ray import fixtures
+from data_model_ray.grid import H3_RES, geocell_encode
+from data_model_ray.pipelines import spatial
+from data_model_ray.stages.knn import EARTH_DEG, _equirect_dist2
+
+N = 2_000
+
+
+@pytest.fixture(scope="module")
+def pages_path(ray_session):
+    return fixtures.ensure_pages_parquet(N)
+
+
+@pytest.fixture(scope="module")
+def points(pages_path):
+    """Deduped (url, lat, lon, text_len) reference frame via duckdb."""
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        SELECT url,
+               CAST(regexp_extract(decode(html),
+                 'geo\\.position" content="(-?[0-9.]+);(-?[0-9.]+)"', 1) AS DOUBLE) AS lat,
+               CAST(regexp_extract(decode(html),
+                 'geo\\.position" content="(-?[0-9.]+);(-?[0-9.]+)"', 2) AS DOUBLE) AS lon,
+               CAST(length(MIN(text) ) AS BIGINT) AS text_len
+        FROM read_parquet('{pages_path}/*.parquet')
+        GROUP BY 1, 2, 3
+        """
+    ).df()
+
+
+def _ring_targets(i, j):
+    """(ti, tj) 9-neighborhood with lat clip + lon wrap (grid semantics)."""
+    out = []
+    for di in (-1, 0, 1):
+        ti = i + di
+        if ti < 0 or ti >= spatial.N_LAT:
+            continue
+        for dj in (-1, 0, 1):
+            out.append((ti, (j + dj) % spatial.N_LON))
+    return out
+
+
+def test_wrap_deg_matches_mod_wrap():
+    d = np.array([-359.9, -180.0001, -180.0, -0.5, 0.0, 0.5, 180.0, 180.0001, 359.9])
+    got = spatial._wrap_deg(d)
+    want = np.mod(d + 180.0, 360.0) - 180.0
+    # same wrapped value up to the +-180 boundary convention; always in range
+    assert np.all(np.abs(got) <= 180.0)
+    assert np.allclose(np.cos(np.radians(got)), np.cos(np.radians(want)))
+    assert np.allclose(np.abs(np.sin(np.radians(got))), np.abs(np.sin(np.radians(want))))
+
+
+def test_focal_stats_matches_dense_convolution(pages_path, points):
+    got = spatial.focal_stats(pages_path).to_pandas().sort_values("cell")
+    cells = geocell_encode(points["lat"].to_numpy(), points["lon"].to_numpy(), H3_RES)
+    uniq, cnt = np.unique(cells, return_counts=True)
+    # dense grid + 3x3 sum with explicit clip/wrap
+    dense = {}
+    for c, n in zip(uniq, cnt):
+        i = int((c >> np.uint64(28)) & np.uint64((1 << 28) - 1))
+        j = int(c & np.uint64((1 << 28) - 1))
+        dense[(i, j)] = int(n)
+    rows = []
+    for (i, j), n in dense.items():
+        neigh = [dense.get(t) for t in _ring_targets(i, j)]
+        present = [v for v in neigh if v is not None]
+        rows.append(
+            {
+                "cell": int(spatial.H3_BASE | np.uint64(i) << np.uint64(28) | np.uint64(j)),
+                "pages": n,
+                "focal_pages": sum(present),
+                "focal_cells": len(present),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("cell")
+    for col in ("pages", "focal_pages", "focal_cells"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), want[col].to_numpy(), err_msg=col
+        )
+    np.testing.assert_allclose(
+        got["focal_mean"].to_numpy(),
+        want["focal_pages"].to_numpy() / want["focal_cells"].to_numpy(),
+    )
+
+
+def test_hotspot_zscores_standardize(pages_path):
+    got = spatial.hotspot_cells(pages_path).to_pandas()
+    p = got["pages"].to_numpy(np.float64)
+    mu, s = p.mean(), p.std()
+    n = len(p)
+    k = got["focal_cells"].to_numpy(np.float64)
+    expect = (got["focal_pages"].to_numpy(np.float64) - k * mu) / (
+        s * np.sqrt((n * k - k * k) / (n - 1.0))
+    )
+    np.testing.assert_allclose(got["gi_z"].to_numpy(), expect, atol=1e-5)
+    # a z-score field standardizes to ~0 mean and has both hot and cold cells
+    assert abs(float(got["gi_z"].mean())) < 0.5
+    assert (got["gi_z"] > 1.0).any() and (got["gi_z"] < -1.0).any()
+
+
+def test_idw_matches_bruteforce(pages_path, points):
+    got = (
+        spatial.idw_cells(pages_path)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    lat = points["lat"].to_numpy()
+    lon = points["lon"].to_numpy()
+    val = points["text_len"].to_numpy(np.int64)
+    cells = geocell_encode(lat, lon, H3_RES)
+    i = ((cells >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(int)
+    j = (cells & np.uint64((1 << 28) - 1)).astype(int)
+    by_cell = {}
+    for idx in range(len(lat)):
+        by_cell.setdefault((i[idx], j[idx]), []).append(idx)
+    rows = []
+    for (ci, cj), members in by_cell.items():
+        wsum = 0
+        wv = 0
+        # sources = pages in every cell whose ring contains (ci, cj) —
+        # equivalently pages whose cell is in ring1 of (ci, cj)
+        for (ti, tj) in _ring_targets(ci, cj):
+            for idx in by_cell.get((ti, tj), ()):  # noqa: B020
+                clat = (ci + 0.5) / 512.0 * 180.0 - 90.0
+                clon = (cj + 0.5) / 1024.0 * 360.0 - 180.0
+                dlat = lat[idx] - clat
+                dlon = float(spatial._wrap_deg(np.array([lon[idx] - clon]))[0])
+                d2 = dlat * dlat + dlon * dlon
+                w = int(np.floor(spatial.IDW_SCALE / (1.0 + d2)))
+                wsum += w
+                wv += w * int(val[idx])
+        rows.append(
+            {
+                "cell": int(
+                    spatial.H3_BASE | np.uint64(ci) << np.uint64(28) | np.uint64(cj)
+                ),
+                "pages": len(members),
+                "idw_value": wv / wsum,
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("cell").reset_index(drop=True)
+    np.testing.assert_array_equal(got["pages"].to_numpy(), want["pages"].to_numpy())
+    np.testing.assert_allclose(
+        got["idw_value"].to_numpy(), want["idw_value"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_distance_pairs_matches_bruteforce(pages_path, points):
+    radius = 25.0
+    got = spatial.distance_pairs(pages_path, radius_km=radius).to_pandas()
+    got_set = set(zip(got["url_a"], got["url_b"]))
+    assert len(got_set) == len(got), "pair emitted twice"
+    lat = points["lat"].to_numpy()
+    lon = points["lon"].to_numpy()
+    url = points["url"].to_numpy()
+    cells = geocell_encode(lat, lon, H3_RES)
+    i = ((cells >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64)
+    j = (cells & np.uint64((1 << 28) - 1)).astype(np.int64)
+    d2 = _equirect_dist2(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    ring = (np.abs(i[:, None] - i[None, :]) <= 1) & (
+        np.isin((j[:, None] - j[None, :]) % spatial.N_LON, (0, 1, spatial.N_LON - 1))
+    )
+    within = (d2 <= radius * radius) & ring & (url[:, None] < url[None, :])
+    ai, bi = np.nonzero(within)
+    want_set = set(zip(url[ai], url[bi]))
+    assert got_set == want_set
+    assert len(want_set) > 0, "fixture produced no pairs — radius too small"
+
+
+def test_host_dispersion_matches_pandas(pages_path, points):
+    got = (
+        spatial.host_dispersion(pages_path)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    df = points.copy()
+    df["host"] = df["url"].str.extract(r"^https://host([0-9]+)\.")[0].astype(np.int64)
+    df["latq"] = np.floor(df["lat"] * 1e6 + 0.5).astype(np.int64)
+    df["lonq"] = np.floor(df["lon"] * 1e6 + 0.5).astype(np.int64)
+    cent = df.groupby("host").agg(
+        n_pages=("url", "size"), slat=("latq", "sum"), slon=("lonq", "sum")
+    )
+    cent["lat_c"] = cent["slat"] / cent["n_pages"] / 1e6
+    cent["lon_c"] = cent["slon"] / cent["n_pages"] / 1e6
+    m = df.merge(cent, on="host")
+    dlat = m["lat"] - m["lat_c"]
+    dlon = spatial._wrap_deg((m["lon"] - m["lon_c"]).to_numpy())
+    m["d2"] = dlat * dlat + dlon * dlon
+    rad = np.sqrt(m.groupby("host")["d2"].max()) * EARTH_DEG
+    want = cent.reset_index().sort_values("host")
+    np.testing.assert_array_equal(
+        got["n_pages"].to_numpy(), want["n_pages"].to_numpy()
+    )
+    np.testing.assert_allclose(got["lat_c"].to_numpy(), want["lat_c"].to_numpy())
+    np.testing.assert_allclose(got["lon_c"].to_numpy(), want["lon_c"].to_numpy())
+    np.testing.assert_allclose(
+        got["radius_km"].to_numpy(), rad.sort_index().to_numpy()
+    )
+
+
+def test_cell_counts_total(pages_path, points):
+    got = spatial.cell_counts(pages_path).to_pandas()
+    assert int(got["pages"].sum()) == len(points)
+    assert (got["pages"] > 0).all()
