@@ -376,6 +376,16 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _admin_raster_burn(sf_dir: str):
+    """Vector->raster polygon burn over the full res-7 grid (scale-free:
+    the grid is generated, polygons come from the deterministic fixture)."""
+    from data_model_ray.pipelines.spatial import admin_raster_burn
+
+    return admin_raster_burn().map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _langid_docs(sf_dir: str):
     import ray.data as rd
 
@@ -986,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_distance_pairs": _pages_distance_pairs,
         "pages_host_dispersion": _pages_host_dispersion,
         "pages_vectorize": _pages_vectorize,
+        "admin_raster_burn": _admin_raster_burn,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2054,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_distance_pairs": oracles.pages_distance_pairs_sql(_ORACLE_N),
         "pages_host_dispersion": oracles.pages_host_dispersion_sql(_ORACLE_N),
         "pages_vectorize": oracles.pages_vectorize_sql(_ORACLE_N),
+        "admin_raster_burn": oracles.admin_raster_burn_sql(),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

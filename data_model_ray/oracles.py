@@ -555,3 +555,39 @@ SELECT cell, (i + 0.5) / 512.0 * 180.0 - 90.0 AS lat_ctr,
        pages, text_bytes
 FROM rc
 """
+
+
+def admin_raster_burn_sql(root: str = GRAFT_ROOT, *, level: int = 1) -> str:
+    """Vector->raster burn (spatial.admin_raster_burn): every res-7 grid
+    cell whose center lies inside a level-`level` polygon, min-id tie-break
+    — even-odd crossing with the exact operand order of
+    functions.pip.points_in_polygon / PolygonIndex.assign. Scale-free (no
+    pages input): the grid is generated, polygons come from the side table.
+    """
+    edges = f"{root}/admin_edges.parquet"
+    return f"""
+WITH grid AS (
+    SELECT i.range AS i, j.range AS j
+    FROM range(0, 512) i, range(0, 1024) j
+  ),
+  ctr AS (
+    SELECT i, j,
+           (i + 0.5) / 512.0 * 180.0 - 90.0 AS lat,
+           (j + 0.5) / 1024.0 * 360.0 - 180.0 AS lon
+    FROM grid
+  ),
+  cand AS (
+    SELECT c.i, c.j, e.admin_id,
+           SUM(CASE WHEN (e.yi > c.lat) <> (e.yj > c.lat)
+                     AND c.lon < e.xi + (c.lat - e.yi) * (e.xj - e.xi) / NULLIF(e.yj - e.yi, 0.0)
+               THEN 1 ELSE 0 END) AS crossings
+    FROM ctr c JOIN read_parquet('{edges}') e
+      ON e.level = {level}
+     AND c.lon >= e.bx0 AND c.lon <= e.bx1
+     AND c.lat >= e.by0 AND c.lat <= e.by1
+    GROUP BY c.i, c.j, e.admin_id
+  )
+SELECT {H3_BASE} + i * 268435456 + j AS cell,
+       CAST(MIN(admin_id) AS BIGINT) AS admin_id
+FROM cand WHERE crossings % 2 = 1 GROUP BY i, j
+"""

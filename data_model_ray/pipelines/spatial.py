@@ -421,6 +421,54 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
 
 
 # ---------------------------------------------------------------------------
+# vector -> raster: admin-polygon burn over the full grid
+# ---------------------------------------------------------------------------
+
+
+def admin_raster_burn(*, level: int = 1, num_blocks: int = 32):
+    """Burn the admin polygons into the res-7 grid (vector -> raster).
+
+    One output row per grid cell whose CENTER lies inside some level-`level`
+    polygon: (cell, admin_id), min-id tie-break — the rasterization leg the
+    reference's raster-only pyramid lacks (zonal_stats is the vector leg;
+    this is its raster twin, usable for raster-path zonal joins).
+
+    Ray shape: the 512-row grid generates distributed (``ray.data.range``
+    over the lat rows, each block expanding to its 1024 columns), polygons
+    broadcast once via ``ray.put`` and build the bbox-prefiltered
+    ``PolygonIndex`` once per actor — no exchange at all; output is
+    polygon-area-bounded.
+    """
+    import ray
+    import ray.data as rd
+
+    from .. import fixtures
+    from ..functions.pip import PolygonIndex
+
+    ref = ray.put(fixtures.admin_polygons())
+
+    class Burn:
+        def __init__(self):
+            self.idx = PolygonIndex(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = np.repeat(rows, N_LON)
+            j = np.tile(np.arange(N_LON, dtype=np.int64), len(rows))
+            lat = (i + 0.5) / 512.0 * 180.0 - 90.0
+            lon = (j + 0.5) / 1024.0 * 360.0 - 180.0
+            aid = self.idx.assign(lon, lat, level)
+            keep = aid >= 0
+            cell = H3_BASE | (i[keep].astype(U64) << U64(28)) | j[keep].astype(U64)
+            return pa.table(
+                {"cell": pa.array(cell), "admin_id": pa.array(aid[keep])}
+            )
+
+    ds = rd.range(N_LAT, override_num_blocks=num_blocks)
+    return ds.map_batches(Burn, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
 # per-host geographic dispersion
 # ---------------------------------------------------------------------------
 

@@ -221,3 +221,57 @@ def test_cell_counts_total(pages_path, points):
     got = spatial.cell_counts(pages_path).to_pandas()
     assert int(got["pages"].sum()) == len(points)
     assert (got["pages"] > 0).all()
+
+
+def test_admin_raster_burn_matches_bruteforce(ray_session):
+    from data_model_ray.functions.pip import points_in_polygon
+
+    got = (
+        spatial.admin_raster_burn()
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    poly = fixtures.admin_polygons()
+    starts = np.zeros(len(poly["admin_id"]) + 1, dtype=np.int64)
+    np.cumsum(poly["n_vertices"], out=starts[1:])
+    cell = got["cell"].to_numpy().astype(np.uint64)
+    i = ((cell >> np.uint64(28)) & np.uint64((1 << 28) - 1)).astype(np.int64)
+    j = (cell & np.uint64((1 << 28) - 1)).astype(np.int64)
+    lat = (i + 0.5) / 512.0 * 180.0 - 90.0
+    lon = (j + 0.5) / 1024.0 * 360.0 - 180.0
+    # brute force: min containing level-1 polygon id per burned center,
+    # via the edge-loop reference kernel (no PolygonIndex involvement)
+    best = np.full(len(cell), -1, dtype=np.int64)
+    for p in range(len(poly["admin_id"])):
+        if poly["level"][p] != 1:
+            continue
+        vx = poly["vx"][starts[p] : starts[p + 1]]
+        vy = poly["vy"][starts[p] : starts[p + 1]]
+        inside = points_in_polygon(lon, lat, vx, vy)
+        aid = int(poly["admin_id"][p])
+        hit = inside & ((best == -1) | (aid < best))
+        best[hit] = aid
+    np.testing.assert_array_equal(got["admin_id"].to_numpy(), best)
+    # and completeness: no OTHER grid cell center is inside any polygon
+    # (sample check on the polygons' bbox neighborhoods)
+    full_i = np.repeat(np.arange(512), 1024)
+    full_j = np.tile(np.arange(1024), 512)
+    flat = full_i * 1024 + full_j
+    burned = set((i * 1024 + j).tolist())
+    flat_lat = (full_i + 0.5) / 512.0 * 180.0 - 90.0
+    flat_lon = (full_j + 0.5) / 1024.0 * 360.0 - 180.0
+    any_inside = np.zeros(len(flat), dtype=bool)
+    for p in range(len(poly["admin_id"])):
+        if poly["level"][p] != 1:
+            continue
+        vx = poly["vx"][starts[p] : starts[p + 1]]
+        vy = poly["vy"][starts[p] : starts[p + 1]]
+        bbox = (
+            (flat_lon >= vx.min()) & (flat_lon <= vx.max())
+            & (flat_lat >= vy.min()) & (flat_lat <= vy.max())
+        )
+        idx = np.nonzero(bbox)[0]
+        any_inside[idx] |= points_in_polygon(flat_lon[idx], flat_lat[idx], vx, vy)
+    assert burned == set(flat[any_inside].tolist())
