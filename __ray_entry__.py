@@ -376,6 +376,14 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _pages_bbox_query(sf_dir: str):
+    """Bbox query against the lat-band range-partitioned store (prune at
+    the read: only intersecting band partitions are opened)."""
+    from data_model_ray.pipelines.spatial import bbox_query
+
+    return bbox_query(_pages_path(sf_dir))
+
+
 def _admin_raster_burn(sf_dir: str):
     """Vector->raster polygon burn over the full res-7 grid (scale-free:
     the grid is generated, polygons come from the deterministic fixture)."""
@@ -997,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_dispersion": _pages_host_dispersion,
         "pages_vectorize": _pages_vectorize,
         "admin_raster_burn": _admin_raster_burn,
+        "pages_bbox_query": _pages_bbox_query,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2066,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_dispersion": oracles.pages_host_dispersion_sql(_ORACLE_N),
         "pages_vectorize": oracles.pages_vectorize_sql(_ORACLE_N),
         "admin_raster_burn": oracles.admin_raster_burn_sql(),
+        "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

@@ -591,3 +591,21 @@ SELECT {H3_BASE} + i * 268435456 + j AS cell,
        CAST(MIN(admin_id) AS BIGINT) AS admin_id
 FROM cand WHERE crossings % 2 = 1 GROUP BY i, j
 """
+
+
+def pages_bbox_query_sql(
+    n_rows: int,
+    root: str = GRAFT_ROOT,
+    *,
+    bbox: tuple[float, float, float, float] = (40.0, 43.0, -120.0, -117.0),
+) -> str:
+    """Bbox point query (spatial.bbox_query): inclusive lat/lon range over
+    the deduped points — the engine answers it by opening only the store's
+    intersecting lat-band partitions; the result set is identical."""
+    lat0, lat1, lon0, lon1 = bbox
+    return f"""
+WITH {_base_ctes(n_rows, root)}
+SELECT url, lat, lon FROM h3
+WHERE lat >= {lat0!r} AND lat <= {lat1!r}
+  AND lon >= {lon0!r} AND lon <= {lon1!r}
+"""

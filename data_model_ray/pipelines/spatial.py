@@ -469,6 +469,135 @@ def admin_raster_burn(*, level: int = 1, num_blocks: int = 32):
 
 
 # ---------------------------------------------------------------------------
+# spatially range-partitioned store + bbox query (prune at the read)
+# ---------------------------------------------------------------------------
+
+#: lat-band partition width: i_lat >> 4 -> 32 bands of 16 grid rows each
+BAND_SHIFT = 4
+#: default bbox (lat0, lat1, lon0, lon1) — covers part of fixture region 0
+DEFAULT_BBOX = (40.0, 43.0, -120.0, -117.0)
+
+
+def _bands_for_lat_range(lat0: float, lat1: float, band_shift: int = BAND_SHIFT):
+    """Partition bands whose grid rows can contain lats in [lat0, lat1].
+
+    Uses the same floor encode as ``grid.geocell_encode`` so the prune is
+    conservative-correct: floor is monotone, so every point with
+    lat in [lat0, lat1] lands in a band within [band(lat0), band(lat1)].
+    """
+    i = np.clip(
+        np.floor((np.array([lat0, lat1]) + 90.0) / 180.0 * N_LAT).astype(np.int64),
+        0,
+        N_LAT - 1,
+    )
+    return list(range(int(i[0]) >> band_shift, (int(i[1]) >> band_shift) + 1))
+
+
+def build_cell_store(
+    pages_path: str, out_dir: str, *, band_shift: int = BAND_SHIFT
+) -> dict:
+    """Build (or resume) a spatially RANGE-partitioned point store.
+
+    The deduped (url, lat, lon, text_len) points write as one parquet
+    partition per latitude band (``i_lat >> band_shift`` — a prefix of the
+    grid index, i.e. GeoCell-id range partitioning) through the lineage
+    layer (``state.lineage.resumable_write``): completed bands skip on
+    re-run, a deleted/corrupted band rebuilds alone, and every partition
+    carries a fingerprinted record. This is the spatial analogue of the
+    inverted index's term-hash buckets — the partition key is a range
+    prefix instead of a hash so RANGE predicates prune at the directory
+    level (``bbox_query``).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.lineage import resumable_write
+
+    files = (
+        sorted(_glob.glob(os.path.join(pages_path, "*.parquet")))
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    fp = f"cellstore:v1:rows={n_rows}:shift={band_shift}"
+
+    pts = _points(pages_path, columns=("url", "lat", "lon", "text_len"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        i, _ = _cell_ij(geocell_encode(lat, lon, H3_RES))
+        return t.append_column(
+            "band", pa.array((i >> band_shift).astype(np.int32))
+        )
+
+    return resumable_write(
+        pts.map_batches(tag, batch_format="pyarrow"),
+        out_dir,
+        partition_col="band",
+        fingerprint=fp,
+    )
+
+
+def bbox_query(
+    pages_path: str,
+    *,
+    bbox: tuple[float, float, float, float] = DEFAULT_BBOX,
+    out_dir: str | None = None,
+    band_shift: int = BAND_SHIFT,
+    rebuild: bool = True,
+):
+    """Points inside a lat/lon bbox — opening ONLY the store partitions
+    whose lat band intersects the range (partition pruning at the read;
+    the lon predicate then filters inside the pruned stream).
+
+    With 32 bands, a city-scale bbox opens 1-2 of them regardless of
+    corpus size. ``rebuild=False`` skips the resumable build (the store
+    must exist) — used by tests to prove reads never touch pruned bands.
+    """
+    import glob as _glob
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    lat0, lat1, lon0, lon1 = bbox
+    if out_dir is None:
+        tag = hashlib.sha256(pages_path.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/data_model_ray_cellstore/{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    if rebuild:
+        build_cell_store(pages_path, out_dir, band_shift=band_shift)
+    paths = [
+        p
+        for b in _bands_for_lat_range(lat0, lat1, band_shift)
+        for p in _glob.glob(os.path.join(out_dir, f"part={b}", "data.parquet"))
+    ]
+    if not paths:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "lat": pa.array([], pa.float64()),
+                "lon": pa.array([], pa.float64()),
+            }
+        )
+    ds = rd.read_parquet(sorted(paths), columns=["url", "lat", "lon"])
+
+    def clip(t: pa.Table) -> pa.Table:
+        lat = t["lat"]
+        lon = t["lon"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(lat, lat0), pc.less_equal(lat, lat1)),
+            pc.and_(pc.greater_equal(lon, lon0), pc.less_equal(lon, lon1)),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # per-host geographic dispersion
 # ---------------------------------------------------------------------------
 

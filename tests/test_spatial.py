@@ -275,3 +275,61 @@ def test_admin_raster_burn_matches_bruteforce(ray_session):
         idx = np.nonzero(bbox)[0]
         any_inside[idx] |= points_in_polygon(flat_lon[idx], flat_lat[idx], vx, vy)
     assert burned == set(flat[any_inside].tolist())
+
+
+def test_bbox_query_store(pages_path, points, tmp_path):
+    import glob
+    import os
+
+    out_dir = str(tmp_path / "cellstore")
+    bbox = (40.0, 43.0, -120.0, -117.0)
+    lat0, lat1, lon0, lon1 = bbox
+    got = (
+        spatial.bbox_query(pages_path, bbox=bbox, out_dir=out_dir)
+        .to_pandas()
+        .sort_values(["url"])
+        .reset_index(drop=True)
+    )
+    want = (
+        points[
+            (points["lat"] >= lat0) & (points["lat"] <= lat1)
+            & (points["lon"] >= lon0) & (points["lon"] <= lon1)
+        ][["url", "lat", "lon"]]
+        .sort_values(["url"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # partition pruning proof: corrupt a band OUTSIDE the bbox's lat range
+    # and re-query without rebuild — the read never touches it
+    parts = sorted(glob.glob(os.path.join(out_dir, "part=*")))
+    hit = {f"part={b}" for b in spatial._bands_for_lat_range(lat0, lat1)}
+    pruned = [p for p in parts if os.path.basename(p) not in hit]
+    assert pruned, "expected at least one pruned band"
+    with open(os.path.join(pruned[0], "data.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    again = (
+        spatial.bbox_query(pages_path, bbox=bbox, out_dir=out_dir, rebuild=False)
+        .to_pandas()
+        .sort_values(["url"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, want, check_exact=True)
+
+    # lineage resume: the corrupted band (and ONLY it) rebuilds
+    summary = spatial.build_cell_store(pages_path, out_dir)
+    assert summary["partitions_written"] == 1
+    assert summary["partitions_skipped"] == len(parts) - 1
+
+
+def test_bands_for_lat_range_conservative():
+    # every lat in the range encodes into one of the returned bands
+    for lat0, lat1 in [(-90.0, 90.0), (40.0, 43.0), (-0.1, 0.1), (89.0, 90.0)]:
+        bands = set(spatial._bands_for_lat_range(lat0, lat1))
+        lats = np.linspace(lat0, lat1, 1000)
+        i = np.clip(
+            np.floor((lats + 90.0) / 180.0 * spatial.N_LAT).astype(np.int64),
+            0, spatial.N_LAT - 1,
+        )
+        assert set((i >> spatial.BAND_SHIFT).tolist()) <= bands
