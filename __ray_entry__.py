@@ -376,6 +376,15 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _pages_cell_churn(sf_dir: str):
+    """Per-cell crawl churn between snapshot halves (spatial CDC)."""
+    from data_model_ray.pipelines.spatial import cell_churn
+
+    return cell_churn(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _pages_bbox_query(sf_dir: str):
     """Bbox query against the lat-band range-partitioned store (prune at
     the read: only intersecting band partitions are opened)."""
@@ -1006,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_vectorize": _pages_vectorize,
         "admin_raster_burn": _admin_raster_burn,
         "pages_bbox_query": _pages_bbox_query,
+        "pages_cell_churn": _pages_cell_churn,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2076,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_vectorize": oracles.pages_vectorize_sql(_ORACLE_N),
         "admin_raster_burn": oracles.admin_raster_burn_sql(),
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
+        "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

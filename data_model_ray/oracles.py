@@ -609,3 +609,33 @@ SELECT url, lat, lon FROM h3
 WHERE lat >= {lat0!r} AND lat <= {lat1!r}
   AND lon >= {lon0!r} AND lon <= {lon1!r}
 """
+
+
+def pages_cell_churn_sql(
+    n_rows: int, root: str = GRAFT_ROOT, cutoff: str = "2024-07-01 00:00:00"
+) -> str:
+    """Per-cell crawl churn (spatial.cell_churn): presence bits per url
+    across the snapshot halves OR-folded, then added/removed/stable counts
+    per res-7 cell (lat/lon identical across a url's duplicates, so MIN
+    selects the value itself)."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  pres AS (
+    SELECT url,
+           MAX(CASE WHEN warc_ts < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END) AS b_old,
+           MAX(CASE WHEN warc_ts >= TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END) AS b_new,
+           MIN(lat) AS lat, MIN(lon) AS lon
+    FROM extracted GROUP BY url
+  ),
+  pcell AS (
+    SELECT {H3_BASE} + GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 512.0) AS BIGINT), 511), 0) * 268435456
+                     + GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * 1024.0) AS BIGINT), 1023), 0) AS cell,
+           b_old, b_new
+    FROM pres
+  )
+SELECT cell,
+       CAST(SUM(b_new * (1 - b_old)) AS BIGINT) AS added,
+       CAST(SUM(b_old * (1 - b_new)) AS BIGINT) AS removed,
+       CAST(SUM(b_old * b_new) AS BIGINT) AS stable
+FROM pcell GROUP BY cell
+"""

@@ -421,6 +421,94 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
 
 
 # ---------------------------------------------------------------------------
+# spatio-temporal: per-cell crawl churn between snapshot halves
+# ---------------------------------------------------------------------------
+
+
+def cell_churn(
+    pages_path: str,
+    *,
+    cutoff: str = "2024-07-01 00:00:00",
+    num_buckets: int = 64,
+):
+    """Per-cell crawl churn between the old (< cutoff) and new (>= cutoff)
+    snapshot halves: how many urls appeared / disappeared / persisted in
+    each res-7 cell — the spatial composition of ``urlops.snapshot_diff``.
+
+    Shape: per-block Arrow ``group_by(url)`` pre-folds presence bits (and
+    the url's lat/lon — identical across duplicates by the byte-identical
+    fixture invariant), ONE url-hash-bucketed exchange ORs the bits
+    globally, then per-bucket cell-count partials feed a final grid-bounded
+    ``groupby(cell).sum``. Page payloads never shuffle; the first exchange
+    carries one slim row per distinct url per block.
+    """
+    from ..stages.text import fingerprint64
+
+    ds = sized_read_parquet(pages_path)
+    cut = np.datetime64(cutoff.replace(" ", "T"), "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = extract_batch(b, verify_text=False)
+        ts = b["warc_ts"].to_numpy(zero_copy_only=False)
+        bits = pa.table(
+            {
+                "url": b["url"],
+                "old": pa.array((ts < cut).astype(np.int8)),
+                "new": pa.array((ts >= cut).astype(np.int8)),
+                "lat": b["lat"],
+                "lon": b["lon"],
+            }
+        )
+        part = bits.group_by("url").aggregate(
+            [("old", "max"), ("new", "max"), ("lat", "min"), ("lon", "min")]
+        )
+        bkt = (fingerprint64(part["url"]) % np.uint64(num_buckets)).astype(np.int32)
+        return part.append_column("__b", pa.array(bkt))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # global per-url OR of the block partials (urls co-located by hash)
+        merged = t.group_by("url").aggregate(
+            [("old_max", "max"), ("new_max", "max"), ("lat_min", "min"), ("lon_min", "min")]
+        )
+        old = merged["old_max_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = merged["new_max_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = merged["lat_min_min"].to_numpy(zero_copy_only=False)
+        lon = merged["lon_min_min"].to_numpy(zero_copy_only=False)
+        cell = geocell_encode(lat, lon, H3_RES)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        added = np.zeros(len(uniq), dtype=np.int64)
+        removed = np.zeros(len(uniq), dtype=np.int64)
+        stable = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(added, inv, new * (1 - old))
+        np.add.at(removed, inv, old * (1 - new))
+        np.add.at(stable, inv, old * new)
+        return pa.table(
+            {
+                "cell": pa.array(uniq),
+                "added": pa.array(added),
+                "removed": pa.array(removed),
+                "stable": pa.array(stable),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("cell")
+        .sum(["added", "removed", "stable"])
+    )
+    return _rename(
+        agg,
+        {
+            "sum(added)": "added",
+            "sum(removed)": "removed",
+            "sum(stable)": "stable",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
 # vector -> raster: admin-polygon burn over the full grid
 # ---------------------------------------------------------------------------
 

@@ -67,6 +67,8 @@ QUERY_CASES = [
     ("pages_distance_pairs", lambda: oracles.pages_distance_pairs_sql(N)),
     ("pages_host_dispersion", lambda: oracles.pages_host_dispersion_sql(N)),
     ("pages_vectorize", lambda: oracles.pages_vectorize_sql(N)),
+    ("pages_bbox_query", lambda: oracles.pages_bbox_query_sql(N)),
+    ("pages_cell_churn", lambda: oracles.pages_cell_churn_sql(N)),
     ("langid_docs", oracles.langid_docs_sql),
     ("embedding_near_dups", lambda: oracles.embedding_near_dups_sql(0.4)),
 ]

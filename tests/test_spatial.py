@@ -333,3 +333,42 @@ def test_bands_for_lat_range_conservative():
             0, spatial.N_LAT - 1,
         )
         assert set((i >> spatial.BAND_SHIFT).tolist()) <= bands
+
+
+def test_cell_churn_matches_reference(pages_path):
+    import duckdb
+
+    got = (
+        spatial.cell_churn(pages_path)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    # independent reference: per-url presence bits via duckdb over the RAW
+    # (pre-dedup) rows, then python-side cell fold
+    pres = duckdb.sql(
+        f"""
+        SELECT CAST(regexp_extract(decode(html),
+                 'geo\\.position" content="(-?[0-9.]+);(-?[0-9.]+)"', 1) AS DOUBLE) AS lat,
+               CAST(regexp_extract(decode(html),
+                 'geo\\.position" content="(-?[0-9.]+);(-?[0-9.]+)"', 2) AS DOUBLE) AS lon,
+               MAX(CASE WHEN warc_ts < TIMESTAMP '2024-07-01 00:00:00' THEN 1 ELSE 0 END) AS o,
+               MAX(CASE WHEN warc_ts >= TIMESTAMP '2024-07-01 00:00:00' THEN 1 ELSE 0 END) AS n
+        FROM read_parquet('{pages_path}/*.parquet') GROUP BY url, lat, lon
+        """
+    ).df()
+    cells = geocell_encode(pres["lat"].to_numpy(), pres["lon"].to_numpy(), H3_RES)
+    o = pres["o"].to_numpy(np.int64)
+    n = pres["n"].to_numpy(np.int64)
+    uniq, inv = np.unique(cells, return_inverse=True)
+    want = pd.DataFrame({"cell": uniq.astype(np.int64)})
+    for name, v in [("added", n * (1 - o)), ("removed", o * (1 - n)), ("stable", o * n)]:
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        want[name] = acc
+    pd.testing.assert_frame_equal(
+        got[["cell", "added", "removed", "stable"]].astype("int64"),
+        want.sort_values("cell").reset_index(drop=True),
+        check_exact=True,
+    )
+    assert int(got["added"].sum()) > 0 and int(got["removed"].sum()) > 0
