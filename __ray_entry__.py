@@ -376,6 +376,19 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _pages_granule_coverage(sf_dir: str):
+    """Per-MGRS-granule coverage rollup over the geoindexed pages."""
+    from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
+    from data_model_ray.pipelines.spatial import granule_coverage
+    from data_model_ray.sources.fs import sized_read_parquet
+
+    ds = sized_read_parquet(_pages_path(sf_dir))
+    deduped, _ = pages_to_cells(ds, FlagshipConfig(geoindex_concurrency=(1, 4)))
+    return granule_coverage(deduped).map_batches(
+        _norm_table_fn(int64_cols=("n_pages", "n_cells")), batch_format="pyarrow"
+    )
+
+
 def _pages_cell_churn(sf_dir: str):
     """Per-cell crawl churn between snapshot halves (spatial CDC)."""
     from data_model_ray.pipelines.spatial import cell_churn
@@ -1016,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "admin_raster_burn": _admin_raster_burn,
         "pages_bbox_query": _pages_bbox_query,
         "pages_cell_churn": _pages_cell_churn,
+        "pages_granule_coverage": _pages_granule_coverage,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2087,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "admin_raster_burn": oracles.admin_raster_burn_sql(),
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
+        "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

@@ -639,3 +639,25 @@ SELECT cell,
        CAST(SUM(b_old * b_new) AS BIGINT) AS stable
 FROM pcell GROUP BY cell
 """
+
+
+def pages_granule_coverage_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-granule coverage (spatial.granule_coverage): page count and
+    distinct res-7 cells per assigned MGRS granule (assignment = half-open
+    rect containment + lexicographic-min tie-break, same as
+    pages_assignments; unassigned pages excluded)."""
+    granules = f"{root}/granules.parquet"
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  assigned AS (
+    SELECT d.url, d.h3_7, COALESCE(MIN(g.mgrs), '') AS mgrs
+    FROM h3 d LEFT JOIN read_parquet('{granules}') g
+      ON d.lon >= g.xmin AND d.lon < g.xmax
+     AND d.lat >= g.ymin AND d.lat < g.ymax
+    GROUP BY d.url, d.h3_7
+  )
+SELECT mgrs,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT h3_7) AS BIGINT) AS n_cells
+FROM assigned WHERE mgrs <> '' GROUP BY mgrs
+"""

@@ -421,6 +421,49 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
 
 
 # ---------------------------------------------------------------------------
+# per-granule coverage rollup
+# ---------------------------------------------------------------------------
+
+
+def granule_coverage(assigned):
+    """Per-MGRS-granule coverage from the geoindexed pages Dataset
+    (``flagship.pages_to_cells`` output): page count + distinct res-7
+    cells per granule — the reference's per-granule manifest rollup
+    re-expressed as a coverage aggregate.
+
+    Shape: per-block Arrow ``group_by(mgrs, cell)`` distinct partials, one
+    granule-x-cell-bounded exchange folds them globally, then a per-block
+    mgrs fold and one granule-bounded sum — pages never shuffle.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["mgrs"], ""))
+        g = (
+            t.select(["mgrs", "h3_7"])
+            .group_by(["mgrs", "h3_7"])
+            .aggregate([("h3_7", "count")])
+        )
+        return g.rename_columns(["mgrs", "cell", "n"])
+
+    pairs = (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby(["mgrs", "cell"])
+        .sum("n")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("mgrs").aggregate([("sum(n)", "sum"), ("cell", "count")])
+        return g.rename_columns(["mgrs", "n_pages", "n_cells"])
+
+    agg = (
+        pairs.map_batches(fold, batch_format="pyarrow")
+        .groupby("mgrs")
+        .sum(["n_pages", "n_cells"])
+    )
+    return _rename(agg, {"sum(n_pages)": "n_pages", "sum(n_cells)": "n_cells"})
+
+
+# ---------------------------------------------------------------------------
 # spatio-temporal: per-cell crawl churn between snapshot halves
 # ---------------------------------------------------------------------------
 
