@@ -67,6 +67,14 @@ IDW_SCALE = 1_000_000.0
 RADIUS_KM = 25.0
 
 
+def _nbuckets() -> int:
+    """Session-adaptive exchange bucket count (the repo-wide
+    empty-partition rule — see linkgraph._num_buckets)."""
+    from .linkgraph import _num_buckets
+
+    return _num_buckets()
+
+
 def _points(pages_path: str, *, columns=("url", "lat", "lon"), host_prefix=None):
     """Deduped (one row per url) slim point table from the pages corpus.
 
@@ -84,7 +92,41 @@ def _points(pages_path: str, *, columns=("url", "lat", "lon"), host_prefix=None)
         return b.select(cols)
 
     pts = ds.map_batches(prep, batch_format="pyarrow")
-    return dedup_exact(pts, key="url", order_col="lat", num_buckets=8)
+    return dedup_exact(pts, key="url", order_col="lat", num_buckets=_nbuckets())
+
+
+def _cell_bucket(cells: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic int32 exchange bucket per cell id (splitmix mix so
+    spatially consecutive ids spread over all buckets — the sort-partition
+    coverage the empty-partition rule needs)."""
+    from ..hashing import hash_stream
+
+    return (
+        hash_stream(np.asarray(cells, dtype=np.uint64), 37)
+        % np.uint64(num_buckets)
+    ).astype(np.int32)
+
+
+def _bucket_cell_sum(ds, sum_cols: tuple):
+    """Grid-bounded (cell, partial...) rows -> one bucketed exchange with a
+    vectorized in-bucket Arrow combine: groups route on mixed int32 buckets
+    (never raw cell keys), so every sort partition covers >= 1 key and the
+    per-group UDF count stays at the bucket count."""
+    num_buckets = _nbuckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(_cell_bucket(cells, num_buckets)))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(["cell", *sum_cols])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def _rename(ds, mapping: dict):
@@ -135,8 +177,8 @@ def cell_counts(pages_path: str):
             {"cell": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
         )
 
-    agg = pts.map_batches(partial, batch_format="pyarrow").groupby("cell").sum("n")
-    return _rename(agg, {"sum(n)": "pages"})
+    parts = pts.map_batches(partial, batch_format="pyarrow")
+    return _rename(_bucket_cell_sum(parts, ("n",)), {"n": "pages"})
 
 
 def focal_stats(pages_path: str):
@@ -181,14 +223,13 @@ def focal_stats(pages_path: str):
             }
         )
 
-    agg = (
-        counts.map_batches(scatter, batch_format="pyarrow")
-        .groupby("cell")
-        .sum(["own", "fsum", "fcnt"])
+    agg = _bucket_cell_sum(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ("own", "fsum", "fcnt"),
     )
     agg = _rename(
         agg,
-        {"sum(own)": "pages", "sum(fsum)": "focal_pages", "sum(fcnt)": "focal_cells"},
+        {"own": "pages", "fsum": "focal_pages", "fcnt": "focal_cells"},
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -320,12 +361,10 @@ def idw_cells(pages_path: str, *, value_col: str = "text_len"):
             }
         )
 
-    agg = (
-        pts.map_batches(scatter, batch_format="pyarrow")
-        .groupby("cell")
-        .sum(["own", "w", "wv"])
+    agg = _bucket_cell_sum(
+        pts.map_batches(scatter, batch_format="pyarrow"), ("own", "w", "wv")
     )
-    agg = _rename(agg, {"sum(own)": "pages", "sum(w)": "w", "sum(wv)": "wv"})
+    agg = _rename(agg, {"own": "pages"})
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["pages"], 0))
@@ -356,6 +395,7 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
     """
     pts = _points(pages_path, host_prefix=host_prefix)
     r2 = radius_km * radius_km
+    num_buckets = _nbuckets()
 
     def expand(t: pa.Table) -> pd.DataFrame:
         df = t.select(["url", "lat", "lon"]).to_pandas()
@@ -369,10 +409,10 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
             for dj in (-1, 0, 1):
                 tj = (j[ok] + dj) % N_LON
                 part = df.loc[ok].copy()
-                part["__cell"] = (
-                    H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
-                )
+                cells = H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                part["__cell"] = cells
                 part["__is_query"] = di == 0 and dj == 0
+                part["__b"] = _cell_bucket(cells, num_buckets)
                 parts.append(part)
         return pd.concat(parts, ignore_index=True)
 
@@ -413,10 +453,26 @@ def distance_pairs(pages_path: str, *, radius_km: float = RADIUS_KM, host_prefix
             {"url_a": np.concatenate(out_a), "url_b": np.concatenate(out_b)}
         )
 
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # bucket routing (mixed int32, never raw cell keys — the repo-wide
+        # empty-partition rule); every cell is whole within its bucket, so
+        # the per-cell kernel runs unchanged
+        outs = [
+            per_cell(sub) for _, sub in group.groupby("__cell", sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "url_a": pd.Series([], dtype=object),
+                    "url_b": pd.Series([], dtype=object),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
     return (
         pts.map_batches(expand, batch_format="pyarrow")
-        .groupby("__cell")
-        .map_groups(per_cell, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
@@ -445,22 +501,41 @@ def granule_coverage(assigned):
         )
         return g.rename_columns(["mgrs", "cell", "n"])
 
+    num_buckets = _nbuckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array(_cell_bucket(cells, num_buckets)))
+
+    def combine(t: pa.Table) -> pa.Table:
+        # all copies of a (mgrs, cell) pair share the cell -> same bucket,
+        # so the in-bucket distinct fold is globally exact
+        g = t.group_by(["mgrs", "cell"]).aggregate([("n", "sum")])
+        return g.rename_columns(["mgrs", "cell", "n"])
+
     pairs = (
         assigned.map_batches(partial, batch_format="pyarrow")
-        .groupby(["mgrs", "cell"])
-        .sum("n")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
     def fold(t: pa.Table) -> pa.Table:
-        g = t.group_by("mgrs").aggregate([("sum(n)", "sum"), ("cell", "count")])
+        g = t.group_by("mgrs").aggregate([("n", "sum"), ("cell", "count")])
         return g.rename_columns(["mgrs", "n_pages", "n_cells"])
 
-    agg = (
+    # final combine: granule-bounded (<= |granules| rows per block partial)
+    # -> one concat block, no sort exchange (and so no empty partitions)
+    return (
         pairs.map_batches(fold, batch_format="pyarrow")
-        .groupby("mgrs")
-        .sum(["n_pages", "n_cells"])
+        .repartition(1)
+        .map_batches(
+            lambda t: t.group_by("mgrs")
+            .aggregate([("n_pages", "sum"), ("n_cells", "sum")])
+            .rename_columns(["mgrs", "n_pages", "n_cells"]),
+            batch_format="pyarrow",
+        )
     )
-    return _rename(agg, {"sum(n_pages)": "n_pages", "sum(n_cells)": "n_cells"})
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +547,7 @@ def cell_churn(
     pages_path: str,
     *,
     cutoff: str = "2024-07-01 00:00:00",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-cell crawl churn between the old (< cutoff) and new (>= cutoff)
     snapshot halves: how many urls appeared / disappeared / persisted in
@@ -487,6 +562,8 @@ def cell_churn(
     """
     from ..stages.text import fingerprint64
 
+    if num_buckets is None:
+        num_buckets = _nbuckets()
     ds = sized_read_parquet(pages_path)
     cut = np.datetime64(cutoff.replace(" ", "T"), "us")
 
@@ -534,21 +611,12 @@ def cell_churn(
             }
         )
 
-    agg = (
+    folded = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby("cell")
-        .sum(["added", "removed", "stable"])
     )
-    return _rename(
-        agg,
-        {
-            "sum(added)": "added",
-            "sum(removed)": "removed",
-            "sum(stable)": "stable",
-        },
-    )
+    return _bucket_cell_sum(folded, ("added", "removed", "stable"))
 
 
 # ---------------------------------------------------------------------------
@@ -733,7 +801,7 @@ def bbox_query(
 # ---------------------------------------------------------------------------
 
 
-def host_dispersion(pages_path: str, *, num_buckets: int = 64):
+def host_dispersion(pages_path: str, *, num_buckets: int | None = None):
     """Per-host page count, centroid, and max-radius geographic spread.
 
     Centroids average integer-microdegree coordinates (``floor(x*1e6+0.5)``
@@ -744,6 +812,10 @@ def host_dispersion(pages_path: str, *, num_buckets: int = 64):
     deviation vectorized (radius_km = sqrt(max_d2) * EARTH_DEG — sqrt/mul
     are IEEE-deterministic).
     """
+    if num_buckets is None:
+        # hosts are dense small ints, so plain modulo covers every bucket
+        # value; cap at half the host universe so no bucket is key-less
+        num_buckets = min(_nbuckets(), 512)
     pts = _points(pages_path)
 
     def prep(t: pa.Table) -> pa.Table:
