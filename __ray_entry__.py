@@ -376,6 +376,15 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _pages_kde_heatmap(sf_dir: str):
+    """5x5 integer-kernel density heatmap over cell page counts."""
+    from data_model_ray.pipelines.spatial import kde_heatmap
+
+    return kde_heatmap(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _pages_granule_coverage(sf_dir: str):
     """Per-MGRS-granule coverage rollup over the geoindexed pages."""
     from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
@@ -1030,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_bbox_query": _pages_bbox_query,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
+        "pages_kde_heatmap": _pages_kde_heatmap,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2102,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
+        "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

@@ -661,3 +661,41 @@ SELECT mgrs,
        CAST(COUNT(DISTINCT h3_7) AS BIGINT) AS n_cells
 FROM assigned WHERE mgrs <> '' GROUP BY mgrs
 """
+
+
+def pages_kde_heatmap_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """KDE heatmap (spatial.kde_heatmap): 5x5 integer-kernel density —
+    weights are the SAME literals the engine uses (spatial.KDE_WEIGHTS),
+    so the sum is int64-exact on both engines."""
+    from .pipelines.spatial import KDE_K, KDE_WEIGHTS
+
+    offs = ",\n           ".join(
+        f"({di}, {dj}, {KDE_WEIGHTS[di * di + dj * dj]})"
+        for di in range(-KDE_K, KDE_K + 1)
+        for dj in range(-KDE_K, KDE_K + 1)
+    )
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  cells AS (
+    SELECT h3_7 AS cell, CAST(COUNT(*) AS BIGINT) AS pages FROM h3 GROUP BY h3_7
+  ),
+  ij AS (
+    SELECT cell, pages,
+           (cell - {H3_BASE}) // 268435456 AS i,
+           (cell - {H3_BASE}) % 268435456 AS j
+    FROM cells
+  ),
+  off (di, dj, w) AS (
+    VALUES {offs}
+  ),
+  scat AS (
+    SELECT i + di AS ti, (j + dj + 1024) % 1024 AS tj, pages * w AS contrib
+    FROM ij, off WHERE i + di BETWEEN 0 AND 511
+  ),
+  kde AS (
+    SELECT ti, tj, CAST(SUM(contrib) AS BIGINT) AS kde
+    FROM scat GROUP BY ti, tj
+  )
+SELECT c.cell, c.pages, k.kde
+FROM ij c JOIN kde k ON k.ti = c.i AND k.tj = c.j
+"""

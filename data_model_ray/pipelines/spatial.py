@@ -241,6 +241,65 @@ def focal_stats(pages_path: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+#: KDE kernel: integer weights w(d2) = round(1e6 * exp(-d2/2)) over the
+#: 5x5 (k=2) neighborhood, precomputed ONCE and shared as literals with the
+#: SQL oracle — the density sum is then int64-exact in any order (the
+#: fixed-point discipline; exp never runs at query time on either engine)
+KDE_K = 2
+KDE_WEIGHTS = {
+    d2: int(round(1_000_000 * float(np.exp(-d2 / 2.0))))
+    for d2 in sorted({di * di + dj * dj for di in range(-2, 3) for dj in range(-2, 3)})
+}
+
+
+def kde_heatmap(pages_path: str):
+    """Gaussian-kernel density estimate of page counts per occupied cell
+    (a raster heatmap): kde = sum over the 5x5 neighborhood of
+    count(neighbor) * KDE_WEIGHTS[di^2+dj^2], in 1e-6 page units.
+
+    Same scatter-gather discipline as ``focal_stats`` (k=2 -> 25x fan-out
+    on the grid-bounded cell table; raw pages never shuffle), integer
+    weights make the exchange partials exact.
+    """
+    counts = cell_counts(pages_path)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(U64)
+        n = t["pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i, j = _cell_ij(cell)
+        cells_out = [cell]
+        own_out = [n]
+        kde_out = [np.zeros(len(n), dtype=np.int64)]
+        for di in range(-KDE_K, KDE_K + 1):
+            ti = i + di
+            ok = (ti >= 0) & (ti < N_LAT)
+            for dj in range(-KDE_K, KDE_K + 1):
+                w = KDE_WEIGHTS[di * di + dj * dj]
+                tj = (j[ok] + dj) % N_LON
+                cells_out.append(
+                    H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                )
+                own_out.append(np.zeros(int(ok.sum()), dtype=np.int64))
+                kde_out.append(n[ok] * w)
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells_out)),
+                "own": pa.array(np.concatenate(own_out)),
+                "kde": pa.array(np.concatenate(kde_out)),
+            }
+        )
+
+    agg = _bucket_cell_sum(
+        counts.map_batches(scatter, batch_format="pyarrow"), ("own", "kde")
+    )
+    agg = _rename(agg, {"own": "pages"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["pages"], 0))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def hotspot_cells(pages_path: str):
     """Getis-Ord-Gi*-style hot-spot z-score per occupied cell.
 

@@ -372,3 +372,42 @@ def test_cell_churn_matches_reference(pages_path):
         check_exact=True,
     )
     assert int(got["added"].sum()) > 0 and int(got["removed"].sum()) > 0
+
+
+def test_kde_heatmap_matches_dense_reference(pages_path, points):
+    got = (
+        spatial.kde_heatmap(pages_path)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    cells = geocell_encode(points["lat"].to_numpy(), points["lon"].to_numpy(), H3_RES)
+    uniq, cnt = np.unique(cells, return_counts=True)
+    dense = {}
+    for c, n in zip(uniq, cnt):
+        i = int((c >> np.uint64(28)) & np.uint64((1 << 28) - 1))
+        j = int(c & np.uint64((1 << 28) - 1))
+        dense[(i, j)] = int(n)
+    rows = []
+    for (i, j), n in dense.items():
+        kde = 0
+        for di in range(-spatial.KDE_K, spatial.KDE_K + 1):
+            si = i - di  # source cell contributing INTO (i, j) at offset di
+            if si < 0 or si >= spatial.N_LAT:
+                continue
+            for dj in range(-spatial.KDE_K, spatial.KDE_K + 1):
+                sj = (j - dj) % spatial.N_LON
+                kde += dense.get((si, sj), 0) * spatial.KDE_WEIGHTS[di * di + dj * dj]
+        rows.append(
+            {
+                "cell": int(spatial.H3_BASE | np.uint64(i) << np.uint64(28) | np.uint64(j)),
+                "pages": n,
+                "kde": kde,
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["cell", "pages", "kde"]].astype("int64"), want, check_exact=True
+    )
+    # self-weight is the kernel max: kde >= pages * w(0)
+    assert (got["kde"] >= got["pages"] * spatial.KDE_WEIGHTS[0]).all()
