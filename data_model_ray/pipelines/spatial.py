@@ -165,8 +165,8 @@ def _wrap_deg(dlon: np.ndarray) -> np.ndarray:
 
 
 def cell_counts(pages_path: str):
-    """Per-res-7-cell page counts: per-block ``np.unique`` partials, then one
-    grid-bounded ``groupby(cell).sum`` — raw pages never shuffle."""
+    """Per-res-7-cell page counts: per-block ``np.unique`` partials, then
+    one grid-bounded bucketed cell sum — raw pages never shuffle."""
     pts = _points(pages_path)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -187,7 +187,7 @@ def focal_stats(pages_path: str):
     Scatter-gather over the CELL table (grid-bounded, <= 512*1024 rows at
     res 7): each cell contributes its count to its 9-neighborhood targets
     (latitude clipped at the poles, longitude wrapped — exactly
-    ``grid.geocell_neighbors`` semantics), one ``groupby(cell).sum`` folds
+    ``grid.geocell_neighbors`` semantics), one bucketed cell exchange folds
     contributions, and only cells that hold pages surface in the output.
 
     Output: (cell, pages, focal_pages, focal_cells, focal_mean) where
@@ -327,6 +327,9 @@ def hotspot_cells(pages_path: str):
         )
 
     mom = focal.map_batches(moment_partial, batch_format="pyarrow").to_pandas()
+    # an empty corpus yields a schema-less frame (no blocks ever ran)
+    if "n" not in mom.columns:
+        mom = pd.DataFrame({"n": [0], "sp": [0], "spp": [0]})
     n = int(mom["n"].sum())
     sp = int(mom["sp"].sum())
     spp = int(mom["spp"].sum())

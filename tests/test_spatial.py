@@ -411,3 +411,34 @@ def test_kde_heatmap_matches_dense_reference(pages_path, points):
     )
     # self-weight is the kernel max: kde >= pages * w(0)
     assert (got["kde"] >= got["pages"] * spatial.KDE_WEIGHTS[0]).all()
+
+
+def test_spatial_ops_survive_empty_pages(ray_session, tmp_path):
+    """Zero-row pages input degrades to well-formed empty results (the
+    empty-input discipline of tests/test_empty_inputs.py, which cannot
+    reach the pages family through queries())."""
+    import pyarrow.parquet as pq
+
+    src = fixtures.ensure_pages_parquet(1_000)
+    import glob
+
+    tab = pq.read_table(sorted(glob.glob(f"{src}/*.parquet"))[0])
+    d = tmp_path / "empty_pages"
+    d.mkdir()
+    pq.write_table(tab.slice(0, 0), str(d / "part-0.parquet"))
+    p = str(d)
+    for name, fn in [
+        ("cell_counts", lambda: spatial.cell_counts(p)),
+        ("focal_stats", lambda: spatial.focal_stats(p)),
+        ("hotspot_cells", lambda: spatial.hotspot_cells(p)),
+        ("kde_heatmap", lambda: spatial.kde_heatmap(p)),
+        ("idw_cells", lambda: spatial.idw_cells(p)),
+        ("distance_pairs", lambda: spatial.distance_pairs(p)),
+        ("host_dispersion", lambda: spatial.host_dispersion(p)),
+        ("cell_churn", lambda: spatial.cell_churn(p)),
+        ("bbox_query", lambda: spatial.bbox_query(
+            p, out_dir=str(tmp_path / "store"))),
+    ]:
+        out = fn()
+        n = out.count() if hasattr(out, "count") and not hasattr(out, "shape") else len(out)
+        assert n == 0, f"{name} returned {n} rows on empty input"
