@@ -376,6 +376,15 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _pages_focal_pyramid(sf_dir: str):
+    """Multi-res focal pyramid: /2 parent-cell rollups + focal per level."""
+    from data_model_ray.pipelines.spatial import focal_pyramid
+
+    return focal_pyramid(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _pages_kde_heatmap(sf_dir: str):
     """5x5 integer-kernel density heatmap over cell page counts."""
     from data_model_ray.pipelines.spatial import kde_heatmap
@@ -1040,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,
+        "pages_focal_pyramid": _pages_focal_pyramid,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2113,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),
+        "pages_focal_pyramid": oracles.pages_focal_pyramid_sql(_ORACLE_N),
         "langid_docs": oracles.langid_docs_sql(),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.4),
         # minhash_near_dups shares the exact-Jaccard oracle: its LSH

@@ -699,3 +699,48 @@ WITH {_base_ctes(n_rows, root)},
 SELECT c.cell, c.pages, k.kde
 FROM ij c JOIN kde k ON k.ti = c.i AND k.tj = c.j
 """
+
+
+def pages_focal_pyramid_sql(
+    n_rows: int, root: str = GRAFT_ROOT, levels: tuple = (7, 6, 5)
+) -> str:
+    """Multi-res focal pyramid (spatial.focal_pyramid): the engine rolls
+    res-7 counts up the /2 parent ladder (i>>1, j>>1); the oracle re-encodes
+    each level directly from lat/lon — equivalent because scaling by 2^k is
+    IEEE-exact, so floor(x*2^(r-1)) == floor(x*2^r) >> 1 and the clip bounds
+    halve consistently."""
+    parts = []
+    for r in levels:
+        n_lat = 4 << r
+        n_lon = 8 << r
+        base = r << 56
+        parts.append(f"""
+SELECT {base} + i * 268435456 + j AS cell, pages,
+       fs.focal_pages, fs.focal_cells,
+       CAST(fs.focal_pages AS DOUBLE) / CAST(fs.focal_cells AS DOUBLE) AS focal_mean,
+       CAST({r} AS BIGINT) AS res
+FROM (
+  SELECT GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {n_lat}.0) AS BIGINT), {n_lat - 1}), 0) AS i,
+         GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * {n_lon}.0) AS BIGINT), {n_lon - 1}), 0) AS j,
+         CAST(COUNT(*) AS BIGINT) AS pages
+  FROM h3 GROUP BY 1, 2
+) c
+JOIN (
+  SELECT i + di AS ti, (j + dj + {n_lon}) % {n_lon} AS tj,
+         CAST(SUM(pages) AS BIGINT) AS focal_pages,
+         CAST(COUNT(*) AS BIGINT) AS focal_cells
+  FROM (
+    SELECT GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {n_lat}.0) AS BIGINT), {n_lat - 1}), 0) AS i,
+           GREATEST(LEAST(CAST(FLOOR((((lon + 180.0) % 360.0 + 360.0) % 360.0) / 360.0 * {n_lon}.0) AS BIGINT), {n_lon - 1}), 0) AS j,
+           CAST(COUNT(*) AS BIGINT) AS pages
+    FROM h3 GROUP BY 1, 2
+  ) s, (SELECT a.di, b.dj
+        FROM (VALUES (-1), (0), (1)) a(di), (VALUES (-1), (0), (1)) b(dj)) o
+  WHERE i + di BETWEEN 0 AND {n_lat - 1}
+  GROUP BY ti, tj
+) fs ON fs.ti = c.i AND fs.tj = c.j""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_base_ctes(n_rows, root)}
+{union}
+"""

@@ -194,7 +194,15 @@ def focal_stats(pages_path: str):
     focal_mean = focal_pages / focal_cells over *occupied* neighbors —
     int/int double division, exact on both engines.
     """
-    counts = cell_counts(pages_path)
+    return _focal_from_counts(cell_counts(pages_path), H3_RES)
+
+
+def _focal_from_counts(counts, res: int):
+    """Focal scatter-gather over a (cell, pages) table at resolution `res`
+    (dims derive from the cell-id layout: 4*2^res lat rows x 8*2^res cols)."""
+    n_lat = 4 << res
+    n_lon = 8 << res
+    base = U64(res) << U64(56)
 
     def scatter(t: pa.Table) -> pa.Table:
         cell = t["cell"].to_numpy(zero_copy_only=False).astype(U64)
@@ -206,10 +214,10 @@ def focal_stats(pages_path: str):
         fc_out = [np.zeros(len(n), dtype=np.int64)]
         for di in (-1, 0, 1):
             ti = i + di
-            ok = (ti >= 0) & (ti < N_LAT)
+            ok = (ti >= 0) & (ti < n_lat)
             for dj in (-1, 0, 1):
-                tj = (j[ok] + dj) % N_LON
-                tc = H3_BASE | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
+                tj = (j[ok] + dj) % n_lon
+                tc = base | (ti[ok].astype(U64) << U64(28)) | tj.astype(U64)
                 cells_out.append(tc)
                 own_out.append(np.zeros(int(ok.sum()), dtype=np.int64))
                 fs_out.append(n[ok])
@@ -239,6 +247,60 @@ def focal_stats(pages_path: str):
         return t.append_column("focal_mean", pa.array(fp / fc))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def parent_counts(counts, res: int):
+    """(cell, pages) at `res` -> parent (cell, pages) at `res-1`: the /2
+    parent-cell rollup (i>>1, j>>1 — exactly 4 children per parent, the
+    reference's overview-ladder block aggregate as a groupby shuffle)."""
+    base = U64(res - 1) << U64(56)
+
+    def roll(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(U64)
+        n = t["pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i, j = _cell_ij(cell)
+        parent = base | ((i >> 1).astype(U64) << U64(28)) | (j >> 1).astype(U64)
+        uniq, inv = np.unique(parent, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, n)
+        return pa.table({"cell": pa.array(uniq), "n": pa.array(acc)})
+
+    return _rename(
+        _bucket_cell_sum(counts.map_batches(roll, batch_format="pyarrow"), ("n",)),
+        {"n": "pages"},
+    )
+
+
+def focal_pyramid(pages_path: str, *, levels: tuple = (7, 6, 5)):
+    """Multi-resolution focal statistics: per-cell counts at res 7 roll up
+    the /2 parent ladder (``parent_counts``), and the 3x3 focal smoothing
+    runs at EVERY requested level — the north-star "parent-cell rollups as
+    groupby-aggregate shuffles" composed with raster analytics.
+
+    Each level's cell table is grid-bounded, so the base counts materialize
+    once (tiny) and every rollup/focal exchange is cell-bounded — the
+    corpus is scanned exactly once regardless of level count. Output adds
+    a ``res`` column; rows per level cover only occupied cells.
+    """
+    levels = tuple(sorted(levels, reverse=True))
+    if levels[0] != H3_RES:
+        raise ValueError(f"levels must start at the base res {H3_RES}")
+    counts_at = {H3_RES: cell_counts(pages_path).materialize()}
+    for r in range(H3_RES - 1, min(levels) - 1, -1):
+        counts_at[r] = parent_counts(counts_at[r + 1], r + 1).materialize()
+
+    out = None
+    for r in levels:
+        f = _focal_from_counts(counts_at[r], r)
+
+        def add_res(t: pa.Table, _r=r) -> pa.Table:
+            return t.append_column(
+                "res", pa.array(np.full(t.num_rows, _r, dtype=np.int64))
+            )
+
+        f = f.map_batches(add_res, batch_format="pyarrow")
+        out = f if out is None else out.union(f)
+    return out
 
 
 #: KDE kernel: integer weights w(d2) = round(1e6 * exp(-d2/2)) over the

@@ -71,6 +71,7 @@ QUERY_CASES = [
     ("pages_cell_churn", lambda: oracles.pages_cell_churn_sql(N)),
     ("pages_granule_coverage", lambda: oracles.pages_granule_coverage_sql(N)),
     ("pages_kde_heatmap", lambda: oracles.pages_kde_heatmap_sql(N)),
+    ("pages_focal_pyramid", lambda: oracles.pages_focal_pyramid_sql(N)),
     ("langid_docs", oracles.langid_docs_sql),
     ("embedding_near_dups", lambda: oracles.embedding_near_dups_sql(0.4)),
 ]

@@ -442,3 +442,30 @@ def test_spatial_ops_survive_empty_pages(ray_session, tmp_path):
         out = fn()
         n = out.count() if hasattr(out, "count") and not hasattr(out, "shape") else len(out)
         assert n == 0, f"{name} returned {n} rows on empty input"
+
+
+def test_focal_pyramid_levels_consistent(pages_path, points):
+    got = spatial.focal_pyramid(pages_path).to_pandas()
+    assert sorted(got["res"].unique()) == [5, 6, 7]
+    # each level's total page mass equals the corpus (rollup conserves)
+    for r, sub in got.groupby("res"):
+        assert int(sub["pages"].sum()) == len(points), f"res {r} lost mass"
+    # level-7 slice must equal focal_stats exactly
+    want = (
+        spatial.focal_stats(pages_path)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    lvl7 = (
+        got[got["res"] == 7]
+        .drop(columns=["res"])
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        lvl7[want.columns.tolist()], want, check_exact=True, check_dtype=False
+    )
+    # coarser levels have no more cells than finer ones
+    n_cells = got.groupby("res")["cell"].count()
+    assert n_cells[5] <= n_cells[6] <= n_cells[7]
