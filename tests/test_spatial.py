@@ -432,6 +432,7 @@ def test_spatial_ops_survive_empty_pages(ray_session, tmp_path):
         ("focal_stats", lambda: spatial.focal_stats(p)),
         ("hotspot_cells", lambda: spatial.hotspot_cells(p)),
         ("kde_heatmap", lambda: spatial.kde_heatmap(p)),
+        ("focal_pyramid", lambda: spatial.focal_pyramid(p)),
         ("idw_cells", lambda: spatial.idw_cells(p)),
         ("distance_pairs", lambda: spatial.distance_pairs(p)),
         ("host_dispersion", lambda: spatial.host_dispersion(p)),
