@@ -376,6 +376,13 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _q8_market_share(sf_dir: str):
+    """TPC-H Q8-shape national market share per order year."""
+    from data_model_ray.pipelines.analytic import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
 def _pages_focal_pyramid(sf_dir: str):
     """Multi-res focal pyramid: /2 parent-cell rollups + focal per level."""
     from data_model_ray.pipelines.spatial import focal_pyramid
@@ -1050,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,
         "pages_focal_pyramid": _pages_focal_pyramid,
+        "q8_market_share": _q8_market_share,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2546,5 +2554,27 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "q8_market_share": """
+            SELECT year,
+                   ROUND(CAST(SUM(CASE WHEN nation = 'NATION_9' THEN units ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(units) AS DOUBLE), 6) AS mkt_share
+            FROM (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units,
+                     n2.n_name AS nation
+              FROM part, lineitem, orders, customer, supplier,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND p_type = 'PROMO'
+            )
+            GROUP BY year
         """,
     }

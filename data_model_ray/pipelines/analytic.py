@@ -1673,3 +1673,181 @@ def q5_nation_revenue(
     return out.sort_values(
         ["revenue", "n_name"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def q8_market_share(
+    sf_dir: str,
+    *,
+    region: str = "AMERICA",
+    part_type: str = "PROMO",
+    target_nation: str = "NATION_9",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+    num_buckets: int = 256,
+):
+    """National market share per order year (TPC-H Q8 shape): among
+    region-`region` customers' orders of `part_type` parts in the date
+    window, the fraction of volume supplied by `target_nation`.
+
+    Shape (the q5_nation_revenue discipline): the part-key set, the
+    customer-in-region key set and the supplier->is-target map broadcast
+    once via ``ray.put`` (dimension-sized); lineitem pre-folds EXACT
+    integer (num, den) volume units per orderkey per batch (den = all
+    suppliers, num = target-nation suppliers; cents x (100-pct) ints are
+    order-free); the two fact sides cross ONE bucketed exchange on
+    orderkey where the year attaches in-bucket; the driver folds
+    <= |years| rows and performs the single share division.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nat = to_pandas_cols(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        {"n_nationkey": "int32", "n_name": "object", "n_regionkey": "int32"},
+    )
+    reg = to_pandas_cols(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        {"r_regionkey": "int32", "r_name": "object"},
+    )
+    region_keys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nations = nat.loc[
+        nat["n_regionkey"].isin(region_keys), "n_nationkey"
+    ].to_numpy(np.int64)
+    target_keys = nat.loc[nat["n_name"] == target_nation, "n_nationkey"].to_numpy(
+        np.int64
+    )
+
+    parts_tab = to_pandas_cols(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        {"p_partkey": "int64", "p_type": "object"},
+    )
+    part_keys = np.sort(
+        parts_tab.loc[parts_tab["p_type"] == part_type, "p_partkey"].to_numpy(np.int64)
+    )
+    part_ref = ray.put(part_keys)
+
+    cust = to_pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        {"c_custkey": "int64", "c_nationkey": "int32"},
+    )
+    cust = cust[cust["c_nationkey"].astype(np.int64).pipe(np.isin, region_nations)]
+    cust_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(np.int64)))
+
+    sup = to_pandas_cols(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "int64", "s_nationkey": "int32"},
+    )
+    sup = sup.sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (
+            sup["s_suppkey"].to_numpy(np.int64),
+            np.isin(sup["s_nationkey"].to_numpy(np.int64), target_keys),
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(cust_ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        o_cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, o_cust), 0, max(len(ck) - 1, 0))
+        hit = (len(ck) > 0) & (ck[pos] == o_cust)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+        years = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)[hit]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "year": pa.array(years, pa.int64()),
+                "num_units": pa.nulls(len(keys), pa.int64()),
+                "den_units": pa.nulls(len(keys), pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "bucket": pa.array((keys & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        pk = ray.get(part_ref)
+        sk, is_tgt = ray.get(sup_ref)
+        l_part = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ppos = np.clip(np.searchsorted(pk, l_part), 0, max(len(pk) - 1, 0))
+        hit = (len(pk) > 0) & (pk[ppos] == l_part)
+        l_sup = t["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
+        spos = np.clip(np.searchsorted(sk, l_sup), 0, max(len(sk) - 1, 0))
+        shit = (len(sk) > 0) & (sk[spos] == l_sup)
+        tgt = np.zeros(int(hit.sum()), dtype=bool)
+        tgt[shit] = is_tgt[spos[shit]]
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[hit]
+        pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )[hit]
+        units = cents * (100 - pct)
+        part = (
+            pd.DataFrame(
+                {
+                    "key": t["l_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                    "num_units": np.where(tgt, units, 0),
+                    "den_units": units,
+                }
+            )
+            .groupby("key", sort=False)
+            .sum()
+            .reset_index()
+        )
+        keys = part["key"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "year": pa.nulls(len(part), pa.int64()),
+                "num_units": pa.array(part["num_units"].to_numpy(np.int64)),
+                "den_units": pa.array(part["den_units"].to_numpy(np.int64)),
+                "side": pa.array(np.ones(len(part), dtype=np.int8)),
+                "bucket": pa.array((keys & (num_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "year"]]
+        right = g[g["side"] == 1][["key", "num_units", "den_units"]]
+        m = right.merge(left, on="key", how="inner")
+        out = m.groupby("year", sort=False)[["num_units", "den_units"]].sum()
+        return out.reset_index().astype(
+            {"year": np.int64, "num_units": np.int64, "den_units": np.int64}
+        )
+
+    parts = to_pandas_cols(
+        both.groupby("bucket").map_groups(join_bucket, batch_format="pandas"),
+        {"year": "int64", "num_units": "int64", "den_units": "int64"},
+    )
+    agg = parts.groupby("year", sort=True)[["num_units", "den_units"]].sum()
+    num = agg["num_units"].to_numpy(np.int64).astype(np.float64)
+    den = agg["den_units"].to_numpy(np.int64).astype(np.float64)
+    share = pc.round(pa.array(num / den), ndigits=6).to_numpy(zero_copy_only=False)
+    return pd.DataFrame(
+        {"year": agg.index.to_numpy(np.int64), "mkt_share": share}
+    ).reset_index(drop=True)
