@@ -376,6 +376,13 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _custdist_hist(sf_dir: str):
+    """TPC-H Q13-shape customer order-count distribution (zero included)."""
+    from data_model_ray.pipelines.analytic import custdist_hist
+
+    return custdist_hist(sf_dir)
+
+
 def _q8_market_share(sf_dir: str):
     """TPC-H Q8-shape national market share per order year."""
     from data_model_ray.pipelines.analytic import q8_market_share
@@ -1058,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_kde_heatmap": _pages_kde_heatmap,
         "pages_focal_pyramid": _pages_focal_pyramid,
         "q8_market_share": _q8_market_share,
+        "custdist_hist": _custdist_hist,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2576,5 +2584,14 @@ def oracle_sql() -> dict[str, str]:
                 AND p_type = 'PROMO'
             )
             GROUP BY year
+        """,
+        "custdist_hist": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
         """,
     }

@@ -1851,3 +1851,66 @@ def q8_market_share(
     return pd.DataFrame(
         {"year": agg.index.to_numpy(np.int64), "mkt_share": share}
     ).reset_index(drop=True)
+
+
+def custdist_hist(sf_dir: str, *, num_buckets: int = 256):
+    """Customer-distribution histogram (TPC-H Q13 shape): how many
+    customers placed exactly c_count orders, INCLUDING the zero bucket
+    (the LEFT-JOIN semantics).
+
+    Shape: orders pre-fold per-block (custkey, n) partials; one
+    custkey-bucketed exchange sums them globally and each bucket emits its
+    (c_count, custdist) histogram partial — the driver folds a table
+    bounded by |distinct order counts| (tiny), and the zero bucket derives
+    from the customer COUNT minus the customers seen in orders (both
+    scalars), so the customer table itself never joins at fact scale.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    n_cust = int(
+        _read(sf_dir, "customer", ["c_custkey"]).count()
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "custkey": pa.array(uniq),
+                "n": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array((uniq % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("custkey").aggregate([("n", "sum")])
+        counts = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hu, hc = np.unique(counts, return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(hu), "custdist": pa.array(hc.astype(np.int64))}
+        )
+
+    parts = to_pandas_cols(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        {"c_count": "int64", "custdist": "int64"},
+    )
+    if parts.empty:
+        hist = pd.DataFrame({"c_count": [0], "custdist": [n_cust]})
+        return hist if n_cust else hist.iloc[:0]
+    # sum(custdist) across all buckets IS the number of customers with
+    # at least one order — the zero bucket is the complement
+    seen_total = int(parts["custdist"].sum())
+    hist = (
+        parts.groupby("c_count", sort=True)["custdist"].sum().reset_index()
+    )
+    zero = n_cust - seen_total
+    if zero > 0:
+        hist = pd.concat(
+            [pd.DataFrame({"c_count": [0], "custdist": [zero]}), hist],
+            ignore_index=True,
+        )
+    return hist.sort_values("c_count").reset_index(drop=True)
