@@ -376,6 +376,13 @@ def _pages_vectorize(sf_dir: str):
     return out
 
 
+def _dormant_customers(sf_dir: str):
+    """TPC-H Q22-shape dormant high-balance customers per nation."""
+    from data_model_ray.pipelines.analytic import dormant_customers
+
+    return dormant_customers(sf_dir)
+
+
 def _custdist_hist(sf_dir: str):
     """TPC-H Q13-shape customer order-count distribution (zero included)."""
     from data_model_ray.pipelines.analytic import custdist_hist
@@ -1066,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_focal_pyramid": _pages_focal_pyramid,
         "q8_market_share": _q8_market_share,
         "custdist_hist": _custdist_hist,
+        "dormant_customers": _dormant_customers,
         "langid_docs": _langid_docs,
         "embedding_near_dups": _embedding_near_dups,
         "knn_embeddings_lsh": _knn_lsh,
@@ -2593,5 +2601,29 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.c_custkey
             )
             GROUP BY c_count
+        """,
+        "dormant_customers": """
+            WITH pos AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer WHERE c_acctbal > 0.0
+            ),
+            par AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s
+              FROM pos
+            ),
+            dormant AS (
+              SELECT p.c_custkey, p.c_nationkey, p.cents
+              FROM pos p, par
+              WHERE p.cents * par.n > par.s
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = p.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS totacctbal
+            FROM dormant GROUP BY 1
         """,
     }

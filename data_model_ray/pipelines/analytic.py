@@ -1914,3 +1914,137 @@ def custdist_hist(sf_dir: str, *, num_buckets: int = 256):
             ignore_index=True,
         )
     return hist.sort_values("c_count").reset_index(drop=True)
+
+
+def dormant_customers(
+    sf_dir: str, *, cutoff: str = "1999-01-01", num_buckets: int = 256
+):
+    """Dormant high-balance customers per nation (TPC-H Q22 shape): among
+    positive-balance customers, those whose balance exceeds the
+    positive-balance AVERAGE and who placed no orders on/after `cutoff` —
+    count and total balance per nation.
+
+    Exactness: balances quantize to integer cents, and the above-average
+    test is the integer cross-multiply ``cents * n > sum_cents`` — no
+    float division enters the filter at all (bound: cents*n must stay
+    below 2^63 — ~1e10 customers at 1e6-cent balances, documented like
+    the substring_spans packing bound). Shape: one scalar pre-pass
+    (per-block (n, s) partials fold to two driver scalars), then the
+    balance-filtered customers and the per-block-distinct recent-order
+    custkeys cross ONE custkey-bucketed exchange where the anti-join and
+    per-nation fold run in-bucket; the driver folds <= |nations| rows.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    cut = pd.Timestamp(cutoff)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        cents = np.rint(bal[pos] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+                "s": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    par = cust.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    n = int(par["n"].sum()) if "n" in par.columns else 0
+    s = int(par["s"].sum()) if "s" in par.columns else 0
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "nationkey": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100).astype(np.int64)
+        keep = (bal > 0.0) & (cents * n > s)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "nat": pa.array(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False)[keep].astype(
+                        np.int64
+                    )
+                ),
+                "cents": pa.array(cents[keep]),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+        keys = np.unique(
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "nat": pa.nulls(len(keys), pa.int64()),
+                "cents": pa.nulls(len(keys), pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "bucket": pa.array((keys % num_buckets).astype(np.int32)),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        keys = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        recent = np.unique(keys[side == 1])
+        cmask = side == 0
+        ckeys = keys[cmask]
+        keep = ~np.isin(ckeys, recent)
+        nat = t["nat"].to_numpy(zero_copy_only=False)[cmask][keep].astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)[cmask][keep].astype(
+            np.int64
+        )
+        uniq, inv = np.unique(nat, return_inverse=True)
+        numcust = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {
+                "nationkey": pa.array(uniq),
+                "numcust": pa.array(numcust),
+                "cents": pa.array(tot),
+            }
+        )
+
+    parts = to_pandas_cols(
+        both.groupby("bucket").map_groups(anti_bucket, batch_format="pyarrow"),
+        {"nationkey": "int64", "numcust": "int64", "cents": "int64"},
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "nationkey": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    agg = parts.groupby("nationkey", sort=True)[["numcust", "cents"]].sum()
+    tot = pc.round(
+        pa.array(agg["cents"].to_numpy(np.int64) / 100.0), ndigits=2
+    ).to_numpy(zero_copy_only=False)
+    return pd.DataFrame(
+        {
+            "nationkey": agg.index.to_numpy(np.int64),
+            "numcust": agg["numcust"].to_numpy(np.int64),
+            "totacctbal": tot,
+        }
+    ).reset_index(drop=True)
