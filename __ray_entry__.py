@@ -286,6 +286,26 @@ def _simhash_pairs(sf_dir: str):
     return simhash_pairs(f"{sf_dir}/documents.parquet", max_distance=3)
 
 
+def _gather_cell_table(sf_dir: str):
+    """Materialize the grid-bounded cell-stats table as ONE pyarrow table.
+
+    Zero-row-corpus-safe (ADVICE r4): with no non-empty blocks the concat
+    list would be empty and ``pa.concat_tables`` raises — fall back to an
+    empty table of the dataset's schema instead.
+    """
+    import pyarrow as pa
+    import ray
+
+    cells = _pages_cell_stats(sf_dir).materialize()
+    tabs = ray.get(cells.to_arrow_refs())
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty, promote_options="default")
+    if tabs:
+        return tabs[0]
+    return cells.schema().base_schema.empty_table()
+
+
 def _pages_raster(sf_dir: str):
     """Rasterized base level (tile_x/tile_y/px/py layout) — raster<->vector."""
     import pyarrow as pa
@@ -293,11 +313,7 @@ def _pages_raster(sf_dir: str):
 
     from data_model_ray.pipelines.rasterize import rasterize_level
 
-    cells = _pages_cell_stats(sf_dir).materialize()
-    table = pa.concat_tables(
-        [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
-        promote_options="default",
-    )
+    table = _gather_cell_table(sf_dir)
     raster = rasterize_level(table)
     return _norm_table_fn(
         int64_cols=("level", "tile_x", "tile_y", "px", "py")
@@ -356,11 +372,7 @@ def _pages_vectorize(sf_dir: str):
     from data_model_ray.grid import geocell_center
     from data_model_ray.pipelines.rasterize import rasterize_level, vectorize_tiles
 
-    cells = _pages_cell_stats(sf_dir).materialize()
-    table = pa.concat_tables(
-        [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows],
-        promote_options="default",
-    )
+    table = _gather_cell_table(sf_dir)
     back = vectorize_tiles(rasterize_level(table))
     cell = back["cell"].to_numpy(zero_copy_only=False)
     lat_ctr, lon_ctr = geocell_center(cell)

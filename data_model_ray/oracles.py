@@ -198,7 +198,7 @@ def pages_knn_sql(n_rows: int, root: str = GRAFT_ROOT, *, k: int = 5) -> str:
     between engines); ordering is unaffected except for exact coordinate
     ties, which break by neighbor id identically on both sides.
     """
-    e = EARTH_DEG
+    e = EARTH_DEG_DOUBLE  # exponent-form DOUBLE: bit-identical multiply (ADVICE r4)
     return f"""
 WITH {_base_ctes(n_rows, root)},
   q AS (
@@ -471,8 +471,10 @@ def pages_distance_pairs_sql(
     """Bounded-radius distance self-join (spatial.distance_pairs): ring-1
     candidacy via the 9-cell equi-join (same as pages_knn), url_a < url_b
     emits each pair once, the equirectangular metric matches
-    stages.knn._equirect_dist2 operand-for-operand."""
-    e = EARTH_DEG
+    stages.knn._equirect_dist2 operand-for-operand (EARTH_DEG_DOUBLE: a plain
+    decimal literal parses to DECIMAL(17,14) and diverges in the last ulp —
+    an ulp flip at the radius boundary would break pair-set parity)."""
+    e = EARTH_DEG_DOUBLE
     r = repr(radius_km)
     return f"""
 WITH {_base_ctes(n_rows, root)},

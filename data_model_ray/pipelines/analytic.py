@@ -45,7 +45,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .relational import _read, _round_col
+from .relational import _read, _round_col, keyed_window_exchange
 
 
 # --- multi-way join + top-k (TPC-H Q3 shape) --------------------------------
@@ -378,22 +378,25 @@ def except_users(sf_dir: str):
 
 def running_total(sf_dir: str):
     """Per-user running sum of value ordered by (ts, event_id) — the
-    ROWS-UNBOUNDED-PRECEDING window. One hash exchange on user_id; the
-    cumulative sum is a vectorized in-group ``np.cumsum`` after an
-    in-group sort (per-group data is one user's events)."""
+    ROWS-UNBOUNDED-PRECEDING window. One BUCKETED hash exchange on
+    user_id (the bucketed-exchange rule — raw-key map_groups costs one
+    UDF call per user); per bucket one stable sort by (user, ts,
+    event_id) + one vectorized grouped cumsum over every user at once.
+    (round(6) is association-safe here: values are 2-decimal fixtures, so
+    any summation order lands within ~1e-10 of the same cent multiple.)"""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        out = pd.DataFrame(
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rs = g.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame(
             {
-                "event_id": df["event_id"].to_numpy(),
-                "run_sum": np.cumsum(df["value"].to_numpy()).round(6),
+                "event_id": g["event_id"].to_numpy(),
+                "run_sum": rs.to_numpy().round(6),
             }
         )
-        return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- date-part extraction aggregate -----------------------------------------
@@ -516,8 +519,9 @@ def above_user_median(sf_dir: str, *, method: str = "broadcast", num_buckets: in
     """Events strictly above their user's median value.
 
     ``method="broadcast"`` (default): (1) per-user exact median (order
-    statistic — identical across engines, unlike a float mean) via
-    groupby+map_groups; (2) the dimension-sized (user, median) table
+    statistic — identical across engines, unlike a float mean) via a
+    BUCKETED keyed exchange (bucketed-exchange rule) with a vectorized
+    in-bucket order-statistic kernel; (2) the dimension-sized (user, median) table
     broadcast back with ``ray.put`` and applied as a vectorized filter —
     the fact table never shuffles. Right whenever the user dimension fits
     a worker heap (10^6-10^8 users).
@@ -533,16 +537,30 @@ def above_user_median(sf_dir: str, *, method: str = "broadcast", num_buckets: in
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"user_id": [df["user_id"].iloc[0]],
-             "med": [float(np.median(df["value"].to_numpy()))]}
+    def med_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-user order statistic: one stable sort by
+        # (user, value), segment mid-points indexed for all users at
+        # once; the even-count midpoint (a+b)/2 is bit-identical to
+        # np.median's mean-of-two-middles.
+        g = g.sort_values(["user_id", "value"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"), "med": pd.Series(dtype="float64")}
+            )
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, n])
+        mid = starts + counts // 2
+        med_v = np.where(
+            counts % 2 == 1, v[mid], (v[np.maximum(mid - 1, 0)] + v[mid]) / 2.0
         )
+        return pd.DataFrame({"user_id": uid[starts], "med": med_v})
 
-    medians_ds = (
-        ds.select_columns(["user_id", "value"])
-        .groupby("user_id")
-        .map_groups(med, batch_format="pandas")
+    medians_ds = keyed_window_exchange(
+        ds.select_columns(["user_id", "value"]), "user_id", med_bucket
     )
 
     if method == "join":
@@ -1765,7 +1783,11 @@ def q8_market_share(
         )
         o_cust = t["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(ck, o_cust), 0, max(len(ck) - 1, 0))
-        hit = (len(ck) > 0) & (ck[pos] == o_cust)
+        # ck[pos] evaluates eagerly: an empty broadcast key set with a
+        # non-empty batch would IndexError (ADVICE r4) — mask first.
+        hit = (
+            np.zeros(len(o_cust), bool) if len(ck) == 0 else (ck[pos] == o_cust)
+        )
         keys = t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
         years = (
             t["o_orderdate"]
@@ -1790,10 +1812,14 @@ def q8_market_share(
         sk, is_tgt = ray.get(sup_ref)
         l_part = t["l_partkey"].to_numpy(zero_copy_only=False)
         ppos = np.clip(np.searchsorted(pk, l_part), 0, max(len(pk) - 1, 0))
-        hit = (len(pk) > 0) & (pk[ppos] == l_part)
+        hit = (
+            np.zeros(len(l_part), bool) if len(pk) == 0 else (pk[ppos] == l_part)
+        )
         l_sup = t["l_suppkey"].to_numpy(zero_copy_only=False)[hit]
         spos = np.clip(np.searchsorted(sk, l_sup), 0, max(len(sk) - 1, 0))
-        shit = (len(sk) > 0) & (sk[spos] == l_sup)
+        shit = (
+            np.zeros(len(l_sup), bool) if len(sk) == 0 else (sk[spos] == l_sup)
+        )
         tgt = np.zeros(int(hit.sum()), dtype=bool)
         tgt[shit] = is_tgt[spos[shit]]
         cents = np.rint(
@@ -1847,7 +1873,11 @@ def q8_market_share(
     agg = parts.groupby("year", sort=True)[["num_units", "den_units"]].sum()
     num = agg["num_units"].to_numpy(np.int64).astype(np.float64)
     den = agg["den_units"].to_numpy(np.int64).astype(np.float64)
-    share = pc.round(pa.array(num / den), ndigits=6).to_numpy(zero_copy_only=False)
+    # half-away-from-zero = DuckDB ROUND: the int64/int64 ratio can land on
+    # an exact 6dp tie, where default half-to-even flips parity (ADVICE r4)
+    share = pc.round(
+        pa.array(num / den), ndigits=6, round_mode="half_towards_infinity"
+    ).to_numpy(zero_copy_only=False)
     return pd.DataFrame(
         {"year": agg.index.to_numpy(np.int64), "mkt_share": share}
     ).reset_index(drop=True)

@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .relational import _read, _round_col
+from .relational import _read, _round_col, keyed_window_exchange
 
 KNUTH = np.uint64(2654435761)
 U32 = np.uint64(0xFFFFFFFF)
@@ -128,12 +128,15 @@ def pivot_status_priority(sf_dir: str):
 
 def dense_rank_orders(sf_dir: str):
     """DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-    DESC) — one hash exchange on the partition key, vectorized in-group
-    rank (pandas dense rank)."""
+    DESC) — one BUCKETED hash exchange on the partition key (the repo's
+    bucketed-exchange rule: raw-key map_groups costs one UDF call per
+    customer), then one vectorized grouped rank per bucket."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        r = g["o_totalprice"].rank(method="dense", ascending=False)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("o_custkey", sort=False)["o_totalprice"].rank(
+            method="dense", ascending=False
+        )
         return pd.DataFrame(
             {
                 "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
@@ -141,7 +144,7 @@ def dense_rank_orders(sf_dir: str):
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return keyed_window_exchange(ds, "o_custkey", per_bucket)
 
 
 # --- UNPIVOT / melt -------------------------------------------------------------
@@ -184,23 +187,23 @@ def rank_orders(sf_dir: str):
     """RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) —
     rank WITH gaps (ties share a rank, the next rank skips), the
     complement of dense_rank_orders. One hash exchange on the partition
-    key; the in-group rank is one vectorized searchsorted on the sorted
-    price vector (rank = #rows strictly greater + 1)."""
+    key (bucketed — the bucketed-exchange rule); the in-bucket rank is one
+    vectorized grouped min-rank (rank WITH gaps = min rank of the tie
+    class, i.e. 1 + #rows strictly greater in descending order)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["o_totalprice"].to_numpy(np.float64)
-        sv = np.sort(v, kind="mergesort")
-        # descending rank with gaps: 1 + count of values strictly greater
-        rank = len(v) - np.searchsorted(sv, v, side="right") + 1
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("o_custkey", sort=False)["o_totalprice"].rank(
+            method="min", ascending=False
+        )
         return pd.DataFrame(
             {
                 "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
-                "rnk": rank.astype(np.int64),
+                "rnk": r.to_numpy(np.int64),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    return keyed_window_exchange(ds, "o_custkey", per_bucket)
 
 
 # --- ROWS-frame moving average -------------------------------------------------
@@ -210,16 +213,23 @@ def moving_avg_events(sf_dir: str, k: int = 3):
     """AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
     BETWEEN k PRECEDING AND CURRENT ROW) — the row-count window frame
     (complements the RANGE frame of ``relational.sliding_window_sum``).
-    One exchange on the partition key; per group: sort + prefix-sum, the
-    frame is a constant-offset slice so no searchsorted is needed."""
+    One BUCKETED exchange on the partition key; per bucket: one stable
+    sort by (user, ts, event_id), then the frame sum is computed for ALL
+    users at once — ``lo`` is clamped to each user's segment start, so
+    the constant-offset slice trick stays fully vectorized across group
+    boundaries (k adds total, regardless of user count)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
         v = g["value"].to_numpy(np.float64)
         n = len(v)
         idx = np.arange(n)
-        lo = np.maximum(idx - k, 0)
+        new = np.r_[True, uid[1:] != uid[:-1]] if n else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        seg_start = starts[np.cumsum(new) - 1] if n else idx
+        lo = np.maximum(idx - k, seg_start)
         cnt = idx - lo + 1
         # sum the <=(k+1)-row frame DIRECTLY, left-to-right (v[lo], then
         # v[lo+1], ...) — the association DuckDB's frame aggregate uses.
@@ -238,7 +248,7 @@ def moving_avg_events(sf_dir: str, k: int = 3):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- PERCENT_RANK / CUME_DIST per partition ----------------------------------
@@ -403,19 +413,22 @@ def ntile_orders(sf_dir: str, k: int = 4, num_ranges: int = 32):
 
 def lead_event_ts(sf_dir: str):
     """LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) — the
-    forward-looking mirror of the lag operator; one hash exchange."""
+    forward-looking mirror of the lag operator; one BUCKETED hash exchange
+    (bucketed-exchange rule), per bucket a single stable sort + one
+    vectorized grouped shift(-1) for all users at once."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["ts"].shift(-1)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(np.int64),
-                "next_ts": g["ts"].shift(-1),
+                "next_ts": nxt.to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- FIRST_VALUE / LAST_VALUE ------------------------------------------------
@@ -423,20 +436,27 @@ def lead_event_ts(sf_dir: str):
 
 def first_last_user_value(sf_dir: str):
     """Per-user FIRST_VALUE and LAST_VALUE of ``value`` over the
-    (ts, event_id) order — one exchange, one output row per key."""
+    (ts, event_id) order — one BUCKETED exchange (bucketed-exchange
+    rule), one output row per key; per bucket a single stable sort + one
+    vectorized grouped first/last aggregate."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        a = (
+            g.groupby("user_id", sort=False)["value"]
+            .agg(first_val="first", last_val="last")
+            .reset_index()
+        )
         return pd.DataFrame(
             {
-                "user_id": [np.int64(g["user_id"].iloc[0])],
-                "first_val": [float(g["value"].iloc[0])],
-                "last_val": [float(g["value"].iloc[-1])],
+                "user_id": a["user_id"].to_numpy(np.int64),
+                "first_val": a["first_val"].to_numpy(np.float64),
+                "last_val": a["last_val"].to_numpy(np.float64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- GROUP BY CUBE -----------------------------------------------------------

@@ -29,6 +29,37 @@ def _round_col(df: pd.DataFrame, cols: list[str], nd: int = 6) -> pd.DataFrame:
     return df
 
 
+def keyed_window_exchange(ds, key: str, per_bucket, *, num_buckets: int | None = None):
+    """Bucketed keyed exchange for per-key window/aggregate operators — the
+    repo-wide bucketed-exchange rule (BASELINE.md round-4 part 2: Ray's
+    ``map_groups`` invokes the UDF once per GROUP, so grouping on a raw
+    unbounded key like user_id/custkey costs one ~1 ms Python call per key;
+    measured 120 s vs 4.2 s at 98k keys). Rows route on a session-adaptive
+    int32 splitmix bucket of the key instead; ``per_bucket`` then runs ONE
+    vectorized pandas kernel over every key in the bucket (all rows of a
+    key land in exactly one bucket). Bucket values only ROUTE rows —
+    results are bucket-count-invariant.
+    """
+    from ..hashing import hash_stream
+    from .linkgraph import _num_buckets
+
+    nb = num_buckets or _num_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (hash_stream(k, 29) % np.uint64(nb)).astype(np.int32)
+        return t.append_column("__b", pa.array(b))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns="__b"))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # --- M-group: filter + projection + computed column (SURVEY 2.2) -----------
 
 
@@ -112,7 +143,10 @@ def groupby_agg(sf_dir: str):
 
 def two_key_mean(sf_dir: str):
     """groupby (user_id, event_type) mean — the reference's one true
-    groupby-aggregate (GCP dedup-mean, conversion/utils.py:261-298)."""
+    groupby-aggregate (GCP dedup-mean, conversion/utils.py:261-298).
+    Partial pre-aggregation per block, then one BUCKETED exchange on the
+    user key (bucketed-exchange rule — a raw-key map_groups costs one UDF
+    call per user) with a vectorized in-bucket final combine."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -125,11 +159,8 @@ def two_key_mean(sf_dir: str):
         out["mean_value"] = (out["s"] / out["c"]).round(6)
         return out[["user_id", "event_type", "mean_value"]]
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(final, batch_format="pandas")
-    )
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return keyed_window_exchange(parts, "user_id", final)
 
 
 def global_minmax(sf_dir: str):
@@ -494,13 +525,18 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (streaming-shaped op): events more
     than `gap_minutes` apart start a new session. Ordering assumption:
     per-user total order by (ts, event_id). Output: one row per session
-    with event count and bounds."""
+    with event count and bounds. One BUCKETED exchange on the user key
+    (bucketed-exchange rule); per bucket one stable sort by (user, ts,
+    event_id), session boundaries = new-user OR over-gap diff, then one
+    vectorized grouped aggregate over the bucket-global session index."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session_idx = gap.cumsum().astype("int64")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]] if len(uid) else np.zeros(0, bool)
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)).to_numpy()
+        session_idx = np.cumsum(new_user | gap).astype(np.int64)
         out = (
             g.assign(session_idx=session_idx)
             .groupby("session_idx", sort=True)
@@ -514,7 +550,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         )
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- Streaming-shaped: windows / as-of (SURVEY 2.9) ------------------------
@@ -711,39 +747,71 @@ def doc_quality(sf_dir: str):
 def sliding_window_sum(sf_dir: str, window_s: int = 3600):
     """Per-user sliding-window sum: for each event, the sum of that user's
     values in the closed interval [ts - window, ts] — SQL RANGE BETWEEN
-    semantics (all ts-peers included). Vectorized per user group: sort by
-    ts, prefix-sum, two searchsorted cuts; the exchange is one groupby on
-    the partition key (the streaming-window ladder case (a)).
+    semantics (all ts-peers included). One BUCKETED exchange on the
+    partition key (bucketed-exchange rule); per bucket ONE stable sort by
+    (user, ts, event_id) and the two searchsorted cuts run over ALL users
+    at once on a per-segment-offset composite key (stride > ts_range +
+    window guarantees each probe lands inside its own user's segment).
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    w_us = window_s * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        v = g["value"].to_numpy()
-        cs = np.concatenate([[0.0], np.cumsum(v)])
-        lo = np.searchsorted(ts, ts - window_s * 1_000_000, side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # include ALL ts peers
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "win_sum": pd.Series(dtype="float64")}
+            )
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg_idx = np.cumsum(new) - 1  # 0-based segment per row
+        starts = np.flatnonzero(new)
+        seg_start = starts[seg_idx]
+        t0 = ts - ts.min()
+        stride = int(t0.max()) + w_us + 2
+        if int(seg_idx[-1] + 1) * stride < 2**62:  # composite-key fast path
+            key = seg_idx * stride + t0
+            lo = np.searchsorted(key, seg_idx * stride + (t0 - w_us), side="left")
+            hi = np.searchsorted(key, key, side="right")  # ALL ts peers
+        else:  # pathological ts range x segment count: per-segment probes
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - w_us, side="left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], side="right")
+        # per-user serial prefix sums (grouped cumsum), differenced exactly
+        # as the per-user [0, cumsum] form: sum[lo,hi) = G[hi-1] - G[lo-1]
+        gcs = g.groupby("user_id", sort=False)["value"].cumsum().to_numpy()
+        left = np.where(lo > seg_start, gcs[np.maximum(lo - 1, 0)], 0.0)
         out = g[["event_id"]].copy()
-        out["win_sum"] = np.round(cs[hi] - cs[lo], 6)
+        out["win_sum"] = np.round(gcs[hi - 1] - left, 6)
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 def prev_event_ts(sf_dir: str):
     """Per-user as-of/lag: previous event ts for every event (ordered by
     ts, event_id within user) — merge_asof/window-lag shape over a
     partitioned, sorted log (ordering assumption: per-user total order by
-    (ts, event_id))."""
+    (ts, event_id)). One BUCKETED exchange (bucketed-exchange rule); per
+    bucket a single stable sort + one vectorized grouped shift(1)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["prev_ts"] = g["ts"].shift(1)
-        return g[["event_id", "prev_ts"]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "prev_ts": prev.to_numpy(),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return keyed_window_exchange(ds, "user_id", per_bucket)
 
 
 # --- Pyramid semantics on an oracle-checkable table ------------------------

@@ -412,7 +412,13 @@ def hotspot_cells(pages_path: str):
             )
             z = np.where(den > 0.0, num / den, 0.0)
         out = t.drop_columns(["focal_mean"])
-        return out.append_column("gi_z", pc.round(pa.array(z), ndigits=6))
+        # half-away-from-zero = DuckDB ROUND semantics: the unquantized
+        # ratio CAN land on an exact 6dp tie (num/den = (2k+1)/2e6), where
+        # default half-to-even would flip parity (ADVICE r4)
+        return out.append_column(
+            "gi_z",
+            pc.round(pa.array(z), ndigits=6, round_mode="half_towards_infinity"),
+        )
 
     return focal.map_batches(zscore, batch_format="pyarrow")
 
@@ -844,7 +850,10 @@ def build_cell_store(
         else [pages_path]
     )
     n_rows = sum(pq.read_metadata(f).num_rows for f in files)
-    fp = f"cellstore:v1:rows={n_rows}:shift={band_shift}"
+    # bytes bound too (like the hostgraph store): equal-row-count content
+    # changes must invalidate, or bbox_query reuses stale bands (ADVICE r4)
+    n_bytes = sum(os.path.getsize(f) for f in files)
+    fp = f"cellstore:v1:rows={n_rows}:bytes={n_bytes}:shift={band_shift}"
 
     pts = _points(pages_path, columns=("url", "lat", "lon", "text_len"))
 
