@@ -167,6 +167,14 @@ def run_queries() -> dict[str, float]:
             pages_path_for_queries(), host_prefix=KNN_HOST_PREFIX
         ),
     )
+    # window/median family (round 5): the operators migrated off raw-key
+    # map_groups to bucketed exchanges — benched so the per-group-UDF
+    # anti-pattern can never go unnoticed again (r4 verdict directive 5)
+    from data_model_ray.pipelines import olap
+
+    timed("dense_rank_orders", lambda: olap.dense_rank_orders(SF_DIR))
+    timed("running_total", lambda: analytic.running_total(SF_DIR))
+    timed("above_user_median", lambda: analytic.above_user_median(SF_DIR))
     return out
 
 
