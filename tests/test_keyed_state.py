@@ -29,6 +29,45 @@ class TestRunningAggregator:
             assert abs(s - want.loc[k, "sum"]) < 1e-6
             assert mx == want.loc[k, "max"]
 
+    def test_ingest_from_tasks_matches_groundtruth(self, ray_session):
+        """ingest_dataset routes every block from INSIDE a Ray task — the
+        driver never iterates batches — and the snapshot still matches
+        the pandas ground truth (commutative aggregates: task arrival
+        order is immaterial)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 80, 6000),
+                "value": rng.uniform(0, 100, 6000),
+            }
+        )
+        pool = RunningAggregatorPool(num_buckets=4)
+        n = pool.ingest_dataset(
+            rd.from_pandas(df).repartition(8), key_col="user_id", value_col="value"
+        )
+        assert n == len(df)
+        snap = pool.snapshot()
+        want = df.groupby("user_id")["value"].agg(["count", "sum", "max"])
+        assert len(snap) == len(want)
+        for k, (cnt, s, mx) in snap.items():
+            assert cnt == want.loc[k, "count"]
+            assert abs(s - want.loc[k, "sum"]) < 1e-6
+            assert mx == want.loc[k, "max"]
+
+    def test_ingest_dataset_empty(self, ray_session):
+        import ray.data as rd
+
+        pool = RunningAggregatorPool(num_buckets=2)
+        n = pool.ingest_dataset(
+            rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")})),
+            key_col="k",
+            value_col="v",
+        )
+        assert n == 0
+        assert pool.snapshot() == {}
+
     def test_incremental_snapshots(self, ray_session):
         pool = RunningAggregatorPool(num_buckets=2)
         b1 = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
