@@ -55,6 +55,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..grid import geocell_ij, geocell_parent, geocell_res
 from ..fixtures import LANGS
@@ -240,6 +241,10 @@ def rollup_level(level_table: pa.Table, *, registry: dict[str, str] | None = Non
     """
     registry = registry or DEFAULT_AGG_REGISTRY
     df = level_table.to_pandas()
+    # canonical child order: stable-sort by cell so per-parent float
+    # aggregation order (hence bits) is independent of input row order —
+    # the invariance the Dataset-mode rollup parity relies on
+    df = df.sort_values("cell", kind="mergesort").reset_index(drop=True)
     cells = df["cell"].to_numpy().astype(np.uint64)
     res = int(geocell_res(cells[:1])[0])
     parent = geocell_parent(cells, res - 1)
@@ -279,6 +284,61 @@ def rollup_level(level_table: pa.Table, *, registry: dict[str, str] | None = Non
             out[col] = LANG_VOCAB[idx]
             out = out.drop(columns=[f"__packed_{col}"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rollup_level_ds(level_ds, *, registry: dict[str, str] | None = None, num_buckets: int | None = None):
+    """Dataset-mode rollup step (res r -> r-1) — the 100x path for bases
+    past the driver row budget (a res-9/10 base grid breaks the
+    grid-bounded driver-side assumption of ``rollup_level``).
+
+    One cell-bounded bucketed exchange per level (the repo-wide
+    bucketed-exchange rule): rows route on an int32 splitmix bucket of
+    the PARENT cell, so every parent's <=4 children land in exactly one
+    bucket, and each bucket runs the exact driver kernel
+    (``rollup_level``) over its sub-table. Results are bit-identical to
+    the driver path by construction: the kernel stable-sorts by cell, so
+    its float aggregation order is input-order-invariant. Mirrors the
+    reference's level-from-previous-level chain
+    (/root/reference/src/eopf_geozarr/conversion/geozarr.py:701-783) as
+    one bounded shuffle per level.
+    """
+    from ..hashing import hash_stream
+    from .linkgraph import _num_buckets
+
+    nb = num_buckets or _num_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__b", pa.array([], pa.int32()))
+        cells = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        res = int(geocell_res(cells[:1])[0])
+        parent = geocell_parent(cells, res - 1)
+        b = (hash_stream(parent.astype(np.uint64), 41) % np.uint64(nb)).astype(
+            np.int32
+        )
+        return t.append_column("__b", pa.array(b))
+
+    def combine(t: pa.Table) -> pa.Table:
+        return rollup_level(t.drop_columns(["__b"]), registry=registry)
+
+    return (
+        level_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def _gather_level(ds) -> pa.Table:
+    """Collect a (grid-bounded) level Dataset to one driver table, sorted
+    by cell (deterministic across bucket counts / block orders)."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return ds.schema().base_schema.empty_table()
+    t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    order = pc.sort_indices(t, sort_keys=[("cell", "ascending")])
+    return t.take(order)
 
 
 def backfill_from_finer(
@@ -350,8 +410,16 @@ def build_pyramid(
     resume: bool = True,
     scale_offset: dict[str, dict[str, Any]] | None = None,
     target_chunk: int = 131_072,
+    rollup_row_budget: int = 2_000_000,
 ) -> dict[str, Any]:
     """Driver loop: write the base level, then roll up level by level.
+
+    Levels whose INPUT exceeds ``rollup_row_budget`` rows roll up through
+    the Dataset-mode exchange (``rollup_level_ds`` — the res-9/10 path
+    where the grid bound outgrows a single driver pandas call); smaller
+    levels use the driver kernel directly. Both paths are bit-identical
+    (parity-pinned in tests/test_pyramid.py), so the switch only moves
+    compute, never results.
 
     Returns (and writes) the root manifest: per-level layout entries with
     ``asset`` / ``derived_from`` / relative ``scale`` plus the root bbox
@@ -449,11 +517,19 @@ def build_pyramid(
             **_level_spatial(res),
         }
     )
+    def _rollup(p: pa.Table) -> pa.Table:
+        if p.num_rows <= rollup_row_budget:
+            return rollup_level(p, registry=registry)
+        import ray.data as rd
+
+        blocks = max(1, min(p.num_rows // 65_536, 512))
+        return _gather_level(
+            rollup_level_ds(rd.from_arrow(p).repartition(blocks), registry=registry)
+        )
+
     for r in plan_levels(base_res, current.num_rows, min_cells=min_cells):
         prev = current
-        current = emit_level(
-            None, r, lambda p=prev: rollup_level(p, registry=registry)
-        )
+        current = emit_level(None, r, lambda p=prev: _rollup(p))
         levels_meta.append(
             {
                 "level": r,
