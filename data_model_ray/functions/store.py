@@ -353,12 +353,27 @@ def validate_invindex_store(out_dir: str) -> list[str]:
     return problems
 
 
+def _sniff_crawl_product(out_dir: str) -> bool:
+    from .product import sniff_crawl_product
+
+    return sniff_crawl_product(out_dir)
+
+
+def _validate_crawl_product(out_dir: str) -> list[str]:
+    from .product import validate_crawl_product
+
+    return validate_crawl_product(out_dir)
+
+
 #: the store-model union, in dispatch order (first sniff wins) — the
-#: TypeAdapter(Sentinel1Root | Sentinel2Root) analogue
+#: TypeAdapter(Sentinel1Root | Sentinel2Root) analogue. crawl-product is
+#: the deep member-by-member hierarchy (functions/product.py — the
+#: s2.py:461-696 analogue with real dtype/dim/value constraints).
 STORE_MODELS: list[tuple[str, Callable[[str], bool], Callable[[str], list[str]]]] = [
     ("geocell-pyramid", sniff_pyramid, validate_pyramid_store),
     ("tile-raster", sniff_raster, validate_raster_store),
     ("inverted-index", sniff_invindex, validate_invindex_store),
+    ("crawl-product", _sniff_crawl_product, _validate_crawl_product),
 ]
 
 
