@@ -457,6 +457,14 @@ def _pages_bbox_query(sf_dir: str):
     return bbox_query(_pages_path(sf_dir))
 
 
+def _pages_utm_zones(sf_dir: str):
+    """Per-UTM-zone stats over the multi-CRS subset — F13 reprojection
+    runs IN the pipeline (Krüger inverse in the extract kernel)."""
+    from data_model_ray.pipelines.spatial import utm_zone_stats
+
+    return utm_zone_stats(_pages_path(sf_dir))
+
+
 def _admin_raster_burn(sf_dir: str):
     """Vector->raster polygon burn over the full res-7 grid (scale-free:
     the grid is generated, polygons come from the deterministic fixture)."""
@@ -1079,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_vectorize": _pages_vectorize,
         "admin_raster_burn": _admin_raster_burn,
         "pages_bbox_query": _pages_bbox_query,
+        "pages_utm_zones": _pages_utm_zones,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,
@@ -2156,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_vectorize": oracles.pages_vectorize_sql(_ORACLE_N),
         "admin_raster_burn": oracles.admin_raster_burn_sql(),
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
+        "pages_utm_zones": oracles.pages_utm_zones_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

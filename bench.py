@@ -432,10 +432,111 @@ def endurance() -> None:
     )
 
 
+def ensure_warc_shards(pages_path: str, n_rows: int, *, shard_rows: int = 10_000) -> str:
+    """WARC-shard mirror of the pages fixture (one shard file per
+    ``shard_rows`` rows, written in parallel from map_batches tasks;
+    cached across runs by a done-marker)."""
+    import pyarrow as pa
+
+    from data_model_ray.fixtures import FIXTURE_VERSION
+
+    out_dir = f"/tmp/graft_warc/n{n_rows}"
+    marker = os.path.join(out_dir, "_done")
+    stamp = f"{n_rows} v{FIXTURE_VERSION}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    from data_model_ray.sources.fs import sized_read_parquet
+    from data_model_ray.sources.warc import write_warc
+    from data_model_ray.stages.text import fingerprint64
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        # content-addressed shard name (deterministic, collision-checked
+        # by the total-row assertion below)
+        h = int(fingerprint64(t["url"])[0]) & 0xFFFFFFFFFFFF
+        write_warc(t, os.path.join(out_dir, f"shard-{h:012x}-{t.num_rows}.warc"))
+        return pa.table({"n": pa.array([t.num_rows])})
+
+    total = int(
+        ds.map_batches(
+            write_shard, batch_format="pyarrow", batch_size=shard_rows
+        ).sum("n")
+    )
+    assert total == n_rows, f"warc shard rows {total} != {n_rows}"
+    open(marker, "w").write(stamp)
+    return out_dir
+
+
+def warc_bench() -> None:
+    """r4 directive 6: flagship headline reading WARC shards vs parquet at
+    the bench scale — same config, same cell counts required."""
+    import ray
+
+    from data_model_ray import fixtures
+    from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+
+    n_rows = fixtures.rows_for_sf(_sf()) * BENCH_SCALE
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.op_resource_reservation_enabled = False
+
+    pages_path = _ensure_pages(n_rows)
+    warc_dir = ensure_warc_shards(pages_path, n_rows)
+    cfg = FlagshipConfig(
+        geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
+        batch_size=16384,
+        dedup_mode="shuffle",
+        dedup_actors=max(8, NUM_CPUS // 2),
+        dedup_buckets=max(512, NUM_CPUS * 8),
+        cell_buckets=max(16, NUM_CPUS),
+    )
+    # warm both read paths
+    warm = min(n_rows, NUM_CPUS * 6000)
+    wp = _ensure_pages(warm)
+    run_flagship(pages_path=wp, n_rows=warm, cfg=cfg)
+    run_flagship(
+        pages_path=ensure_warc_shards(wp, warm), n_rows=warm, cfg=cfg, source="warc"
+    )
+
+    out: dict = {"rows": n_rows, "num_cpus": NUM_CPUS}
+    for src, path in (("parquet", pages_path), ("warc", warc_dir)):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run_flagship(pages_path=path, n_rows=n_rows, cfg=cfg, source=src)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, res["cells"])
+        out[f"{src}_sec"] = round(best[0], 3)
+        out[f"{src}_rows_per_sec"] = round(n_rows / best[0], 1)
+        out[f"{src}_cells"] = best[1]
+    out["cells_match"] = out["parquet_cells"] == out["warc_cells"]
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--endurance" in sys.argv:
         endurance()
+    elif "--warc" in sys.argv:
+        warc_bench()
     else:
         main()

@@ -89,8 +89,16 @@ _TS_RANGE_US = 366 * 86400 * 1_000_000  # one year
 
 #: bump whenever `pages_batch` output changes — `ensure_pages_parquet`
 #: stamps this into the `_DONE` marker so stale /tmp caches regenerate.
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 MAX_OUTLINKS = 5  # 0..4 host-level anchors per page
+#: multi-CRS subset: canonical ids with ck % UTM_MOD == UTM_REM additionally
+#: carry a ``geo.utm`` meta (zone;easting;northing, %.3f meters, northern
+#:  convention) computed from the page's own lat/lon — the enrich kernel
+#: reprojects these through the from-scratch Krüger inverse (functions/
+#: proj.py) instead of reading geo.position, and the 6dp round-trip is
+#: exact (series error <= 2.2e-7 deg < the 5e-7 rounding radius), so all
+#: assignment oracles are unchanged by construction.
+UTM_MOD, UTM_REM = 5, 3
 
 
 def _zipf_cdf(n: int, s: float) -> np.ndarray:
@@ -200,6 +208,27 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
         "",
     )
 
+    # --- multi-CRS subset: embed the UTM twin of (lat, lon) ---
+    is_utm = (ck % U64(UTM_MOD)) == U64(UTM_REM)
+    utm_meta = np.full(len(ids), "", dtype=object)
+    if is_utm.any():
+        from .functions.proj import geodetic_to_utm, utm_zone_for
+
+        zi = np.flatnonzero(is_utm)
+        zones = utm_zone_for(lon[zi])
+        east = np.empty(len(zi))
+        north = np.empty(len(zi))
+        for z in np.unique(zones):
+            m = zones == z
+            east[m], north[m] = geodetic_to_utm(lat[zi][m], lon[zi][m], int(z))
+        parts = np.char.mod("%d", zones)
+        parts = np.char.add(parts, ";")
+        parts = np.char.add(parts, np.char.mod("%.3f", east))
+        parts = np.char.add(parts, ";")
+        parts = np.char.add(parts, np.char.mod("%.3f", north))
+        head = np.full(len(zi), '<meta name="geo.utm" content="', dtype="U30")
+        utm_meta[zi] = np.char.add(np.char.add(head, parts), '">')
+
     # --- html wrapping text + geo/lang meta hints ---
     lat_s = pa.array(np.char.mod("%.6f", lat))
     lon_s = pa.array(np.char.mod("%.6f", lon))
@@ -211,7 +240,9 @@ def pages_batch(ids: np.ndarray) -> pa.Table:
         lat_s,
         pa.array(np.full(len(ids), ";")),
         lon_s,
-        pa.array(np.full(len(ids), '"><meta name="language" content="')),
+        pa.array(np.full(len(ids), '">')),
+        pa.array(utm_meta.astype("U")),
+        pa.array(np.full(len(ids), '<meta name="language" content="')),
         pa.array(lang),
         pa.array(np.full(len(ids), '"></head><body><p>')),
         text,

@@ -746,3 +746,33 @@ JOIN (
 WITH {_base_ctes(n_rows, root)}
 {union}
 """
+
+
+def pages_utm_zones_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-UTM-zone stats over the multi-CRS subset (spatial.utm_zone_stats).
+
+    The engine positions geo.utm pages by reprojecting UTM->WGS84 through
+    the from-scratch Krüger inverse (stages/extract._apply_utm_override);
+    this oracle reads the geo.position twin directly, so hash parity
+    proves the in-pipeline reprojection round-trips to the exact source
+    doubles (fixtures embed both encodings of the same point; the 6dp
+    round-trip is exact — series error <= 2.2e-7 deg < the 5e-7 rounding
+    radius). Zone comes from the SAME meta both sides parse.
+    """
+    pages_glob = f"{root}/n{n_rows}/*.parquet"
+    return f"""
+WITH pages AS (
+    SELECT url, decode(html) AS h FROM read_parquet('{pages_glob}')
+  ),
+  utm AS (
+    SELECT DISTINCT url,
+      CAST(regexp_extract(h, 'geo\\.utm" content="([0-9]+);', 1) AS BIGINT) AS zone,
+      CAST(regexp_extract(h, '{_GEO_RE}', 1) AS DOUBLE) AS lat,
+      CAST(regexp_extract(h, '{_GEO_RE}', 2) AS DOUBLE) AS lon
+    FROM pages WHERE contains(h, '"geo.utm"')
+  )
+SELECT zone, COUNT(*) AS n_urls,
+       MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+       MIN(lon) AS lon_min, MAX(lon) AS lon_max
+FROM utm GROUP BY zone
+"""

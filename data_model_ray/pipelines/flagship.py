@@ -148,15 +148,28 @@ def run_flagship(
     n_rows: int | None = None,
     out_dir: str | None = None,
     cfg: FlagshipConfig | None = None,
+    source: str = "parquet",
 ) -> dict[str, Any]:
-    """End-to-end run. Returns summary dict incl. the base cell table."""
+    """End-to-end run. Returns summary dict incl. the base cell table.
+
+    ``source="warc"`` reads Common-Crawl-style WARC shards instead of
+    parquet (sources/warc.py) — same downstream pipeline, one parsed
+    block per shard. Pass ``n_rows`` alongside ``pages_path`` to skip
+    the input-count pre-pass (a full parse for WARC)."""
     import ray.data as rd
 
     cfg = cfg or FlagshipConfig()
     t0 = time.perf_counter()
     if pages_path is not None:
-        ds = rd.read_parquet(pages_path)
-        n_input = ds.count()
+        if source == "warc":
+            from ..sources.warc import read_warc
+
+            ds = read_warc(pages_path)
+        elif source == "parquet":
+            ds = rd.read_parquet(pages_path)
+        else:
+            raise ValueError(f"unknown source {source!r}")
+        n_input = n_rows if n_rows is not None else ds.count()
     else:
         assert n_rows is not None
         ds = fixtures.pages_dataset(n_rows)

@@ -1010,3 +1010,79 @@ def host_dispersion(pages_path: str, *, num_buckets: int | None = None):
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-CRS reprojection query (F13 in-pipeline)
+# ---------------------------------------------------------------------------
+
+
+def utm_zone_stats(pages_path: str, *, num_buckets: int | None = None):
+    """Per-UTM-zone page stats over the multi-CRS subset — the query that
+    exercises F13 reprojection IN the pipeline (r4 verdict directive 7).
+
+    The engine positions ``geo.utm`` pages by running the from-scratch
+    Krüger inverse inside the extract kernel (stages/extract.py
+    ``_apply_utm_override``); the DuckDB oracle reads the geo.position twin
+    directly — hash parity therefore proves the reprojection round-trips to
+    the exact source doubles. Distinct-url counting rides the standard
+    local-dedup -> url-hash bucket exchange; per-zone partials (min/max are
+    dup-invariant) fold in one bounded task (<= 60 zones).
+    """
+    from ..stages.extract import UTM_PATTERN, extract_batch
+    from ..stages.text import fingerprint64
+
+    nb = num_buckets or _nbuckets()
+    ds = sized_read_parquet(pages_path, columns=["url", "html"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        html = pc.cast(t["html"], pa.string())
+        utm = pc.extract_regex(html, UTM_PATTERN)
+        zone_arr = pc.struct_field(utm, "zone")
+        valid = pc.is_valid(zone_arr)
+        ext = extract_batch(t, verify_text=False)
+        keep = pa.table(
+            {
+                "url": t["url"],
+                "zone": pc.cast(pc.fill_null(zone_arr, "0"), pa.int64()),
+                "lat": ext["lat"],
+                "lon": ext["lon"],
+            }
+        ).filter(valid)
+        # local dedup: duplicate urls carry byte-identical html, so any
+        # representative has identical (zone, lat, lon)
+        df = keep.to_pandas().drop_duplicates("url")
+        b = (fingerprint64(pa.array(df["url"])) % np.uint64(nb)).astype(np.int32)
+        return pa.Table.from_pandas(df.assign(__b=b), preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("url")
+        agg = g.groupby("zone", sort=False).agg(
+            n_urls=("url", "size"),
+            lat_min=("lat", "min"),
+            lat_max=("lat", "max"),
+            lon_min=("lon", "min"),
+            lon_max=("lon", "max"),
+        )
+        return agg.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("zone", sort=True).agg(
+            n_urls=("n_urls", "sum"),
+            lat_min=("lat_min", "min"),
+            lat_max=("lat_max", "max"),
+            lon_min=("lon_min", "min"),
+            lon_max=("lon_max", "max"),
+        )
+        out = agg.reset_index()
+        out["zone"] = out["zone"].astype(np.int64)
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

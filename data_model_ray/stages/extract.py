@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 GEO_PATTERN = r'<meta name="geo\.position" content="(?P<lat>-?[0-9.]+);(?P<lon>-?[0-9.]+)">'
+UTM_PATTERN = r'<meta name="geo\.utm" content="(?P<zone>[0-9]+);(?P<e>-?[0-9.]+);(?P<n>-?[0-9.]+)">'
 TEXT_PATTERN = r"(?s)<body><p>(?P<text>.*)</p>(?:<nav>|</body>)"
 TITLE_PATTERN = r"<title>(?P<title>[^<]*)</title>"
 LANG_PATTERN = r'<meta name="language" content="(?P<lang>[^"]*)">'
@@ -45,6 +46,7 @@ def extract_batch(
     text = pc.struct_field(pc.extract_regex(html, TEXT_PATTERN), "text")
     lat = pc.cast(pc.struct_field(geo, "lat"), pa.float64())
     lon = pc.cast(pc.struct_field(geo, "lon"), pa.float64())
+    lat, lon = _apply_utm_override(html, lat, lon)
 
     if verify_text and "text" in batch.column_names:
         # the byte-identical-extracted-text-per-url invariant, enforced
@@ -71,6 +73,45 @@ def extract_batch(
         title = pc.struct_field(pc.extract_regex(html, TITLE_PATTERN), "title")
         out = out.append_column("title", pc.cast(title, pa.string()))
     return out
+
+
+def _apply_utm_override(html, lat, lon):
+    """Multi-CRS path (F13 in-pipeline): pages carrying a ``geo.utm`` meta
+    are positioned by reprojecting UTM -> WGS84 through the from-scratch
+    Krüger inverse (functions/proj.py) instead of trusting geo.position —
+    the reference's reproject-at-ingest semantics
+    (conversion/sentinel1_reprojection.py:20-138). Rounded to the 6dp
+    precision of the source meta, the round-trip is exact (series error
+    <= 2.2e-7 deg < the 5e-7 rounding radius), so every downstream cell /
+    granule / admin assignment is identical to the geo.position path —
+    pinned by the pages_assignments oracle staying hash-green."""
+    import numpy as np
+
+    utm = pc.extract_regex(html, UTM_PATTERN)
+    zone_arr = pc.struct_field(utm, "zone")
+    if not pc.count(zone_arr).as_py():  # no UTM pages in this batch
+        return lat, lon
+    from ..functions.proj import utm_to_geodetic
+
+    valid = pc.is_valid(zone_arr).to_numpy(zero_copy_only=False)
+    zones = pc.cast(pc.fill_null(zone_arr, "0"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    east = pc.cast(
+        pc.fill_null(pc.struct_field(utm, "e"), "0"), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+    north = pc.cast(
+        pc.fill_null(pc.struct_field(utm, "n"), "0"), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+    la = lat.to_numpy(zero_copy_only=False).copy()
+    lo = lon.to_numpy(zero_copy_only=False).copy()
+    idx = np.flatnonzero(valid)
+    for z in np.unique(zones[idx]):
+        m = idx[zones[idx] == z]
+        rlat, rlon = utm_to_geodetic(east[m], north[m], int(z))
+        la[m] = np.round(rlat, 6)
+        lo[m] = np.round(rlon, 6)
+    return pa.array(la), pa.array(lo)
 
 
 class HtmlExtract:
