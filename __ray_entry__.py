@@ -1017,6 +1017,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": ana.source_lang_entropy,
         "skyline_orders": ana.skyline_orders,
         "q5_nation_revenue": ana.q5_nation_revenue,
+        # round-5 join-shape widening: HAVING-join, correlated arg-max,
+        # distinct-count with anti-join, correlated nation-average filter
+        "q18_large_orders": ana.q18_large_orders,
+        "part_best_supplier": ana.part_best_supplier,
+        "supplier_cnt_by_part": ana.supplier_cnt_by_part,
+        "orders_above_nation_avg": ana.orders_above_nation_avg,
         # SQL-oracled operator families (SURVEY.md section 2)
         "filter_project": rel.filter_project,            # M-group map/filter
         "groupby_agg": rel.groupby_agg,                  # A1/A2 partial+final
@@ -2614,6 +2620,55 @@ def oracle_sql() -> dict[str, str]:
                 AND p_type = 'PROMO'
             )
             GROUP BY year
+        """,
+        "q18_large_orders": """
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice,
+                   CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 180
+        """,
+        "part_best_supplier": """
+            WITH ps AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+              FROM lineitem GROUP BY 1, 2
+            ), best AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_partkey ORDER BY units DESC, s_suppkey
+              ) AS rn FROM ps
+            )
+            SELECT b.p_partkey, b.s_suppkey, s.s_name, b.units
+            FROM best b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+            WHERE rn = 1
+        """,
+        "supplier_cnt_by_part": """
+            SELECT p_brand, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+            GROUP BY 1, 2
+        """,
+        "orders_above_nation_avg": """
+            WITH oc AS (
+              SELECT o.o_orderkey,
+                     CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                     c.c_nationkey
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            ), na AS (
+              SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s
+              FROM oc GROUP BY 1
+            )
+            SELECT oc.o_orderkey
+            FROM oc JOIN na USING (c_nationkey)
+            WHERE oc.cents * na.n > na.s
         """,
         "custdist_hist": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist

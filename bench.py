@@ -531,6 +531,91 @@ def warc_bench() -> None:
     print(json.dumps(out))
 
 
+def probe() -> None:
+    """Block-count ceiling probe (r4 directive 8): cells-only flagship at
+    $GRAFT_PROBE_ROWS (default 100M) rows, pages GENERATED in tasks (no
+    disk staging — generation is a pure function of row id, so this is
+    the read stage of a 100-TB run without needing 100 TB of disk).
+    Reports rows/s, peak system memory, object-store spill and the Ray
+    warning classes seen on stderr (the runner captures stderr)."""
+    import glob
+    import re
+    import threading
+
+    import ray
+
+    n = int(os.environ.get("GRAFT_PROBE_ROWS", str(100_000_000)))
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.op_resource_reservation_enabled = False
+
+    from data_model_ray import fixtures
+    from data_model_ray.pipelines.flagship import FlagshipConfig, pages_to_cells
+
+    peak_used = [0]
+    stop = threading.Event()
+
+    def sample_mem():
+        while not stop.wait(1.0):
+            with open("/proc/meminfo") as f:
+                mi = dict(
+                    (l.split(":")[0], int(l.split()[1])) for l in f if ":" in l
+                )
+            used_kb = mi["MemTotal"] - mi["MemAvailable"]
+            peak_used[0] = max(peak_used[0], used_kb)
+
+    t = threading.Thread(target=sample_mem, daemon=True)
+    t.start()
+
+    cfg = FlagshipConfig(
+        geoindex_concurrency=(2, max(4, NUM_CPUS // 2)),
+        batch_size=16384,
+        dedup_mode="shuffle",
+        dedup_actors=max(8, NUM_CPUS // 2),
+        dedup_buckets=max(512, NUM_CPUS * 8),
+        cell_buckets=max(16, NUM_CPUS),
+    )
+    blocks = max(NUM_CPUS * 4, n // 65_536)
+    t0 = time.perf_counter()
+    ds = fixtures.pages_dataset(n, parallelism=blocks)
+    _, cells = pages_to_cells(ds, cfg)
+    cells = cells.materialize()
+    dt = time.perf_counter() - t0
+    n_cells = cells.count()
+    stop.set()
+
+    spilled = 0
+    for p in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+        for m in re.finditer(r"Spilled (\d+) MiB", open(p, errors="ignore").read()):
+            spilled = max(spilled, int(m.group(1)))
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "probe_rows": n,
+                "input_blocks": blocks,
+                "sec": round(dt, 1),
+                "rows_per_sec": round(n / dt),
+                "cells": n_cells,
+                "peak_mem_used_gib": round(peak_used[0] / 1048576, 1),
+                "max_spilled_mib": spilled,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -538,5 +623,7 @@ if __name__ == "__main__":
         endurance()
     elif "--warc" in sys.argv:
         warc_bench()
+    elif "--probe" in sys.argv:
+        probe()
     else:
         main()

@@ -2078,3 +2078,376 @@ def dormant_customers(
             "totacctbal": tot,
         }
     ).reset_index(drop=True)
+
+
+# --- TPC-H Q18 shape: large-quantity orders ---------------------------------
+
+
+def q18_large_orders(sf_dir: str, *, min_qty: int = 180, num_buckets: int = 256):
+    """Orders whose total lineitem quantity exceeds ``min_qty``, with the
+    customer name attached (TPC-H Q18 shape: HAVING over a join key).
+
+    Lineitem quantity partials pre-aggregate per block (one row per order
+    per block), then ONE bucketed exchange on the order key joins the
+    partials with the slim orders side and applies the HAVING filter in a
+    vectorized in-bucket combine; the (dimension-sized) customer name map
+    broadcasts via ``ray.put``. Quantities sum as exact int64.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = to_pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        {"c_custkey": "int64", "c_name": "object"},
+    ).sort_values("c_custkey")
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_name"].to_numpy())
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty": np.rint(
+                    t["l_quantity"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("key", sort=False)["qty"].sum().reset_index()
+        n = len(g)
+        return pa.table(
+            {
+                "key": pa.array(g["key"].to_numpy(np.int64)),
+                "qty": pa.array(g["qty"].to_numpy(np.int64)),
+                "o_custkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "bucket": pa.array(
+                    (g["key"].to_numpy(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table(
+            {
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "qty": pa.nulls(n, pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+                "o_totalprice": t["o_totalprice"].cast(pa.float64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "bucket": pa.array(
+                    (keys.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qty = (
+            g[g["side"] == 0]
+            .groupby("key", sort=False)["qty"]
+            .sum()
+            .reset_index()
+        )
+        qty = qty[qty["qty"] > min_qty]
+        od = g[g["side"] == 1][
+            ["key", "o_custkey", "o_orderdate", "o_totalprice"]
+        ]
+        m = qty.merge(od, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "c_name": pd.Series(dtype=object),
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "o_totalprice": pd.Series(dtype="float64"),
+                    "sum_qty": pd.Series(dtype="int64"),
+                }
+            )
+        import ray as _ray
+
+        ck, names = _ray.get(cust_ref)
+        pos = np.clip(
+            np.searchsorted(ck, m["o_custkey"].to_numpy(np.int64)),
+            0,
+            max(len(ck) - 1, 0),
+        )
+        return pd.DataFrame(
+            {
+                "c_name": names[pos],
+                "o_custkey": m["o_custkey"].to_numpy(np.int64),
+                "o_orderkey": m["key"].to_numpy(np.int64),
+                "o_orderdate": m["o_orderdate"].to_numpy(),
+                "o_totalprice": m["o_totalprice"].to_numpy(np.float64),
+                "sum_qty": m["qty"].to_numpy(np.int64),
+            }
+        )
+
+    u = items.map_batches(qty_partial, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+    return u.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# --- per-part best supplier (correlated arg-max join) -----------------------
+
+
+def part_best_supplier(sf_dir: str, *, num_buckets: int = 256):
+    """For every part: the supplier with the highest exact-integer revenue
+    supplying it (ties -> min suppkey) — the correlated per-key arg-max
+    join (TPC-H Q2's min-cost-supplier shape over the tables this fixture
+    has). Per-block (part, supp) partials, one bucketed exchange on the
+    part key, vectorized in-bucket arg-max, broadcast supplier-name map.
+    """
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    items = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    sup = to_pandas_cols(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        {"s_suppkey": "int64", "s_name": "object"},
+    ).sort_values("s_suppkey")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64), sup["s_name"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "units": cents * (100 - pct),
+            }
+        )
+        g = df.groupby(["p_partkey", "s_suppkey"], sort=False)["units"].sum()
+        out = g.reset_index()
+        out["bucket"] = (
+            out["p_partkey"].to_numpy(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def best_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["p_partkey", "s_suppkey"], sort=False)["units"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["p_partkey", "units", "s_suppkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        best = agg.groupby("p_partkey", sort=False).head(1)
+        import ray as _ray
+
+        sk, names = _ray.get(sup_ref)
+        pos = np.clip(
+            np.searchsorted(sk, best["s_suppkey"].to_numpy(np.int64)),
+            0,
+            max(len(sk) - 1, 0),
+        )
+        return pd.DataFrame(
+            {
+                "p_partkey": best["p_partkey"].to_numpy(np.int64),
+                "s_suppkey": best["s_suppkey"].to_numpy(np.int64),
+                "s_name": names[pos],
+                "units": best["units"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        items.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(best_bucket, batch_format="pandas")
+    )
+
+
+# --- Q16 shape: distinct supplier count per part group ----------------------
+
+
+def supplier_cnt_by_part(sf_dir: str, *, num_buckets: int = 64):
+    """COUNT(DISTINCT supplier) per (p_brand, p_size), excluding suppliers
+    with negative balance (TPC-H Q16's complaints anti-join analogue).
+
+    Part dims and the excluded-supplier set broadcast (dimension-sized);
+    lineitem pairs dedup locally per block, exchange once on the supplier
+    hash bucket (every copy of a (group, supplier) pair collides), then
+    per-bucket global dedup + bounded partial counts."""
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    part = to_pandas_cols(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+        {"p_partkey": "int64", "p_brand": "object", "p_size": "int64"},
+    ).sort_values("p_partkey")
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].to_numpy(),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+    sup = to_pandas_cols(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]),
+        {"s_suppkey": "int64", "s_acctbal": "float64"},
+    )
+    bad_ref = ray.put(
+        np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64))
+    )
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        pk, brand, size = _ray.get(part_ref)
+        bad = _ray.get(bad_ref)
+        df = pd.DataFrame(
+            {
+                "pk": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        skv = df["sk"].to_numpy(np.int64)
+        if len(bad):
+            bpos = np.clip(np.searchsorted(bad, skv), 0, len(bad) - 1)
+            df = df[bad[bpos] != skv]
+            skv = df["sk"].to_numpy(np.int64)
+        pos = np.clip(
+            np.searchsorted(pk, df["pk"].to_numpy(np.int64)), 0, max(len(pk) - 1, 0)
+        )
+        out = pd.DataFrame(
+            {
+                "p_brand": brand[pos],
+                "p_size": size[pos],
+                "sk": skv,
+            }
+        ).drop_duplicates()
+        out["bucket"] = (
+            out["sk"].to_numpy(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = g.drop_duplicates(["p_brand", "p_size", "sk"])
+        return (
+            uniq.groupby(["p_brand", "p_size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["p_brand", "p_size"], sort=True)["supplier_cnt"]
+            .sum()
+            .reset_index()
+        )
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        out["p_size"] = out["p_size"].astype(np.int64)
+        return out
+
+    return (
+        items.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+# --- correlated nation-average filter ---------------------------------------
+
+
+def orders_above_nation_avg(sf_dir: str):
+    """Orders strictly pricier than their customer's NATION-average order
+    price — the correlated scalar-aggregate filter, decided in exact
+    integer arithmetic (cents x count cross-multiply, the q8 discipline)
+    so no float average ever enters a comparison.
+
+    Nation totals fold from per-block partials (<= |nations| rows each);
+    the nation map and the fold broadcast back; the fact table streams
+    through one vectorized filter — nothing shuffles."""
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    cust = to_pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        {"c_custkey": "int64", "c_nationkey": "int64"},
+    ).sort_values("c_custkey")
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_nationkey"].to_numpy(np.int64))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        ck, nk = _ray.get(cust_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+        nat = nk[pos]
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"nat": nat, "cents": cents})
+        g = df.groupby("nat", sort=False)["cents"].agg(s="sum", n="size")
+        return g.reset_index()
+
+    from ..sources.fs import to_pandas_cols as _tpc
+
+    folds = _tpc(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        {"nat": "int64", "s": "int64", "n": "int64"},
+    )
+    agg = folds.groupby("nat", sort=True)[["s", "n"]].sum()
+    nat_ids = agg.index.to_numpy(np.int64)
+    stats_ref = ray.put(
+        (nat_ids, agg["s"].to_numpy(np.int64), agg["n"].to_numpy(np.int64))
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ck, nk = _ray.get(cust_ref)
+        nid, s, n = _ray.get(stats_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+        nat = nk[pos]
+        npos = np.clip(np.searchsorted(nid, nat), 0, max(len(nid) - 1, 0))
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = cents * n[npos] > s[npos]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep].astype(
+                        np.int64
+                    )
+                )
+            }
+        )
+
+    return orders.map_batches(above, batch_format="pyarrow")
