@@ -2179,6 +2179,8 @@ def q18_large_orders(sf_dir: str, *, min_qty: int = 180, num_buckets: int = 256)
         import ray as _ray
 
         ck, names = _ray.get(cust_ref)
+        if len(ck) == 0:  # empty dimension: inner join yields nothing
+            m = m.iloc[:0]
         pos = np.clip(
             np.searchsorted(ck, m["o_custkey"].to_numpy(np.int64)),
             0,
@@ -2260,6 +2262,8 @@ def part_best_supplier(sf_dir: str, *, num_buckets: int = 256):
         import ray as _ray
 
         sk, names = _ray.get(sup_ref)
+        if len(sk) == 0:  # empty dimension: inner join yields nothing
+            best = best.iloc[:0]
         pos = np.clip(
             np.searchsorted(sk, best["s_suppkey"].to_numpy(np.int64)),
             0,
@@ -2333,6 +2337,9 @@ def supplier_cnt_by_part(sf_dir: str, *, num_buckets: int = 64):
             bpos = np.clip(np.searchsorted(bad, skv), 0, len(bad) - 1)
             df = df[bad[bpos] != skv]
             skv = df["sk"].to_numpy(np.int64)
+        if len(pk) == 0:  # empty part dimension: inner join yields nothing
+            df = df.iloc[:0]
+            skv = skv[:0]
         pos = np.clip(
             np.searchsorted(pk, df["pk"].to_numpy(np.int64)), 0, max(len(pk) - 1, 0)
         )
@@ -2406,11 +2413,13 @@ def orders_above_nation_avg(sf_dir: str):
 
         ck, nk = _ray.get(cust_ref)
         oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ck) == 0:
+            oc = oc[:0]
         pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
         nat = nk[pos]
         cents = np.rint(
             t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
+        )[: len(oc)].astype(np.int64)
         df = pd.DataFrame({"nat": nat, "cents": cents})
         g = df.groupby("nat", sort=False)["cents"].agg(s="sum", n="size")
         return g.reset_index()
@@ -2433,6 +2442,8 @@ def orders_above_nation_avg(sf_dir: str):
         ck, nk = _ray.get(cust_ref)
         nid, s, n = _ray.get(stats_ref)
         oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ck) == 0 or len(nid) == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
         pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
         nat = nk[pos]
         npos = np.clip(np.searchsorted(nid, nat), 0, max(len(nid) - 1, 0))
