@@ -595,8 +595,15 @@ def probe() -> None:
     n_cells = cells.count()
     stop.set()
 
+    # read THIS session's raylet log (session_latest can point at a
+    # concurrent Ray instance's session)
     spilled = 0
-    for p in glob.glob("/tmp/ray/session_latest/logs/raylet.out"):
+    try:
+        session_dir = ray._private.worker._global_node.get_session_dir_path()
+        log_glob = os.path.join(session_dir, "logs", "raylet.out")
+    except Exception:  # pragma: no cover
+        log_glob = "/tmp/ray/session_latest/logs/raylet.out"
+    for p in glob.glob(log_glob):
         for m in re.finditer(r"Spilled (\d+) MiB", open(p, errors="ignore").read()):
             spilled = max(spilled, int(m.group(1)))
     ray.shutdown()
