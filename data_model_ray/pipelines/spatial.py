@@ -1086,3 +1086,44 @@ def utm_zone_stats(pages_path: str, *, num_buckets: int | None = None):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-cell language histogram (crawl-product quality member, oracled)
+# ---------------------------------------------------------------------------
+
+#: closed language-member vocabulary (fixtures.LANGS + the catch-all)
+LANG_MEMBERS = ("en", "de", "fr", "es", "zh", "ru", "ja")
+
+
+def cell_lang_histogram(pages_path: str):
+    """Per-res-7-cell language histogram over deduped pages — the
+    measurement behind the crawl-product store's ``quality/langdist``
+    member (functions/product.py), exposed as an oracled query.
+
+    Per-block crosstab partials (|cells-in-block| x 8 ints), then one
+    grid-bounded bucketed cell sum — raw pages never shuffle."""
+    pts = _points(pages_path, columns=("url", "lat", "lon", "lang"))
+    cols = tuple(f"lang_{c}" for c in (*LANG_MEMBERS, "other"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "cell": geocell_encode(lat, lon, H3_RES),
+                "lang": t["lang"].to_pandas(),
+            }
+        )
+        known = df["lang"].isin(LANG_MEMBERS)
+        df.loc[~known, "lang"] = "other"
+        ct = (
+            df.groupby(["cell", "lang"], sort=False, observed=True)
+            .size()
+            .unstack(fill_value=0)
+        )
+        ct = ct.reindex(columns=[*LANG_MEMBERS, "other"], fill_value=0)
+        ct.columns = list(cols)
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    return _bucket_cell_sum(pts.map_batches(partial, batch_format="pyarrow"), cols)
