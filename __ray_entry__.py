@@ -457,6 +457,15 @@ def _pages_bbox_query(sf_dir: str):
     return bbox_query(_pages_path(sf_dir))
 
 
+def _pages_lang_histogram(sf_dir: str):
+    """Per-cell language histogram — the crawl-product langdist member."""
+    from data_model_ray.pipelines.spatial import cell_lang_histogram
+
+    return cell_lang_histogram(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _pages_utm_zones(sf_dir: str):
     """Per-UTM-zone stats over the multi-CRS subset — F13 reprojection
     runs IN the pipeline (Krüger inverse in the extract kernel)."""
@@ -1094,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "admin_raster_burn": _admin_raster_burn,
         "pages_bbox_query": _pages_bbox_query,
         "pages_utm_zones": _pages_utm_zones,
+        "pages_lang_histogram": _pages_lang_histogram,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,
@@ -2172,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "admin_raster_burn": oracles.admin_raster_burn_sql(),
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
         "pages_utm_zones": oracles.pages_utm_zones_sql(_ORACLE_N),
+        "pages_lang_histogram": oracles.pages_lang_histogram_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

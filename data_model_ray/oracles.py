@@ -776,3 +776,22 @@ SELECT zone, COUNT(*) AS n_urls,
        MIN(lon) AS lon_min, MAX(lon) AS lon_max
 FROM utm GROUP BY zone
 """
+
+
+def pages_lang_histogram_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-cell language histogram (spatial.cell_lang_histogram — the
+    crawl-product store's quality/langdist member). Counts are exact ints;
+    the closed vocabulary + catch-all mirrors functions/product.py."""
+    langs = ("en", "de", "fr", "es", "zh", "ru", "ja")
+    cases = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS lang_{l}"
+        for l in langs
+    )
+    quoted = ", ".join(f"'{l}'" for l in langs)
+    return f"""
+WITH {_base_ctes(n_rows, root)}
+SELECT h3_7 AS cell,
+       {cases},
+       CAST(SUM(CASE WHEN lang NOT IN ({quoted}) THEN 1 ELSE 0 END) AS BIGINT) AS lang_other
+FROM h3 GROUP BY 1
+"""
