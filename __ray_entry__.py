@@ -950,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_status_priority": olap.pivot_status_priority,
         "dense_rank_orders": olap.dense_rank_orders,
         "rank_orders": olap.rank_orders,
+        "running_distinct_types": olap.running_distinct_types,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1421,6 +1422,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
             FROM orders
+        """,
+        "running_distinct_types": """
+            WITH f AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                     ) = 1 THEN 1 ELSE 0 END AS first_flag
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(SUM(first_flag) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS distinct_types
+            FROM f
         """,
         "moving_avg_events": """
             SELECT event_id,

@@ -658,3 +658,29 @@ def p95_value_by_type(sf_dir: str, q: float = 0.95):
         return out
 
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+# --- cumulative COUNT(DISTINCT) per partition ---------------------------------
+
+
+def running_distinct_types(sf_dir: str):
+    """Per-user cumulative count of DISTINCT event types over the
+    (ts, event_id) order — the windowed COUNT(DISTINCT) (expressed in SQL
+    as a first-occurrence flag summed over an UNBOUNDED PRECEDING frame).
+    One BUCKETED exchange (bucketed-exchange rule); per bucket one stable
+    sort + one vectorized duplicated()-flag + grouped cumsum over every
+    user at once."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = (~g.duplicated(["user_id", "event_type"])).astype(np.int64)
+        run = first.groupby(g["user_id"].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "distinct_types": run.to_numpy(np.int64),
+            }
+        )
+
+    return keyed_window_exchange(ds, "user_id", per_bucket)
