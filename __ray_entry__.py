@@ -1030,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 join-shape widening: HAVING-join, correlated arg-max,
         # distinct-count with anti-join, correlated nation-average filter
         "q18_large_orders": ana.q18_large_orders,
+        "q7_volume_shipping": ana.q7_volume_shipping,
         "part_best_supplier": ana.part_best_supplier,
         "supplier_cnt_by_part": ana.supplier_cnt_by_part,
         "orders_above_nation_avg": ana.orders_above_nation_avg,
@@ -2647,6 +2648,27 @@ def oracle_sql() -> dict[str, str]:
                 AND p_type = 'PROMO'
             )
             GROUP BY year
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(units) / 10000.0, 2) AS revenue
+            FROM (
+              SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS units
+              FROM customer, orders, lineitem, supplier,
+                   nation n1, nation n2
+              WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+                AND s_suppkey = l_suppkey
+                AND c_nationkey = n1.n_nationkey
+                AND s_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+                     OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+            )
+            GROUP BY 1, 2, 3
         """,
         "q18_large_orders": """
             SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,

@@ -2462,3 +2462,167 @@ def orders_above_nation_avg(sf_dir: str):
         )
 
     return orders.map_batches(above, batch_format="pyarrow")
+
+
+# --- TPC-H Q7 shape: volume shipping between two nations ----------------------
+
+
+def q7_volume_shipping(
+    sf_dir: str,
+    *,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_9",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+    num_buckets: int = 256,
+):
+    """Revenue shipped between two nations per year, both directions
+    (TPC-H Q7 shape). Nation maps broadcast (dimension-sized); ONE
+    bucketed order-key exchange joins the customer-nation side with the
+    (supplier-nation, year, units) side; the cross-nation predicate and
+    the bounded (2 x 2 x years) grouped sum run in the in-bucket combine.
+    Revenue sums as exact int64 units (cents x (100 - pct))."""
+    import ray
+
+    from ..sources.fs import to_pandas_cols
+
+    nat = to_pandas_cols(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        {"n_nationkey": "int64", "n_name": "object"},
+    )
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    target_keys = np.sort(
+        nat.loc[nat["n_name"].isin([nation_a, nation_b]), "n_nationkey"].to_numpy(
+            np.int64
+        )
+    )
+
+    cust = to_pandas_cols(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        {"c_custkey": "int64", "c_nationkey": "int64"},
+    )
+    cust = cust[cust["c_nationkey"].isin(target_keys)].sort_values("c_custkey")
+    cust_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_nationkey"].to_numpy(np.int64))
+    )
+    sup = to_pandas_cols(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "int64", "s_nationkey": "int64"},
+    )
+    sup = sup[sup["s_nationkey"].isin(target_keys)].sort_values("s_suppkey")
+    sup_ref = ray.put(
+        (sup["s_suppkey"].to_numpy(np.int64), sup["s_nationkey"].to_numpy(np.int64))
+    )
+
+    lo = pd.Timestamp(date_from)
+    hi = pd.Timestamp(date_to)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ck, nk = _ray.get(cust_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+        hit = np.zeros(len(oc), bool) if len(ck) == 0 else (ck[pos] == oc)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "nat": pa.array(nk[pos[hit]] if hit.any() else np.array([], np.int64)),
+                "year": pa.nulls(len(keys), pa.int64()),
+                "units": pa.nulls(len(keys), pa.int64()),
+                "side": pa.array(np.zeros(len(keys), np.int8)),
+                "bucket": pa.array(
+                    (keys.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sk, nk = _ray.get(sup_ref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
+        hit = np.zeros(len(ls), bool) if len(sk) == 0 else (sk[pos] == ls)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)[hit]
+        years = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)[hit]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[hit]
+        pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )[hit]
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "nat": pa.array(nk[pos[hit]] if hit.any() else np.array([], np.int64)),
+                "year": pa.array(years),
+                "units": pa.array(cents * (100 - pct)),
+                "side": pa.array(np.ones(len(keys), np.int8)),
+                "bucket": pa.array(
+                    (keys.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "nat"]].rename(columns={"nat": "cnat"})
+        right = g[g["side"] == 1][["key", "nat", "year", "units"]].rename(
+            columns={"nat": "snat"}
+        )
+        m = right.merge(left, on="key", how="inner")
+        m = m[m["cnat"] != m["snat"]]  # cross-nation only, both directions
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "cnat": pd.Series(dtype="int64"),
+                    "snat": pd.Series(dtype="int64"),
+                    "year": pd.Series(dtype="int64"),
+                    "units": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            m.groupby(["cnat", "snat", "year"], sort=False)["units"]
+            .sum()
+            .reset_index()
+        )
+        return out.astype(
+            {"cnat": np.int64, "snat": np.int64, "year": np.int64, "units": np.int64}
+        )
+
+    parts = to_pandas_cols(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas"),
+        {"cnat": "int64", "snat": "int64", "year": "int64", "units": "int64"},
+    )
+    agg = (
+        parts.groupby(["cnat", "snat", "year"], sort=True)["units"].sum().reset_index()
+    )
+    return pd.DataFrame(
+        {
+            "supp_nation": agg["snat"].map(name_of).to_numpy(),
+            "cust_nation": agg["cnat"].map(name_of).to_numpy(),
+            "l_year": agg["year"].to_numpy(np.int64),
+            "revenue": np.round(agg["units"].to_numpy(np.int64) / 10000.0, 2),
+        }
+    )
