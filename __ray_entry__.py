@@ -951,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": olap.dense_rank_orders,
         "rank_orders": olap.rank_orders,
         "running_distinct_types": olap.running_distinct_types,
+        "late_event_flags": olap.late_event_flags,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1423,6 +1424,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
             FROM orders
+        """,
+        "late_event_flags": """
+            WITH a AS (
+              SELECT event_id, ts,
+                     CAST(CAST(event_id AS HUGEINT) * 2654435761
+                          % 4294967296 AS BIGINT) AS akey
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN ts < MAX(ts) OVER (
+                       ORDER BY akey, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) - INTERVAL 1296000 SECOND THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_late
+            FROM a
         """,
         "running_distinct_types": """
             WITH f AS (

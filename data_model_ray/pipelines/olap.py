@@ -684,3 +684,97 @@ def running_distinct_types(sf_dir: str):
         )
 
     return keyed_window_exchange(ds, "user_id", per_bucket)
+
+
+# --- event-time watermark: late-arrival flags ---------------------------------
+
+
+def late_event_flags(sf_dir: str, *, delay_s: int = 1_296_000, num_ranges: int = 32):
+    """Streaming watermark semantics, replayed deterministically: arrival
+    order = a Knuth-hash permutation of event_id (the "network shuffle" —
+    the fixture's event times are monotone in event_id, so id order would
+    make lateness vacuous), event time = ts, watermark = (max event time
+    seen strictly before arrival) - delay. An event is LATE iff its event
+    time is below the watermark at its own arrival. The permutation is
+    exact 64-bit wrap arithmetic mod 2^32 on both engines (HUGEINT in the
+    oracle), so arrival order is bit-identical.
+
+    Distributed global prefix-max (no physical-order assumption): a cheap
+    pre-pass computes per-id-range maxima, the driver folds them into an
+    exclusive carry-in per range (<= num_ranges scalars), and one range
+    exchange finishes with an in-range sort + vectorized cummax. The same
+    shape as ``ntile_orders``' range-partitioned global ranking — the
+    scale-correct pattern for any global running aggregate."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    from ..sources.fs import to_pandas_cols
+
+    def arrival_key(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((ids.astype(np.uint64) * KNUTH) & U32).astype(np.int64)
+
+    def range_of(ids: np.ndarray) -> np.ndarray:
+        # arrival keys are uniform on [0, 2^32): equi-width ranges
+        r = (arrival_key(ids) * num_ranges) >> 32
+        return np.clip(r, 0, num_ranges - 1)
+
+    def max_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        tsv = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"r": range_of(ids), "mx": tsv})
+        return df.groupby("r", sort=False)["mx"].max().reset_index()
+
+    per_range = (
+        to_pandas_cols(
+            ds.map_batches(max_partial, batch_format="pyarrow"),
+            {"r": "int64", "mx": "int64"},
+        )
+        .groupby("r")["mx"]
+        .max()
+        .reindex(range(num_ranges), fill_value=np.iinfo(np.int64).min)
+        .to_numpy(np.int64)
+    )
+    carry = np.empty(num_ranges, dtype=np.int64)
+    carry[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(per_range[:-1], out=carry[1:] if num_ranges > 1 else carry[:0])
+    carry_ref = ray.put(carry)
+    delay_us = delay_s * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pa.array(ids.astype(np.int64)),
+                "akey": pa.array(arrival_key(ids)),
+                "ts_us": pa.array(
+                    t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "rng": pa.array(range_of(ids).astype(np.int32)),
+            }
+        )
+
+    def finish_range(g: pd.DataFrame) -> pd.DataFrame:
+        cin = ray.get(carry_ref)
+        g = g.sort_values(["akey", "event_id"], kind="mergesort")
+        tsv = g["ts_us"].to_numpy(np.int64)
+        prior = np.empty(len(tsv), dtype=np.int64)
+        prior[0] = cin[int(g["rng"].iloc[0])]
+        np.maximum.accumulate(tsv[:-1], out=prior[1:] if len(tsv) > 1 else prior[:0])
+        if len(tsv) > 1:
+            np.maximum(prior[1:], prior[0], out=prior[1:])
+        mn = np.iinfo(np.int64).min
+        late = (prior != mn) & (tsv < prior - delay_us)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "is_late": late.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(finish_range, batch_format="pandas")
+    )
