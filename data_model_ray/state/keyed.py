@@ -59,6 +59,18 @@ def _make_actor_class():
         def snapshot(self) -> dict:
             return {k: tuple(v) for k, v in self.state.items()}
 
+        def load(self, state: dict) -> int:
+            """Merge a checkpointed state dict (restore path)."""
+            for k, (cnt, s, mx) in state.items():
+                cur = self.state.get(k)
+                if cur is None:
+                    self.state[k] = [int(cnt), float(s), float(mx)]
+                else:
+                    cur[0] += int(cnt)
+                    cur[1] += float(s)
+                    cur[2] = max(cur[2], float(mx))
+            return len(state)
+
     return _KeyedAggActor
 
 
@@ -113,6 +125,68 @@ class RunningAggregatorPool:
         for snap in ray.get([a.snapshot.remote() for a in self.actors]):
             out.update(snap)
         return out
+
+    def save(self, path: str) -> int:
+        """Checkpoint the pool's keyed state to one parquet file (atomic
+        temp+rename, the lineage commit pattern). Returns keys saved."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        keys = list(snap)
+        key_dtype = "int64" if all(isinstance(k, (int, np.integer)) for k in keys) else "str"
+        t = pa.table(
+            {
+                "key": pa.array([str(k) for k in keys], pa.string()),
+                "count": pa.array([snap[k][0] for k in keys], pa.int64()),
+                "sum": pa.array([float(snap[k][1]) for k in keys], pa.float64()),
+                "max": pa.array([float(snap[k][2]) for k in keys], pa.float64()),
+            }
+        )
+        t = t.cast(t.schema.with_metadata({b"graft_key_dtype": key_dtype.encode()}))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return len(keys)
+
+    @classmethod
+    def restore(cls, path: str, *, num_buckets: int = 8) -> "RunningAggregatorPool":
+        """Rebuild a pool from a checkpoint: keys re-route by the SAME
+        hash as ingest, so post-restore ingest keeps merging correctly."""
+        import pyarrow.parquet as pq
+        import ray
+
+        t = pq.read_table(path)
+        key_dtype = (t.schema.metadata or {}).get(b"graft_key_dtype", b"str").decode()
+        keys = t["key"].to_pylist()
+        if key_dtype == "int64":
+            keys = [int(k) for k in keys]
+        cnt = t["count"].to_pylist()
+        s = t["sum"].to_pylist()
+        mx = t["max"].to_pylist()
+        pool = cls(num_buckets=num_buckets)
+        # object dtype: pd.util.hash_array must see the same value kinds the
+        # ingest path hashes (a '<U' array can land in different buckets)
+        arr = (
+            np.asarray(keys, dtype=np.int64)
+            if key_dtype == "int64"
+            else np.asarray(keys, dtype=object)
+        )
+        buckets = pd.util.hash_array(arr) % num_buckets
+        per_actor: list[dict] = [dict() for _ in range(num_buckets)]
+        for k, b, c, sv, mv in zip(keys, buckets, cnt, s, mx):
+            per_actor[int(b)][k] = (c, sv, mv)
+        ray.get(
+            [
+                pool.actors[i].load.remote(st)
+                for i, st in enumerate(per_actor)
+                if st
+            ]
+        )
+        return pool
 
 
 def _route_batch(actors, num_buckets: int, batch: pd.DataFrame, key_col: str, value_col: str):

@@ -77,3 +77,52 @@ class TestRunningAggregator:
         pool.ingest(b2, key_col="k", value_col="v")
         assert pool.snapshot()["a"] == (2, 6.0, 5.0)
         assert pool.snapshot()["b"] == (1, 2.0, 2.0)
+
+    def test_checkpoint_restore_roundtrip(self, ray_session, tmp_path):
+        """save -> restore -> continue ingesting: the restored pool merges
+        new rows into the checkpointed state exactly as an unbroken pool
+        would (keys re-route by the same hash)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, 3000),
+                "value": rng.uniform(0, 100, 3000),
+            }
+        )
+        half = len(df) // 2
+        ckpt = str(tmp_path / "keyed.parquet")
+
+        # broken run: first half, checkpoint, restore, second half
+        p1 = RunningAggregatorPool(num_buckets=4)
+        p1.ingest_dataset(rd.from_pandas(df.iloc[:half]), key_col="user_id", value_col="value")
+        n = p1.save(ckpt)
+        assert n == df.iloc[:half]["user_id"].nunique()
+        p2 = RunningAggregatorPool.restore(ckpt, num_buckets=4)
+        p2.ingest_dataset(rd.from_pandas(df.iloc[half:]), key_col="user_id", value_col="value")
+
+        # unbroken run over everything
+        ref = RunningAggregatorPool(num_buckets=4)
+        ref.ingest_dataset(rd.from_pandas(df), key_col="user_id", value_col="value")
+
+        got, want = p2.snapshot(), ref.snapshot()
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-9
+            assert got[k][2] == want[k][2]
+
+    def test_checkpoint_restore_str_keys(self, ray_session, tmp_path):
+        p = RunningAggregatorPool(num_buckets=3)
+        p.ingest(
+            pd.DataFrame({"k": ["a", "b", "a"], "v": [1.0, 2.0, 3.0]}),
+            key_col="k",
+            value_col="v",
+        )
+        ckpt = str(tmp_path / "s.parquet")
+        p.save(ckpt)
+        r = RunningAggregatorPool.restore(ckpt, num_buckets=3)
+        r.ingest(pd.DataFrame({"k": ["a"], "v": [10.0]}), key_col="k", value_col="v")
+        assert r.snapshot()["a"] == (3, 14.0, 10.0)
+        assert r.snapshot()["b"] == (1, 2.0, 2.0)
