@@ -457,6 +457,45 @@ def _pages_bbox_query(sf_dir: str):
     return bbox_query(_pages_path(sf_dir))
 
 
+def _crawl_product_members(sf_dir: str):
+    """Build (or revalidate) the deep closed crawl-product store from the
+    pages corpus and return its member inventory — the driver-visible
+    surface of the member-by-member product model (functions/product.py).
+    Rows-only by nature (filesystem side effects); the closed validation
+    must come back clean for every member to count as valid."""
+    import os
+
+    import pyarrow as pa
+
+    from data_model_ray.functions.product import (
+        build_crawl_product,
+        sniff_crawl_product,
+        validate_crawl_product,
+    )
+
+    pages = _pages_path(sf_dir)
+    out = os.path.join("/tmp/graft_product", os.path.basename(pages.rstrip("/")))
+    manifest = None
+    if sniff_crawl_product(out) and not validate_crawl_product(out):
+        import json as _json
+
+        with open(os.path.join(out, "product_manifest.json")) as f:
+            manifest = _json.load(f)
+    if manifest is None:
+        manifest = build_crawl_product(pages, out)
+        problems = validate_crawl_product(out)
+        if problems:
+            raise AssertionError(f"crawl-product store invalid: {problems[:3]}")
+    members = manifest["members"]
+    names = sorted(members)
+    return pa.table(
+        {
+            "member": pa.array(names, pa.string()),
+            "rows": pa.array([members[m] for m in names], pa.int64()),
+        }
+    )
+
+
 def _pages_lang_histogram(sf_dir: str):
     """Per-cell language histogram — the crawl-product langdist member."""
     from data_model_ray.pipelines.spatial import cell_lang_histogram
@@ -1107,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_bbox_query": _pages_bbox_query,
         "pages_utm_zones": _pages_utm_zones,
         "pages_lang_histogram": _pages_lang_histogram,
+        "crawl_product_members": _crawl_product_members,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,
