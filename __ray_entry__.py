@@ -1035,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": wtx.doc_logprob,
         "bm25_docs": wtx.bm25_docs,
         "paragraph_dedup": wtx.paragraph_dedup,
+        "within_doc_para_dedup": wtx.within_doc_para_dedup,
         "inverted_index": _inverted_index,
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
@@ -1862,6 +1863,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE token IN ('data', 'query', 'fast')
             GROUP BY doc_id
             HAVING COUNT(*) = 3
+        """,
+        "within_doc_para_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            p AS (
+                SELECT doc_id, i AS pidx,
+                       array_to_string(ws[(16*i+1):(16*i+16)], ' ') AS para
+                FROM w, UNNEST(range(CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i)
+            ),
+            k AS (
+                SELECT doc_id, pidx, para,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, para ORDER BY pidx
+                       ) AS rn
+                FROM p
+            ),
+            agg AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       STRING_AGG(para, ' ' ORDER BY pidx) AS kept_text
+                FROM k WHERE rn = 1 GROUP BY 1
+            ),
+            np AS (
+                SELECT doc_id,
+                       CAST(ceil(len(ws) / 16.0) AS BIGINT) AS n_paras
+                FROM w
+            )
+            SELECT np.doc_id, np.n_paras,
+                   CAST(np.n_paras - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(agg.kept_text, '') AS kept_text
+            FROM np LEFT JOIN agg ON agg.doc_id = np.doc_id
         """,
         "paragraph_dedup": """
             WITH w AS (

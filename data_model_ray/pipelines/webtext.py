@@ -1477,3 +1477,37 @@ def paragraph_dedup(sf_dir: str, *, para_words: int = 16, num_buckets: int = 64)
         return out
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def within_doc_para_dedup(sf_dir: str, *, para_words: int = 16):
+    """WITHIN-document paragraph dedup: repeated ``para_words``-token
+    windows inside the SAME doc keep only their first occurrence — the
+    boilerplate-trimming rung that needs NO exchange at all (each doc is
+    self-contained, so the whole transform is one stateless map over
+    blocks; corpus-wide duplicates are ``paragraph_dedup``'s job).
+    Output per doc: (doc_id, n_paras, n_removed, kept_text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pd.DataFrame:
+        doc_row, pidx, para, n_paras = _paragraphs_of(t, para_words)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"row": doc_row, "pidx": pidx, "para": para})
+        # paragraphs emit in (row, pidx) order -> duplicated() keeps first
+        removed = df.duplicated(["row", "para"]).to_numpy()
+        kept = df[~removed]
+        ktext = kept.groupby("row", sort=True)["para"].agg(" ".join)
+        n_rem = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(n_rem, doc_row[removed], 1)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_paras": n_paras.astype(np.int64),
+                "n_removed": n_rem,
+                "kept_text": pd.Series(ktext, index=range(len(ids)))
+                .fillna("")
+                .astype(str)
+                .to_numpy(),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

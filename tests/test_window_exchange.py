@@ -161,3 +161,35 @@ class TestSlidingWindowPaths:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(fast, want, check_exact=False, atol=1e-9)
+
+
+class TestWithinDocParaDedup:
+    def test_removes_planted_repeat(self, ray_session, tmp_path):
+        """A doc repeating a full 16-token window keeps only the first
+        copy; untouched docs round-trip byte-identically."""
+        import pyarrow.parquet as pq
+
+        from data_model_ray.pipelines.webtext import within_doc_para_dedup
+
+        w = " ".join(f"t{i}" for i in range(16))
+        tail = " ".join(f"x{i}" for i in range(16))
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([f"{w} {w} {tail}", tail], pa.string()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = (
+            within_doc_para_dedup(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "n_paras"] == 3
+        assert out.loc[0, "n_removed"] == 1
+        assert out.loc[0, "kept_text"] == f"{w} {tail}"
+        assert out.loc[1, "n_removed"] == 0
+        assert out.loc[1, "kept_text"] == tail
