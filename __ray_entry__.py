@@ -496,6 +496,13 @@ def _crawl_product_members(sf_dir: str):
     )
 
 
+def _pages_host_gaps(sf_dir: str):
+    """Per-host crawl-politeness stats over all fetch records."""
+    from data_model_ray.pipelines.urlops import host_fetch_gaps
+
+    return host_fetch_gaps(_pages_path(sf_dir))
+
+
 def _pages_lang_histogram(sf_dir: str):
     """Per-cell language histogram — the crawl-product langdist member."""
     from data_model_ray.pipelines.spatial import cell_lang_histogram
@@ -1147,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_bbox_query": _pages_bbox_query,
         "pages_utm_zones": _pages_utm_zones,
         "pages_lang_histogram": _pages_lang_histogram,
+        "pages_host_gaps": _pages_host_gaps,
         "crawl_product_members": _crawl_product_members,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
@@ -2289,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_bbox_query": oracles.pages_bbox_query_sql(_ORACLE_N),
         "pages_utm_zones": oracles.pages_utm_zones_sql(_ORACLE_N),
         "pages_lang_histogram": oracles.pages_lang_histogram_sql(_ORACLE_N),
+        "pages_host_gaps": oracles.pages_host_gaps_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

@@ -795,3 +795,30 @@ SELECT h3_7 AS cell,
        CAST(SUM(CASE WHEN lang NOT IN ({quoted}) THEN 1 ELSE 0 END) AS BIGINT) AS lang_other
 FROM h3 GROUP BY 1
 """
+
+
+def pages_host_gaps_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-host fetch-gap stats (urlops.host_fetch_gaps): all fetch
+    records (duplicates included), min/median inter-fetch gap in seconds.
+    Gap multisets depend only on the sorted timestamp sequence (ties need
+    no tiebreak); µs-int gaps divide by 1e6 identically on both engines;
+    MEDIAN of an even count is (a+b)/2 in double on both."""
+    pages_glob = f"{root}/n{n_rows}/*.parquet"
+    return f"""
+WITH f AS (
+    SELECT SPLIT_PART(url, '/', 3) AS host, warc_ts
+    FROM read_parquet('{pages_glob}')
+  ),
+  g AS (
+    SELECT host,
+           date_diff('microsecond',
+                     LAG(warc_ts) OVER (PARTITION BY host ORDER BY warc_ts),
+                     warc_ts) AS gap_us
+    FROM f
+  )
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       MIN(gap_us) / 1000000.0 AS min_gap_s,
+       MEDIAN(gap_us) / 1000000.0 AS med_gap_s
+FROM g GROUP BY host
+HAVING COUNT(gap_us) >= 1
+"""

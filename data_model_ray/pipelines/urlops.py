@@ -496,3 +496,87 @@ def host_quality_filter(pages_path: str):
             ).to_numpy(zero_copy_only=False),
         }
     )
+
+
+def host_fetch_gaps(sf_dir: str, *, num_buckets: int | None = None):
+    """Per-host crawl-politeness stats: count of fetch records plus the
+    min and median inter-fetch gap (seconds) over ALL fetches of the host
+    (duplicates included — politeness is about requests, not content).
+
+    One BUCKETED host-hash exchange of slim (host, ts) pairs
+    (bucketed-exchange rule); per bucket ONE stable sort + vectorized
+    segment diffs + segment-indexed order statistics for every host at
+    once (no per-host Python). Gap multisets depend only on the sorted
+    timestamp sequence, so timestamp ties need no cross-engine tiebreak;
+    µs-integer gaps divide by 1e6 identically on both engines. Hosts with
+    a single fetch are excluded (no gap exists)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.fs import sized_read_parquet
+    from ..stages.text import fingerprint64
+    from .linkgraph import _num_buckets
+
+    nb = num_buckets or _num_buckets()
+    ds = sized_read_parquet(sf_dir, columns=["url", "warc_ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        b = (fingerprint64(host) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "host": host,
+                "ts_us": t["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "__b": pa.array(b),
+            }
+        )
+
+    _EMPTY = {
+        "host": pd.Series(dtype=object),
+        "n_fetches": pd.Series(dtype="int64"),
+        "min_gap_s": pd.Series(dtype="float64"),
+        "med_gap_s": pd.Series(dtype="float64"),
+    }
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "ts_us"], kind="mergesort")
+        host = g["host"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame(_EMPTY)
+        new = np.r_[True, host[1:] != host[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, n])
+        same = ~new[1:]  # gap i belongs to host iff rows i, i+1 share it
+        ghost = host[:-1][same]
+        gval = np.diff(ts)[same]
+        if len(gval) == 0:
+            return pd.DataFrame(_EMPTY)
+        # segment order statistics over (host, gap)-sorted gaps
+        order = np.lexsort((gval, ghost))
+        ghost, gval = ghost[order], gval[order]
+        gnew = np.r_[True, ghost[1:] != ghost[:-1]]
+        gstarts = np.flatnonzero(gnew)
+        gcounts = np.diff(np.r_[gstarts, len(gval)])
+        mid = gstarts + gcounts // 2
+        med = np.where(
+            gcounts % 2 == 1,
+            gval[mid].astype(np.float64),
+            (gval[np.maximum(mid - 1, 0)].astype(np.float64) + gval[mid]) / 2.0,
+        )
+        n_fetches = counts[counts >= 2]  # same host order as gap segments
+        return pd.DataFrame(
+            {
+                "host": ghost[gstarts],
+                "n_fetches": n_fetches.astype(np.int64),
+                "min_gap_s": gval[gstarts].astype(np.float64) / 1_000_000.0,
+                "med_gap_s": med / 1_000_000.0,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
