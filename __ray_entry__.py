@@ -457,6 +457,25 @@ def _pages_bbox_query(sf_dir: str):
     return bbox_query(_pages_path(sf_dir))
 
 
+def _embedding_top_component(sf_dir: str):
+    """Top principal component by distributed power iteration (rows-only:
+    iterative algorithm, numpy-pinned in tests/test_kmeans.py)."""
+    import pyarrow as pa
+
+    from data_model_ray.stages.kmeans import power_iteration_top_component
+
+    import numpy as np
+
+    v, eig, n = power_iteration_top_component(sf_dir, iters=20)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(len(v), dtype=np.int64)),
+            "coeff": pa.array(np.round(v, 9)),
+            "eigenvalue": pa.array(np.full(len(v), round(eig, 9))),
+        }
+    )
+
+
 def _crawl_product_members(sf_dir: str):
     """Build (or revalidate) the deep closed crawl-product store from the
     pages corpus and return its member inventory — the driver-visible
@@ -1156,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_lang_histogram": _pages_lang_histogram,
         "pages_host_gaps": _pages_host_gaps,
         "crawl_product_members": _crawl_product_members,
+        "embedding_top_component": _embedding_top_component,
         "pages_cell_churn": _pages_cell_churn,
         "pages_granule_coverage": _pages_granule_coverage,
         "pages_kde_heatmap": _pages_kde_heatmap,

@@ -309,3 +309,103 @@ def diversity_sample(
         partial.groupby("cluster")
         .map_groups(topn, batch_format="pandas")
     )
+
+
+def _fold_blobs(blobs, d: int) -> np.ndarray:
+    """Order-canonical float fold: block partials arrive in nondeterministic
+    order and float addition is order-sensitive — sort the raw byte blobs
+    first so the sum is bit-reproducible run to run."""
+    arrs = sorted(
+        (b if isinstance(b, bytes) else bytes(b)) for b in blobs
+    )
+    acc = np.zeros(d)
+    for blob in arrs:
+        acc += np.frombuffer(blob, dtype=np.float64)
+    return acc
+
+
+def power_iteration_top_component(
+    sf_dir_or_path: str,
+    *,
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    iters: int = 12,
+):
+    """Top principal component of the (uncentered-then-centered) embedding
+    matrix by distributed power iteration — the third iterative-algorithm
+    family member beside k-means and fixed-point PageRank.
+
+    Per iteration ONE streaming pass: each block contributes the d-vector
+    partial X_blk^T (X_blk v) plus the count/mean partials on the first
+    pass; the driver folds <= blocks x d floats and renormalizes (the
+    kmeans-centroid state bound — never a collect of the matrix). Init is
+    deterministic (ones/sqrt(d)); the sign is fixed so the first
+    max-|coeff| coordinate is positive — fully reproducible, pinned
+    against numpy eigh in tests.
+
+    Returns (component: np.ndarray[d], eigenvalue: float, n_rows: int).
+    """
+    import os
+
+    import pyarrow.compute as pc_
+
+    from ..sources.fs import sized_read_parquet
+
+    path = (
+        os.path.join(sf_dir_or_path, f"{table}.parquet")
+        if os.path.isdir(sf_dir_or_path)
+        else sf_dir_or_path
+    )
+    ds = sized_read_parquet(path, columns=[vec_col])
+
+    def mat_of(t) -> np.ndarray:
+        la = t[vec_col]
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(t.num_rows, -1)
+
+    # pass 0: n + column sums (for exact centering)
+    def sum_partial(t) -> pd.DataFrame:
+        x = mat_of(t)
+        return pd.DataFrame({"n": [len(x)], "s": [x.sum(axis=0).tobytes()], "d": [x.shape[1]]})
+
+    from ..sources.fs import to_pandas_cols
+
+    parts = to_pandas_cols(
+        ds.map_batches(sum_partial, batch_format="pyarrow"),
+        {"n": "int64", "s": "object", "d": "int64"},
+    )
+    n_total = int(parts["n"].sum())
+    if n_total == 0:
+        return np.zeros(0), 0.0, 0
+    d = int(parts["d"].iloc[0])
+    mean = _fold_blobs(parts["s"], d) / n_total
+
+    import ray
+
+    v = np.ones(d) / np.sqrt(d)
+    eig = 0.0
+    for _ in range(iters):
+        v_ref = ray.put(v)
+        mean_ref = ray.put(mean)
+
+        def matvec(t) -> pd.DataFrame:
+            vv = ray.get(v_ref)
+            mu = ray.get(mean_ref)
+            x = mat_of(t) - mu
+            return pd.DataFrame({"p": [(x.T @ (x @ vv)).tobytes()]})
+
+        folded = to_pandas_cols(
+            ds.map_batches(matvec, batch_format="pyarrow"), {"p": "object"}
+        )
+        acc = _fold_blobs(folded["p"], d)
+        eig = float(np.linalg.norm(acc))
+        if eig == 0.0:
+            break
+        v = acc / eig
+    # deterministic sign: the max-|coeff| coordinate is positive
+    j = int(np.argmax(np.abs(v)))
+    if v[j] < 0:
+        v = -v
+    return v, eig / max(n_total - 1, 1), n_total

@@ -234,3 +234,68 @@ def test_checkpoint_invalidated_on_dataset_change(ray_session, tmp_path):
     fresh, _ = kmeans_fit(_ds_from(m2), 3, n_iters=3, sample_size=32)
     assert np.allclose(c2, fresh, atol=1e-12)
     assert not np.allclose(c1, c2, atol=1e-6)
+
+
+class TestPowerIteration:
+    def test_matches_numpy_eig_planted(self, ray_session, tmp_path):
+        """Planted dominant direction (clear eigengap): power iteration
+        must converge to numpy's eigh direction and eigenvalue."""
+        import numpy.linalg as la
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_model_ray.stages.kmeans import power_iteration_top_component
+
+        rng = np.random.default_rng(4)
+        n, d = 800, 24
+        u = rng.standard_normal(d)
+        u /= la.norm(u)
+        x = np.outer(rng.standard_normal(n) * 5.0, u) + 0.2 * rng.standard_normal((n, d))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(x.astype(np.float32))),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        v, eig, cnt = power_iteration_top_component(str(tmp_path), iters=25)
+        xf = x.astype(np.float32).astype(np.float64)
+        xc = xf - xf.mean(axis=0)
+        w, vecs = la.eigh(xc.T @ xc)
+        ref = vecs[:, -1]
+        j = int(np.argmax(np.abs(ref)))
+        if ref[j] < 0:
+            ref = -ref
+        assert cnt == n
+        assert abs(eig - w[-1] / (n - 1)) / (w[-1] / (n - 1)) < 1e-9
+        assert np.abs(v - ref).max() < 1e-8
+
+    def test_fixture_direction_reasonable(self, ray_session):
+        """On the structureless fixture the eigengap is small; require the
+        Rayleigh quotient to be within 2% of the true top eigenvalue."""
+        import numpy.linalg as la
+        import pyarrow.parquet as pq
+
+        from data_model_ray.stages.kmeans import power_iteration_top_component
+
+        sf = "/root/testdata/sf0.001"
+        v, eig, n = power_iteration_top_component(sf, iters=30)
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        x = (
+            t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(t.num_rows, -1)
+        )
+        xc = x - x.mean(axis=0)
+        w = la.eigvalsh(xc.T @ xc)
+        rq = float(v @ (xc.T @ (xc @ v))) / (n - 1)
+        assert n == len(x)
+        assert rq <= w[-1] / (n - 1) + 1e-9
+        assert rq > 0.98 * w[-1] / (n - 1)
+
+    def test_deterministic(self, ray_session):
+        from data_model_ray.stages.kmeans import power_iteration_top_component
+
+        a = power_iteration_top_component("/root/testdata/sf0.001", iters=8)
+        b = power_iteration_top_component("/root/testdata/sf0.001", iters=8)
+        assert np.array_equal(a[0], b[0]) and a[1] == b[1]
