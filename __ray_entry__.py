@@ -1017,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": olap.rank_orders,
         "running_distinct_types": olap.running_distinct_types,
         "late_event_flags": olap.late_event_flags,
+        "pct_of_user_total": olap.pct_of_user_total,
+        "time_weighted_avg": olap.time_weighted_avg,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1493,6 +1495,38 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
             FROM orders
+        """,
+        "pct_of_user_total": """
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id,
+                   ROUND(cents / CAST(SUM(cents) OVER (
+                       PARTITION BY user_id
+                   ) AS DOUBLE), 6) AS pct
+            FROM c
+        """,
+        "time_weighted_avg": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            ), agg AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                              ELSE cents * date_diff('microsecond', ts, nxt)
+                              END) AS BIGINT) AS num,
+                     CAST(date_diff('microsecond', MIN(ts), MAX(ts))
+                          AS BIGINT) AS den
+              FROM s GROUP BY 1
+            )
+            SELECT user_id, ROUND(num / (100.0 * den), 6) AS twa
+            FROM agg WHERE den > 0
         """,
         "late_event_flags": """
             WITH a AS (

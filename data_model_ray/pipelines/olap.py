@@ -778,3 +778,77 @@ def late_event_flags(sf_dir: str, *, delay_s: int = 1_296_000, num_ranges: int =
         .groupby("rng")
         .map_groups(finish_range, batch_format="pandas")
     )
+
+
+# --- percent of per-user total -------------------------------------------------
+
+
+def pct_of_user_total(sf_dir: str):
+    """RATIO_TO_REPORT: each event's share of its user's total value,
+    decided entirely in exact integer cents (int64 numerator and
+    denominator, so the float division is correctly rounded to identical
+    bits on both engines; no float sum ever forms). One BUCKETED exchange
+    (bucketed-exchange rule) + vectorized grouped transform per bucket;
+    half-away-from-zero rounding = DuckDB ROUND."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        tot = (
+            pd.Series(cents)
+            .groupby(g["user_id"].to_numpy(), sort=False)
+            .transform("sum")
+            .to_numpy(np.int64)
+        )
+        pct = cents.astype(np.float64) / tot.astype(np.float64)
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "pct": pc.round(pa.array(pct), **rnd).to_numpy(),
+            }
+        )
+
+    return keyed_window_exchange(ds, "user_id", per_bucket)
+
+
+# --- per-user time-weighted average --------------------------------------------
+
+
+def time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted average of ``value`` over the (ts, event_id)
+    sample order: sum(v_i * dt_i) / total_duration with the last sample
+    carrying zero weight — the telemetry/IoT aggregate. Numerator and
+    denominator accumulate as EXACT int64 (cents x µs), so the single
+    float division is bit-identical across engines. One BUCKETED exchange;
+    per bucket one stable sort + grouped shift/sum — no per-user Python.
+    Users with zero duration (single or all-simultaneous samples) are
+    excluded, mirroring the SQL's den > 0 filter."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        nxt = pd.Series(ts).groupby(uid, sort=False).shift(-1)
+        dt = (nxt - ts).fillna(0).to_numpy(np.int64)
+        contrib = cents * dt
+        d = pd.DataFrame({"uid": uid, "num": contrib, "ts": ts})
+        agg = d.groupby("uid", sort=False).agg(
+            num=("num", "sum"), t0=("ts", "min"), t1=("ts", "max")
+        )
+        den = agg["t1"].to_numpy(np.int64) - agg["t0"].to_numpy(np.int64)
+        keep = den > 0
+        num = agg["num"].to_numpy(np.int64)[keep]
+        den = den[keep]
+        twa = num.astype(np.float64) / (100.0 * den.astype(np.float64))
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64)[keep],
+                "twa": pc.round(pa.array(twa), **rnd).to_numpy(),
+            }
+        )
+
+    return keyed_window_exchange(ds, "user_id", per_bucket)
