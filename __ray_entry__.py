@@ -515,6 +515,13 @@ def _crawl_product_members(sf_dir: str):
     )
 
 
+def _pages_admin_rollup(sf_dir: str):
+    """Zonal rollup per admin-l0 polygon (PIP assignment consumer)."""
+    from data_model_ray.pipelines.spatial import admin_rollup
+
+    return admin_rollup(_pages_path(sf_dir))
+
+
 def _pages_host_gaps(sf_dir: str):
     """Per-host crawl-politeness stats over all fetch records."""
     from data_model_ray.pipelines.urlops import host_fetch_gaps
@@ -1176,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_utm_zones": _pages_utm_zones,
         "pages_lang_histogram": _pages_lang_histogram,
         "pages_host_gaps": _pages_host_gaps,
+        "pages_admin_rollup": _pages_admin_rollup,
         "crawl_product_members": _crawl_product_members,
         "embedding_top_component": _embedding_top_component,
         "pages_cell_churn": _pages_cell_churn,
@@ -2352,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_utm_zones": oracles.pages_utm_zones_sql(_ORACLE_N),
         "pages_lang_histogram": oracles.pages_lang_histogram_sql(_ORACLE_N),
         "pages_host_gaps": oracles.pages_host_gaps_sql(_ORACLE_N),
+        "pages_admin_rollup": oracles.pages_admin_rollup_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

@@ -822,3 +822,20 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
 FROM g GROUP BY host
 HAVING COUNT(gap_us) >= 1
 """
+
+
+def pages_admin_rollup_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Zonal rollup per admin-l0 polygon (spatial.admin_rollup): page
+    count + mean text length over deduped pages; -1 = no polygon. The
+    mean divides two exact int64s, so doubles agree bitwise; ROUND is
+    half-away on both sides."""
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  {_admin_ctes(root)}
+SELECT CAST(COALESCE(a0.admin_l0, -1) AS BIGINT) AS admin_l0,
+       CAST(COUNT(*) AS BIGINT) AS pages,
+       ROUND(CAST(SUM(d.text_len) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_text_len
+FROM h3 d LEFT JOIN admin0 a0 USING (url)
+GROUP BY 1
+"""

@@ -1127,3 +1127,63 @@ def cell_lang_histogram(pages_path: str):
         return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
 
     return _bucket_cell_sum(pts.map_batches(partial, batch_format="pyarrow"), cols)
+
+
+# ---------------------------------------------------------------------------
+# per-admin-polygon rollup (zonal aggregate over the PIP assignment)
+# ---------------------------------------------------------------------------
+
+
+def admin_rollup(pages_path: str):
+    """Per-admin-l0-polygon rollup over deduped pages: page count + exact
+    mean text length (the zonal aggregate a tile consumer reads next to
+    the PIP assignment; -1 = ocean/no polygon). Per-block partials are
+    polygon-bounded (<= |polygons|+1 rows each); sums stay int64 so the
+    single mean division is bit-identical across engines."""
+    import ray
+
+    from .. import fixtures
+    from ..stages.enrich import make_enrich_fn
+
+    granules_ref = ray.put(fixtures.mgrs_granules())
+    admin_ref = ray.put(fixtures.admin_polygons())
+    enrich = make_enrich_fn(granules_ref, admin_ref, verify_text=False)
+
+    ds = sized_read_parquet(pages_path)
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = dedup_exact(
+        enriched, key="url", order_col="warc_ts", num_buckets=_nbuckets()
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "admin_l0": t["admin_l0"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "tl": t["text_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("admin_l0", sort=False)["tl"]
+        return g.agg(n="size", s="sum").reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("admin_l0", sort=True)[["n", "s"]].sum()
+        n = g["n"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        mean = pc.round(
+            pa.array(s.astype(np.float64) / n.astype(np.float64)),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "admin_l0": g.index.to_numpy(np.int64),
+                "pages": n,
+                "mean_text_len": mean,
+            }
+        )
+
+    return (
+        deduped.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

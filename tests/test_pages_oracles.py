@@ -71,6 +71,7 @@ QUERY_CASES = [
     ("pages_utm_zones", lambda: oracles.pages_utm_zones_sql(N)),
     ("pages_lang_histogram", lambda: oracles.pages_lang_histogram_sql(N)),
     ("pages_host_gaps", lambda: oracles.pages_host_gaps_sql(N)),
+    ("pages_admin_rollup", lambda: oracles.pages_admin_rollup_sql(N)),
     ("pages_cell_churn", lambda: oracles.pages_cell_churn_sql(N)),
     ("pages_granule_coverage", lambda: oracles.pages_granule_coverage_sql(N)),
     ("pages_kde_heatmap", lambda: oracles.pages_kde_heatmap_sql(N)),
