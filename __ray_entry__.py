@@ -515,6 +515,15 @@ def _crawl_product_members(sf_dir: str):
     )
 
 
+def _pages_nearest_granule(sf_dir: str):
+    """Nearest MGRS granule centroid per occupied cell (planar-degree d2)."""
+    from data_model_ray.pipelines.spatial import cell_nearest_granule
+
+    return cell_nearest_granule(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell",)), batch_format="pyarrow"
+    )
+
+
 def _pages_admin_rollup(sf_dir: str):
     """Zonal rollup per admin-l0 polygon (PIP assignment consumer)."""
     from data_model_ray.pipelines.spatial import admin_rollup
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_lang_histogram": _pages_lang_histogram,
         "pages_host_gaps": _pages_host_gaps,
         "pages_admin_rollup": _pages_admin_rollup,
+        "pages_nearest_granule": _pages_nearest_granule,
         "crawl_product_members": _crawl_product_members,
         "embedding_top_component": _embedding_top_component,
         "pages_cell_churn": _pages_cell_churn,
@@ -2361,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_lang_histogram": oracles.pages_lang_histogram_sql(_ORACLE_N),
         "pages_host_gaps": oracles.pages_host_gaps_sql(_ORACLE_N),
         "pages_admin_rollup": oracles.pages_admin_rollup_sql(_ORACLE_N),
+        "pages_nearest_granule": oracles.pages_nearest_granule_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

@@ -839,3 +839,45 @@ SELECT CAST(COALESCE(a0.admin_l0, -1) AS BIGINT) AS admin_l0,
 FROM h3 d LEFT JOIN admin0 a0 USING (url)
 GROUP BY 1
 """
+
+
+def pages_nearest_granule_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Nearest granule centroid per occupied cell
+    (spatial.cell_nearest_granule): planar-degree d2 with the branch-based
+    lon wrap, min-mgrs tie-break — every arithmetic operand mirrored."""
+    granules = f"{root}/granules.parquet"
+    return f"""
+WITH {_base_ctes(n_rows, root)},
+  cells AS (SELECT DISTINCT h3_7 AS cell FROM h3),
+  rc AS (
+    SELECT cell, (cell - {H3_BASE}) // 268435456 AS i,
+           (cell - {H3_BASE}) % 268435456 AS j
+    FROM cells
+  ),
+  ctr AS (
+    SELECT cell, (i + 0.5) / 512.0 * 180.0 - 90.0 AS lat,
+           (j + 0.5) / 1024.0 * 360.0 - 180.0 AS lon
+    FROM rc
+  ),
+  gr AS (
+    SELECT mgrs, (ymin + ymax) / 2.0 AS glat, (xmin + xmax) / 2.0 AS glon
+    FROM read_parquet('{granules}')
+  ),
+  d AS (
+    SELECT c.cell, gr.mgrs,
+           (c.lat - gr.glat) * (c.lat - gr.glat)
+           + (CASE WHEN (c.lon - gr.glon) > 180.0 THEN (c.lon - gr.glon) - 360.0
+                   WHEN (c.lon - gr.glon) < -180.0 THEN (c.lon - gr.glon) + 360.0
+                   ELSE c.lon - gr.glon END)
+             * (CASE WHEN (c.lon - gr.glon) > 180.0 THEN (c.lon - gr.glon) - 360.0
+                     WHEN (c.lon - gr.glon) < -180.0 THEN (c.lon - gr.glon) + 360.0
+                     ELSE c.lon - gr.glon END) AS d2
+    FROM ctr c CROSS JOIN gr
+  ),
+  r AS (
+    SELECT cell, mgrs, d2,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, mgrs) AS rn
+    FROM d
+  )
+SELECT cell, mgrs AS nearest_mgrs, d2 AS d2_deg FROM r WHERE rn = 1
+"""

@@ -1187,3 +1187,47 @@ def admin_rollup(pages_path: str):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest MGRS granule per occupied cell
+# ---------------------------------------------------------------------------
+
+
+def cell_nearest_granule(pages_path: str):
+    """Nearest MGRS granule (by bbox centroid) for every occupied res-7
+    cell — the assignment a tile consumer needs when a cell falls OUTSIDE
+    all granule footprints. Metric is the planar-degree d2 with the
+    branch-based lon wrap (add/sub/mul only -> IEEE-exact, oracle mirrors
+    operand-for-operand); ties break to the min mgrs code (granules are
+    pre-sorted, argmin keeps the first). The granule table broadcasts via
+    ``ray.put``; the cell side is grid-bounded."""
+    import ray
+
+    from .. import fixtures
+    from ..grid import geocell_center
+
+    g = fixtures.mgrs_granules().to_pandas().sort_values("mgrs", kind="mergesort")
+    glat = ((g["ymin"].to_numpy() + g["ymax"].to_numpy()) / 2.0).astype(np.float64)
+    glon = ((g["xmin"].to_numpy() + g["xmax"].to_numpy()) / 2.0).astype(np.float64)
+    gref = ray.put((g["mgrs"].to_numpy(), glat, glon))
+
+    cells = cell_counts(pages_path)
+
+    def nearest(t: pa.Table) -> pa.Table:
+        mgrs, gla, glo = ray.get(gref)
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lat, lon = geocell_center(cell)
+        dlat = lat[:, None] - gla[None, :]
+        dlon = _wrap_deg(lon[:, None] - glo[None, :])
+        d2 = dlat * dlat + dlon * dlon
+        best = np.argmin(d2, axis=1)  # first occurrence = min-mgrs tie-break
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "nearest_mgrs": pa.array(mgrs[best]),
+                "d2_deg": pa.array(d2[np.arange(len(cell)), best]),
+            }
+        )
+
+    return cells.map_batches(nearest, batch_format="pyarrow")

@@ -72,6 +72,7 @@ QUERY_CASES = [
     ("pages_lang_histogram", lambda: oracles.pages_lang_histogram_sql(N)),
     ("pages_host_gaps", lambda: oracles.pages_host_gaps_sql(N)),
     ("pages_admin_rollup", lambda: oracles.pages_admin_rollup_sql(N)),
+    ("pages_nearest_granule", lambda: oracles.pages_nearest_granule_sql(N)),
     ("pages_cell_churn", lambda: oracles.pages_cell_churn_sql(N)),
     ("pages_granule_coverage", lambda: oracles.pages_granule_coverage_sql(N)),
     ("pages_kde_heatmap", lambda: oracles.pages_kde_heatmap_sql(N)),
