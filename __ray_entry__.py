@@ -515,6 +515,15 @@ def _crawl_product_members(sf_dir: str):
     )
 
 
+def _pages_cell_freshness(sf_dir: str):
+    """Per-cell crawl-freshness bounds (recrawl-scheduler surface)."""
+    from data_model_ray.pipelines.spatial import cell_freshness
+
+    return cell_freshness(_pages_path(sf_dir)).map_batches(
+        _norm_table_fn(int64_cols=("cell", "n_pages")), batch_format="pyarrow"
+    )
+
+
 def _pages_nearest_granule(sf_dir: str):
     """Nearest MGRS granule centroid per occupied cell (planar-degree d2)."""
     from data_model_ray.pipelines.spatial import cell_nearest_granule
@@ -1194,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_gaps": _pages_host_gaps,
         "pages_admin_rollup": _pages_admin_rollup,
         "pages_nearest_granule": _pages_nearest_granule,
+        "pages_cell_freshness": _pages_cell_freshness,
         "crawl_product_members": _crawl_product_members,
         "embedding_top_component": _embedding_top_component,
         "pages_cell_churn": _pages_cell_churn,
@@ -2372,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_gaps": oracles.pages_host_gaps_sql(_ORACLE_N),
         "pages_admin_rollup": oracles.pages_admin_rollup_sql(_ORACLE_N),
         "pages_nearest_granule": oracles.pages_nearest_granule_sql(_ORACLE_N),
+        "pages_cell_freshness": oracles.pages_cell_freshness_sql(_ORACLE_N),
         "pages_cell_churn": oracles.pages_cell_churn_sql(_ORACLE_N),
         "pages_granule_coverage": oracles.pages_granule_coverage_sql(_ORACLE_N),
         "pages_kde_heatmap": oracles.pages_kde_heatmap_sql(_ORACLE_N),

@@ -881,3 +881,14 @@ WITH {_base_ctes(n_rows, root)},
   )
 SELECT cell, mgrs AS nearest_mgrs, d2 AS d2_deg FROM r WHERE rn = 1
 """
+
+
+def pages_cell_freshness_sql(n_rows: int, root: str = GRAFT_ROOT) -> str:
+    """Per-cell crawl freshness (spatial.cell_freshness): latest-wins
+    deduped pages, oldest/newest fetch ts per cell — exact ints/timestamps."""
+    return f"""
+WITH {_base_ctes(n_rows, root)}
+SELECT h3_7 AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(warc_ts) AS ts_min, MAX(warc_ts) AS ts_max
+FROM h3 GROUP BY 1
+"""

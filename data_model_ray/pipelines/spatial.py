@@ -1231,3 +1231,55 @@ def cell_nearest_granule(pages_path: str):
         )
 
     return cells.map_batches(nearest, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-cell crawl freshness (fetch-recency bounds)
+# ---------------------------------------------------------------------------
+
+
+def cell_freshness(pages_path: str):
+    """Per-cell crawl freshness: deduped (latest-wins) page count plus the
+    oldest and newest fetch timestamps — the recency surface a recrawl
+    scheduler reads per tile. Per-block partials (one row per cell per
+    block), one grid-bounded bucketed exchange with vectorized min/max/sum
+    combine."""
+    ds = sized_read_parquet(pages_path)
+    nb = _nbuckets()
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = extract_batch(b, verify_text=False)
+        return b.select(["url", "warc_ts", "lat", "lon"])
+
+    pts = dedup_exact(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="url",
+        order_col="warc_ts",
+        num_buckets=nb,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        cells = geocell_encode(lat, lon, H3_RES)
+        g = (
+            pa.table({"cell": pa.array(cells), "warc_ts": t["warc_ts"]})
+            .group_by("cell", use_threads=False)
+            .aggregate([("warc_ts", "count"), ("warc_ts", "min"), ("warc_ts", "max")])
+        )
+        g = g.rename_columns(["cell", "n_pages", "ts_min", "ts_max"])
+        return g.append_column(
+            "__b", pa.array(_cell_bucket(g["cell"].to_numpy(zero_copy_only=False), nb))
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("n_pages", "sum"), ("ts_min", "min"), ("ts_max", "max")]
+        )
+        return g.rename_columns(["cell", "n_pages", "ts_min", "ts_max"])
+
+    return (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
+    )

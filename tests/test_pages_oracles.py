@@ -73,6 +73,7 @@ QUERY_CASES = [
     ("pages_host_gaps", lambda: oracles.pages_host_gaps_sql(N)),
     ("pages_admin_rollup", lambda: oracles.pages_admin_rollup_sql(N)),
     ("pages_nearest_granule", lambda: oracles.pages_nearest_granule_sql(N)),
+    ("pages_cell_freshness", lambda: oracles.pages_cell_freshness_sql(N)),
     ("pages_cell_churn", lambda: oracles.pages_cell_churn_sql(N)),
     ("pages_granule_coverage", lambda: oracles.pages_granule_coverage_sql(N)),
     ("pages_kde_heatmap", lambda: oracles.pages_kde_heatmap_sql(N)),
