@@ -1044,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_flags": olap.late_event_flags,
         "pct_of_user_total": olap.pct_of_user_total,
         "time_weighted_avg": olap.time_weighted_avg,
+        "events_dow_hour": olap.events_dow_hour,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1089,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": wtx.bm25_docs,
         "paragraph_dedup": wtx.paragraph_dedup,
         "within_doc_para_dedup": wtx.within_doc_para_dedup,
+        "doc_lexical_stats": wtx.doc_lexical_stats,
         "inverted_index": _inverted_index,
         "index_lookup": _index_lookup,
         "contamination_check": wtx.contamination_check,
@@ -1523,6 +1525,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
             FROM orders
+        """,
+        "events_dow_hour": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_lexical_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct
+            FROM documents
         """,
         "pct_of_user_total": """
             WITH c AS (

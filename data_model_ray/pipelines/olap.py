@@ -852,3 +852,32 @@ def time_weighted_avg(sf_dir: str):
         )
 
     return keyed_window_exchange(ds, "user_id", per_bucket)
+
+
+# --- day-of-week x hour-of-day heat counts --------------------------------------
+
+
+def events_dow_hour(sf_dir: str):
+    """Event counts by (day-of-week, hour-of-day) — the load-heatmap
+    aggregate; covers the dow/hour scalar date functions. Dimension-
+    bounded partials (<= 168 rows per block), one-task combine. Arrow's
+    day_of_week counts from Monday=0; DuckDB's dayofweek from Sunday=0 —
+    normalized to the DuckDB convention here."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        dow = (dow + 1) % 7  # Monday=0 -> Sunday=0
+        hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"dow": dow, "hour": hour})
+        return df.groupby(["dow", "hour"], sort=False).size().reset_index(name="n")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["dow", "hour"], sort=True)["n"].sum().reset_index()
+        return out.astype({"dow": np.int64, "hour": np.int64, "n": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -1511,3 +1511,39 @@ def within_doc_para_dedup(sf_dir: str, *, para_words: int = 16):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_lexical_stats(sf_dir: str):
+    """Per-doc lexical stats: token count + DISTINCT token count (the
+    type-token ratio's exact integer numerator/denominator — emitting the
+    ints keeps the oracle float-free). Pure per-block map, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        lists = pc.split_pattern(arr.cast(pa.large_string()), " ")
+        ntok = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.asarray(lists.offsets).astype(np.int64)
+        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        row = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        df = pd.DataFrame({"row": row, "w": flat})
+        nd = (
+            df.drop_duplicates()
+            .groupby("row", sort=True)
+            .size()
+            .reindex(range(len(ntok)), fill_value=0)
+            .to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(ntok),
+                "n_distinct": pa.array(nd),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
