@@ -190,6 +190,11 @@ def run_flagship(
     manifest = None
     raster_manifest = None
     if out_dir is not None:
+        # per-operator counters from the executed DAG, into the same
+        # lineage stream the writers use (north rule: lineage + metrics)
+        from ..state.metrics import emit_metrics
+
+        emit_metrics(cells, out_dir, run="flagship")
         manifest = build_pyramid(
             base_table, out_dir, base_res=cfg.h3_res, min_cells=cfg.min_cells
         )

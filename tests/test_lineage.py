@@ -110,3 +110,47 @@ class TestResumableWrite:
             assert r["status"] == "done"
             assert r["input_fingerprint"] == "fp1"
             assert r["bytes_out"] > 0
+
+
+class TestOperatorMetrics:
+    def test_emit_metrics_records(self, ray_session, tmp_path):
+        """Executed-DAG counters land in the lineage stream: one record
+        per operator with tasks/blocks/wall and total rows out."""
+        import ray.data as rd
+
+        from data_model_ray.state.lineage import LineageLog
+        from data_model_ray.state.metrics import emit_metrics
+
+        ds = (
+            rd.range(5000)
+            .repartition(4)
+            .map_batches(lambda d: d, batch_format="pandas")
+            .materialize()
+        )
+        recs = emit_metrics(ds, str(tmp_path), run="unit")
+        assert len(recs) >= 2
+        names = [r["operator"] for r in recs]
+        assert any("MapBatches" in n for n in names)
+        final = [r for r in recs if "MapBatches" in r["operator"]][-1]
+        assert final["rows_out"] == 5000
+        assert final["tasks"] >= 1 and final["wall_s"] >= 0.0
+        on_disk = [r for r in LineageLog(str(tmp_path)).records() if r["stage"] == "metrics"]
+        assert len(on_disk) == len(recs)
+        assert all(r["run"] == "unit" for r in on_disk)
+
+    def test_flagship_emits_metrics(self, ray_session, tmp_path):
+        from data_model_ray.pipelines.flagship import FlagshipConfig, run_flagship
+        from data_model_ray.state.lineage import LineageLog
+
+        run_flagship(
+            n_rows=3000,
+            out_dir=str(tmp_path / "pyr"),
+            cfg=FlagshipConfig(geoindex_concurrency=(1, 2), rasterize=False),
+        )
+        recs = [
+            r
+            for r in LineageLog(str(tmp_path / "pyr")).records()
+            if r["stage"] == "metrics"
+        ]
+        assert recs, "flagship must emit operator counters"
+        assert any("enrich" in r["operator"].lower() for r in recs)
