@@ -1045,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pct_of_user_total": olap.pct_of_user_total,
         "time_weighted_avg": olap.time_weighted_avg,
         "events_dow_hour": olap.events_dow_hour,
+        "global_percent_rank": olap.global_percent_rank,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1524,6 +1525,13 @@ def oracle_sql() -> dict[str, str]:
                    RANK() OVER (
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
+            FROM orders
+        """,
+        "global_percent_rank": """
+            SELECT o_orderkey,
+                   ROUND((ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice, o_orderkey
+                   ) - 1) / (COUNT(*) OVER () - 1.0), 6) AS pr
             FROM orders
         """,
         "events_dow_hour": """

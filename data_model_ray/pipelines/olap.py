@@ -881,3 +881,101 @@ def events_dow_hour(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+# --- GLOBAL percent rank (no global sort) ---------------------------------------
+
+
+def global_percent_rank(sf_dir: str, *, num_ranges: int = 32):
+    """Row-number-based GLOBAL percent rank of every order by
+    (o_totalprice, o_orderkey) — the second member of the
+    range-partitioned global-ranking family (``ntile_orders``,
+    ``late_event_flags``): a counting pre-pass fixes per-range offsets,
+    ONE range exchange assigns exact global positions, and
+    pr = pos / (n-1) divides exact ints (bit-identical across engines;
+    half-away rounding = DuckDB ROUND)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    from ..sources.fs import to_pandas_cols
+
+    mm = to_pandas_cols(
+        ds.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "mn": [t["o_totalprice"].to_numpy(zero_copy_only=False).min()],
+                    "mx": [t["o_totalprice"].to_numpy(zero_copy_only=False).max()],
+                    "n": [t.num_rows],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        {"mn": "float64", "mx": "float64", "n": "int64"},
+    )
+    n_total = int(mm["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series(dtype="int64"), "pr": pd.Series(dtype="float64")}
+        )
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    width = (mx - mn) or 1.0
+
+    def range_of(p: np.ndarray) -> np.ndarray:
+        r = np.floor((p - mn) / width * num_ranges).astype(np.int64)
+        return np.clip(r, 0, num_ranges - 1)
+
+    hist = (
+        to_pandas_cols(
+            ds.map_batches(
+                lambda t: pd.DataFrame(
+                    {
+                        "r": np.arange(num_ranges, dtype=np.int64),
+                        "c": np.bincount(
+                            range_of(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+                            minlength=num_ranges,
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            {"r": "int64", "c": "int64"},
+        )
+        .groupby("r")["c"]
+        .sum()
+        .reindex(range(num_ranges), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    offsets = np.zeros(num_ranges, dtype=np.int64)
+    offsets[1:] = np.cumsum(hist)[:-1]
+    off_ref = ray.put(offsets)
+    denom = float(max(n_total - 1, 1))
+
+    def assign(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": pa.array(p),
+                "rng": pa.array(range_of(p).astype(np.int32)),
+            }
+        )
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        pos = offs[int(g["rng"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        pr = pos.astype(np.float64) / denom
+        rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "pr": pc.round(pa.array(pr), **rnd).to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(rank_range, batch_format="pandas")
+    )
