@@ -126,11 +126,15 @@ class TestFlagshipGoldens:
         r1 = run_flagship(n_rows=2000, out_dir=out, cfg=cfg)
         r2 = run_flagship(n_rows=2000, out_dir=out, cfg=cfg)
         assert r2["manifest"] == r1["manifest"]
-        recs = LineageLog(out).records()
+        all_recs = LineageLog(out).records()
+        # pyramid write/skip records only (the metrics stage interleaves
+        # per-operator counters into the same stream)
+        recs = [r for r in all_recs if r.get("stage") == "pyramid"]
         n_levels = len(r1["manifest"]["levels"])
         assert [r["status"] for r in recs] == ["done"] * n_levels + [
             "skipped_valid"
         ] * n_levels
+        assert any(r.get("stage") == "metrics" for r in all_recs)
 
     def test_lang_first_deterministic(self, flagship_result, golden):
         _, cells = flagship_result
