@@ -29,6 +29,7 @@ _PAGES_CACHE: dict[int, str] = {}
 #: tests/test_all_oracles_hash.py; the sf0.001 value sweep skips them.
 PAGES_SCALE_PINNED = {
     "host_links",
+    "host_reciprocity",
     "host_degree",
     "pagerank_hosts",
     "two_hop_hosts",
@@ -1021,6 +1022,12 @@ def _canon_url_dedup(sf_dir: str):
     return canon_url_dedup(sf_dir)
 
 
+def _host_reciprocity(sf_dir: str):
+    from data_model_ray.pipelines.linkgraph import host_reciprocity
+
+    return host_reciprocity(_pages_path(sf_dir))
+
+
 def _host_dedup(sf_dir: str):
     from data_model_ray.pipelines.urlops import host_dedup
 
@@ -1168,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are DuckDB-oracled via data_model_ray.oracles at sf0.01 scale.
         "pages_assignments": _pages_assignments,
         "host_links": _host_links,               # link-graph edge counts
+        "host_reciprocity": _host_reciprocity,   # mutual-link structure
         "host_degree": _host_degree,             # distinct-edge degrees
         "pagerank_hosts": _pagerank_hosts,       # fixed-point PageRank
         "two_hop_hosts": _two_hop_hosts,         # edge self-join 2-hop reach
@@ -2251,6 +2259,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_links_cte(_ORACLE_N)}
             SELECT src_host, dst_host, COUNT(*) AS n
             FROM links GROUP BY 1, 2
+        """,
+        "host_reciprocity": f"""
+            WITH {_links_cte(_ORACLE_N)},
+            e AS (
+              SELECT DISTINCT src_host, dst_host FROM links
+              WHERE src_host <> dst_host
+            )
+            SELECT a.src_host AS host,
+                   CAST(COUNT(*) AS BIGINT) AS out_deg,
+                   CAST(SUM(CASE WHEN b.src_host IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS reciprocated
+            FROM e a LEFT JOIN e b
+              ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+            GROUP BY 1
         """,
         "host_degree": f"""
             WITH {_links_cte(_ORACLE_N)},

@@ -1186,3 +1186,64 @@ def clustering_coef_hosts(pages_path: str):
             ).to_numpy(zero_copy_only=False),
         }
     )
+
+
+def host_reciprocity(pages_path: str):
+    """Per-host link reciprocity: distinct out-degree (self-loops
+    excluded) and how many of those out-edges are reciprocated — the
+    mutual-link structure metric beside degree/triangles/PageRank.
+
+    Distinct edges derive exactly like ``host_degree`` (src-bucketed
+    exchange, in-bucket dedup is globally exact); the bounded distinct
+    edge table then gathers once (the pagerank broadcast-mode bound — a
+    10^8-host graph would swap this final for a dst-bucketed semi-join,
+    same as pagerank method="exchange") and reciprocity is one vectorized
+    searchsorted membership test of (v,u) keys in the sorted (u,v) keys.
+    All-integer output.
+    """
+    from ..sources.fs import to_pandas_cols
+
+    nb = _num_buckets()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src_host": t["src_host"].to_numpy(),
+                "dst_host": t["dst_host"].to_numpy(),
+            }
+        )
+        df = df[df["src_host"] != df["dst_host"]].drop_duplicates()
+        df["__b"] = _hbucket(df["src_host"].to_numpy(), nb)
+        return df
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["src_host", "dst_host"]].drop_duplicates()
+
+    edges = to_pandas_cols(
+        _edge_stream(pages_path)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(dedup_bucket, batch_format="pandas"),
+        {"src_host": "int64", "dst_host": "int64"},
+    )
+    if edges.empty:
+        return pd.DataFrame(
+            {
+                "host": pd.Series(dtype="int64"),
+                "out_deg": pd.Series(dtype="int64"),
+                "reciprocated": pd.Series(dtype="int64"),
+            }
+        )
+    u = edges["src_host"].to_numpy(np.int64)
+    v = edges["dst_host"].to_numpy(np.int64)
+    key = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+    skey = np.sort(key)
+    rkey = (v.astype(np.uint64) << np.uint64(32)) | u.astype(np.uint64)
+    pos = np.clip(np.searchsorted(skey, rkey), 0, len(skey) - 1)
+    recip = (skey[pos] == rkey).astype(np.int64)
+    df = pd.DataFrame({"host": u, "r": recip})
+    agg = df.groupby("host", sort=True)["r"].agg(out_deg="size", reciprocated="sum")
+    out = agg.reset_index()
+    return out.astype(
+        {"host": np.int64, "out_deg": np.int64, "reciprocated": np.int64}
+    )
