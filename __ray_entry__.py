@@ -1053,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": olap.time_weighted_avg,
         "events_dow_hour": olap.events_dow_hour,
         "global_percent_rank": olap.global_percent_rank,
+        "orders_monthly_growth": olap.orders_monthly_growth,
         "unpivot_lineitem": olap.unpivot_lineitem,
         "moving_avg_events": olap.moving_avg_events,
         "p95_value_by_type": olap.p95_value_by_type,
@@ -1534,6 +1535,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_totalprice DESC
                    ) AS rnk
             FROM orders
+        """,
+        "orders_monthly_growth": """
+            WITH mo AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2
+            ), g AS (
+              SELECT y, m, cents,
+                     LAG(cents) OVER (ORDER BY y, m) AS prev
+              FROM mo
+            )
+            SELECT y, m,
+                   ROUND(cents / CAST(prev AS DOUBLE) - 1.0, 6) AS growth
+            FROM g WHERE prev IS NOT NULL
         """,
         "global_percent_rank": """
             SELECT o_orderkey,

@@ -979,3 +979,51 @@ def global_percent_rank(sf_dir: str, *, num_ranges: int = 32):
         .groupby("rng")
         .map_groups(rank_range, batch_format="pandas")
     )
+
+
+# --- month-over-month revenue growth ---------------------------------------------
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month order-revenue growth: monthly revenue folds from
+    per-block partials in exact integer cents (<= |months| rows each), and
+    growth = cents/prev - 1 divides two exact int64s (bit-identical across
+    engines; half-away rounding = DuckDB ROUND). The first month has no
+    predecessor and is excluded. Calendar-window analytics over a
+    dimension-bounded fold — no shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        y = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"y": y, "m": m, "cents": cents})
+        return df.groupby(["y", "m"], sort=False)["cents"].sum().reset_index()
+
+    from ..sources.fs import to_pandas_cols
+
+    folds = to_pandas_cols(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {"y": "int64", "m": "int64", "cents": "int64"},
+    )
+    agg = folds.groupby(["y", "m"], sort=True)["cents"].sum().reset_index()
+    cents = agg["cents"].to_numpy(np.int64)
+    if len(cents) < 2:
+        return pd.DataFrame(
+            {
+                "y": pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int64"),
+                "growth": pd.Series(dtype="float64"),
+            }
+        )
+    growth = cents[1:].astype(np.float64) / cents[:-1].astype(np.float64) - 1.0
+    rnd = dict(ndigits=6, round_mode="half_towards_infinity")
+    return pd.DataFrame(
+        {
+            "y": agg["y"].to_numpy(np.int64)[1:],
+            "m": agg["m"].to_numpy(np.int64)[1:],
+            "growth": pc.round(pa.array(growth), **rnd).to_numpy(),
+        }
+    )
